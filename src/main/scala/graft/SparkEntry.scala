@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family from SURVEY §2 is one entry in [[queries]];
+  * SQL-expressible semantics carry a DuckDB oracle in [[oracleSql]]
+  * (driver t2 hash-compares both at sf0.01). Determinism discipline is
+  * documented on [[graft.ops.Q]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All declared queries, by family (SURVEY §2.A ops + §2.C E1-E13). */
+  private val declared: Seq[Q] =
+    Relational.all ++ IngestQueries.all ++ Dedup.all ++ TextOps.all ++
+      Similarity.all ++ Multimodal.all :+ AutoDateAgg.qAutoDateAgg
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's own pipeline shape — ingest the pp-complete fixture,
+    * type it, return the rows (ops 4-8 end-to-end).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    IngestQueries.qIngestPp.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    declared.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q_approx_distinct, q_lang_id, q_dedup_simhash, q_mm_decode) →
+    * driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    declared.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Hash/shingle primitives for the dedup family (SURVEY §2.C E10/E11).
+  * Everything here is deterministic given fixed seeds — dedup outputs
+  * must be reproducible run-to-run and cluster-layout-independent.
+  */
+object TextHash {
+
+  /** Word n-gram shingles of a text column as a distinct string array.
+    * Native higher-order functions only (codegen'd, no UDF): at 100 TB
+    * this runs inside the scan stage.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = split(text, " ")
+    when(
+      size(w) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)
+        )
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature column i: min over exploded shingles of a seeded
+    * 64-bit hash. Seeding via an extra lit column re-keys xxhash64 —
+    * k independent-enough permutation approximations.
+    */
+  def minhashCol(shingle: Column, seed: Int): Column =
+    min(xxhash64(lit(seed), shingle))
+
+  /** Polynomial rolling hash over a string (base-31 mod 2^61-1) — the
+    * classic Rabin-Karp fingerprint. Pure Scala; exercised via UDF +
+    * unit tests (not ANSI-SQL-expressible, so not in the oracle set).
+    */
+  def rollingHash(s: String): Long = {
+    val M = (1L << 61) - 1
+    def mod(x: Long): Long = { val v = (x >>> 61) + (x & M); if (v >= M) v - M else v }
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      // 31h splits as hi*2^64 + lo; 2^64 ≡ 8 (mod 2^61-1)
+      val hi = Math.multiplyHigh(h, 31L)
+      val lo = h * 31L
+      h = mod(mod(hi * 8 + mod(lo)) + s.charAt(i).toLong)
+      i += 1
+    }
+    h
+  }
+
+  /** SimHash: 64-bit signature where bit j is the sign of the sum over
+    * shingle hashes of (+1 / -1) depending on that hash's bit j.
+    * Typed `Aggregator` (UDAF surface, SURVEY §2.C note): partial
+    * buffers are per-bit counters → merge is commutative+associative,
+    * so the result is partition-layout independent.
+    */
+  object SimHashAgg extends Aggregator[Long, Array[Int], Long] {
+    def zero: Array[Int] = new Array[Int](64)
+    def reduce(buf: Array[Int], hash: Long): Array[Int] = {
+      var j = 0
+      while (j < 64) {
+        if (((hash >>> j) & 1L) == 1L) buf(j) += 1 else buf(j) -= 1
+        j += 1
+      }
+      buf
+    }
+    def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var j = 0
+      while (j < 64) { a(j) += b(j); j += 1 }
+      a
+    }
+    def finish(buf: Array[Int]): Long = {
+      var sig = 0L
+      var j = 0
+      while (j < 64) {
+        if (buf(j) > 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+    def bufferEncoder: Encoder[Array[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b))
+}

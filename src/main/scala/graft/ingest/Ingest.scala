@@ -1,0 +1,170 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.{Date, Timestamp}
+
+/** The reference pipeline (ops 1-16 of SURVEY §2.A), re-expressed as one
+  * lazy Spark plan instead of a driver-side chunk loop.
+  *
+  * Reference shape (`main.py:174-271`): download → read CSV in 50k-row
+  * chunks → rename 16 cols → strict to_datetime(UTC) → running
+  * max(transaction_date) → re-serialize CSV → Postgres COPY, one txn.
+  *
+  * Spark shape: the chunk loop disappears — a partitioned scan bounds
+  * memory (op-14), whole-stage codegen pipelines scan→cast→write per
+  * task, and the running max rides the SAME pass via `df.observe`
+  * (op-7: Catalyst does partial/final aggregation per partition exactly
+  * like the reference's per-chunk max + running max, but in parallel).
+  * Parquet `Overwrite` stands in for TRUNCATE+COPY (ops 10-11); a real
+  * Postgres sink would be `foreachPartition` + pgjdbc CopyManager behind
+  * the same interface.
+  *
+  * 100 TB notes: the plan is shuffle-free (scan → narrow ops → write);
+  * it scales linearly with input splits. The only aggregation is the
+  * observed max, which is partial-per-task + tiny final on the driver.
+  */
+object Ingest {
+
+  final case class RunResult(
+      autoDate: Option[Date],
+      rowCount: Long,
+      downloadSizeMB: Long,
+      meta: RunMeta
+  )
+
+  /** op-1/2/3/16: fetch a URL (http(s)/file) to a local temp file with
+    * bounded retries — reference `download_data_to_disk_retry_wrapper`
+    * (`main.py:93-171`): ≤3 attempts, fixed sleep, stream to temp file.
+    * Driver-side by design: Spark has no http:// source; at scale the
+    * fetch lands on shared storage and the cluster reads the splits.
+    */
+  def fetchToLocal(url: String, maxRetries: Int = 3, sleepMs: Long = 10000): String = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < maxRetries) {
+      attempt += 1
+      try {
+        val tmp = Files.createTempFile("pp-complete-", ".csv")
+        val in = new java.net.URI(url).toURL.openStream()
+        try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        return tmp.toString
+      } catch {
+        case e: Throwable =>
+          lastErr = e
+          if (attempt < maxRetries) Thread.sleep(sleepMs)
+      }
+    }
+    throw lastErr
+  }
+
+  /** op-4: headerless all-string CSV scan with the reference's NULL
+    * discipline (§1.5): empty CSV fields stay `''` (keep_default_na=False)
+    * and only the literal `\N` token is NULL (COPY `NULL '\N'`).
+    * Spark's CSV default (empty→null) is explicitly overridden.
+    */
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(PPComplete.rawSchema)
+      .option("header", "false")
+      .option("nullValue", "\\N")
+      .option("emptyValue", "")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** ops 5+6: positional rename (toDF is implicit in the schema read) +
+    * strict datetime typing. The reference aborts on a malformed date
+    * (`main.py:218-222` raises); Spark's permissive to_timestamp nulls
+    * instead, so we re-raise via a null-vs-input check in [[assertDates]].
+    */
+  def typed(raw: DataFrame): DataFrame =
+    raw.withColumn(
+      "transaction_date",
+      to_timestamp(col("transaction_date"), PPComplete.dateTimeFormat)
+    )
+
+  /** §1.6 fail-on-malformed: any row where the raw string was non-null
+    * but the parse produced null is a format violation → abort.
+    * Implemented as a cheap fused filter+count on the same scan, not a
+    * second job over typed data.
+    */
+  def assertDates(raw: DataFrame): Unit = {
+    val bad = raw
+      .where(
+        col("transaction_date").isNotNull &&
+          to_timestamp(col("transaction_date"), PPComplete.dateTimeFormat).isNull
+      )
+      .limit(1)
+      .collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"malformed transaction_date (expected ${PPComplete.dateTimeFormat}): " +
+          bad.head.getString(2)
+      )
+  }
+
+  /** Full run (op-15 orchestration): fetch → scan → type → write with the
+    * max(transaction_date) observed on the same pass (op-7 "auto_date"),
+    * floored to a calendar date (op-8) — then append one provenance row
+    * (ops 12-13) to the metadata table.
+    */
+  def run(
+      spark: SparkSession,
+      sourceUrl: String,
+      outDir: String,
+      metaDir: String
+  ): RunResult = {
+    val t0 = System.nanoTime()
+    val start = new Timestamp(System.currentTimeMillis())
+
+    val dl0 = System.nanoTime()
+    val local = fetchToLocal(sourceUrl)
+    val dlUs = (System.nanoTime() - dl0) / 1000
+    val sizeMB = Files.size(Paths.get(local)) / (1024L * 1024L)
+
+    try {
+      val raw = readRaw(spark, local)
+      assertDates(raw)
+      val data = typed(raw)
+
+      // op-7 fused with the load pass: observe piggybacks the aggregate on
+      // the write job — no second scan (reference computes the running max
+      // while uploading, `main.py:228-230`).
+      val wr0 = System.nanoTime()
+      val observed = data.observe(
+        "ingest_stats",
+        max(col("transaction_date")).as("max_ts"),
+        count(lit(1)).as("n_rows")
+      )
+      observed.write.mode("overwrite").parquet(outDir)
+      val wrUs = (System.nanoTime() - wr0) / 1000
+
+      val stats: Row = observed.queryExecution.observedMetrics("ingest_stats")
+      val maxTs = Option(stats.getAs[Timestamp]("max_ts"))
+      val nRows = stats.getAs[Long]("n_rows")
+      val autoDate = maxTs.map(ts => new Date(ts.getTime)) // op-8 floor-to-date (UTC session)
+
+      val end = new Timestamp(System.currentTimeMillis())
+      val meta = RunMeta(
+        auto_date = autoDate.orNull,
+        download_size_MB = sizeMB,
+        process_start_timestamp = start,
+        process_complete_timestamp = end,
+        process_duration_us = (System.nanoTime() - t0) / 1000,
+        download_duration_us = dlUs,
+        read_duration_us = 0L, // scan+write fused in Spark; split timings are not separable
+        datetime_convert_duration_us = 0L,
+        write_duration_us = wrUs,
+        upload_duration_us = wrUs
+      )
+      // op-12: single-row append to the metadata table.
+      import spark.implicits._
+      Seq(meta).toDF().write.mode("append").parquet(metaDir)
+      RunResult(autoDate, nRows, sizeMB, meta)
+    } finally {
+      Files.deleteIfExists(Paths.get(local)) // op-16 temp-file lifecycle
+    }
+  }
+}

@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextHash
+
+/** Deduplication family (SURVEY §2.C E10 + driver-mandated dedup ops):
+  * exact, key-based (CDC/upsert idiom), n-gram Jaccard, MinHash+LSH,
+  * SimHash.
+  *
+  * Exactness discipline: Jaccard thresholds are evaluated as INTEGER
+  * comparisons — `J ≥ 1/2  ⇔  3·|A∩B| ≥ |A|+|B|` — so no float ever
+  * decides membership and the DuckDB oracle agrees bit-for-bit.
+  *
+  * Scale shapes (the point of each variant at 100 TB):
+  *  - exact: hash-groupBy, one shuffle on the full text (or better, on a
+  *    fingerprint — see q_fingerprint).
+  *  - ngram: explode+equi-join on shingle = similarity join without a
+  *    cross product; shuffle volume = Σ shingles, hot shingles bounded
+  *    by a frequency cap in a real corpus.
+  *  - minhash: constant-size signature per doc (k hashes) + LSH banding
+  *    → candidate pairs ∝ true-positive density, not n².
+  *  - simhash: one 64-bit signature per doc + block-key join; candidates
+  *    within Hamming ≤ 3 guaranteed by 4×16-bit pigeonhole blocks.
+  */
+object Dedup {
+  import Tables._
+
+  private val SHINGLE_N = 3
+  private val MINHASH_K = 16
+  private val LSH_BANDS = 8 // × 2 rows per band
+
+  /** Common oracle: brute-force all-pairs shingle Jaccard ≥ 1/2 (the
+    * LSH/SimHash variants are candidate generators whose verified output
+    * equals this set on this corpus — asserted by tests, and by the
+    * driver's t2 at sf0.01).
+    */
+  private val allPairsOracle =
+    """WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       sh AS (SELECT doc_id,
+                     list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    for i in range(1, len(w)-1)]) AS s
+              FROM toks WHERE len(w) >= 3)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(len(list_intersect(a.s, b.s)) AS INTEGER) AS shared,
+              CAST(len(a.s) AS INTEGER) AS na,
+              CAST(len(b.s) AS INTEGER) AS nb
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)
+       ORDER BY a_id, b_id"""
+
+  /** Exact dedup: group on content, keep lowest id (deterministic
+    * survivor rule — `dropDuplicates` keeps an arbitrary row).
+    */
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, d) =>
+      documents(s, d)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id"),
+    Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY doc_id""")
+  )
+
+  /** Key dedup / CDC upsert idiom (the reference's `record_op` column
+    * implies exactly this, `lib_db.py:39`): latest event per
+    * (user_id, event_type) via row_number = 1.
+    */
+  val qDedupKey = Q(
+    "q_dedup_key",
+    (s, d) => {
+      val w = Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id, value FROM (
+              SELECT user_id, event_type, event_id, value,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1 ORDER BY user_id, event_type""")
+  )
+
+  /** Exploded (doc_id, shingle) pairs + per-doc set size. */
+  private def exploded(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val sh = documents(s, d)
+      .select(col("doc_id"), TextHash.shingles(col("text"), SHINGLE_N).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    (ex, sizes)
+  }
+
+  /** Verified pair output shared by the three similarity-dedup plans. */
+  private def verifyPairs(
+      s: SparkSession,
+      d: String,
+      candidates: DataFrame // columns a_id, b_id
+  ): DataFrame = {
+    val sets = documents(s, d)
+      .select(col("doc_id"), TextHash.shingles(col("text"), SHINGLE_N).as("sh"))
+      .where(size(col("sh")) > 0)
+    candidates
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .select(
+        col("a_id"),
+        col("b_id"),
+        size(array_intersect(col("sa"), col("sb"))).as("shared"),
+        size(col("sa")).as("na"),
+        size(col("sb")).as("nb")
+      )
+      .where(lit(3) * col("shared") >= col("na") + col("nb"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** n-gram Jaccard similarity join, exact: equi-join on shingle counts
+    * shared shingles per pair — no cross product anywhere; candidate set
+    * is exactly the pairs sharing ≥1 shingle.
+    */
+  val qDedupNgram = Q(
+    "q_dedup_ngram",
+    (s, d) => {
+      val (ex, sizes) = exploded(s, d)
+      val shared = ex
+        .as("x")
+        .join(ex.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .where(lit(3) * col("shared") >= col("na") + col("nb"))
+        .select(
+          col("a_id"),
+          col("b_id"),
+          col("shared").cast("int").as("shared"),
+          col("na"),
+          col("nb")
+        )
+        .orderBy("a_id", "b_id")
+    },
+    Some(allPairsOracle)
+  )
+
+  /** MinHash + LSH: k=16 seeded xxhash64 min-signatures, 8 bands × 2
+    * rows; band-key equi-join yields candidates, exact Jaccard verifies.
+    * On this corpus every true pair has J ≥ 0.97, so band collision
+    * probability is ≥ 1-(1-J²)⁸ ≈ 1-10⁻¹³ — recall is total (checked
+    * against the brute-force oracle by t2).
+    */
+  val qDedupMinhash = Q(
+    "q_dedup_minhash",
+    (s, d) => {
+      val (ex, _) = exploded(s, d)
+      val sigCols = (0 until MINHASH_K).map(i => TextHash.minhashCol(col("shingle"), i).as(s"h$i"))
+      val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandStructs = (0 until LSH_BANDS).map { j =>
+        struct(lit(j).as("band"), xxhash64(col(s"h${2 * j}"), col(s"h${2 * j + 1}")).as("key"))
+      }
+      val banded = sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cands = banded
+        .as("x")
+        .join(
+          banded.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id")
+        )
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      verifyPairs(s, d, cands)
+    },
+    Some(allPairsOracle)
+  )
+
+  /** SimHash: 64-bit frequency-weighted signature per doc (typed
+    * Aggregator — UDAF surface), 4×16-bit pigeonhole block join
+    * (guarantees all pairs with Hamming ≤ 3), exact Jaccard verify.
+    */
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, d) => {
+      val (ex, _) = exploded(s, d)
+      val simhashUdaf = udaf(TextHash.SimHashAgg)
+      val sigs = ex
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .groupBy("doc_id")
+        .agg(simhashUdaf(col("h")).as("sig"))
+      val blocks = sigs.select(
+        col("doc_id"),
+        col("sig"),
+        explode(
+          array((0 until 4).map { j =>
+            struct(
+              lit(j).as("blk"),
+              shiftrightunsigned(col("sig"), 16 * j).bitwiseAND(lit(0xffffL)).as("key")
+            )
+          }: _*)
+        ).as("bk")
+      )
+      val flat = blocks.select(col("doc_id"), col("sig"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+      val cands = flat
+        .as("x")
+        .join(
+          flat.as("y"),
+          col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id")
+        )
+        .where(TextHash.hamming(col("x.sig"), col("y.sig")) <= 3)
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      verifyPairs(s, d, cands)
+    },
+    // Approximate by design: Hamming ≤ 3 candidates are a (verified)
+    // SUBSET of the brute-force pairs — small docs can drift more bits.
+    // Not oracle-comparable; DedupSpec asserts subset + recall instead.
+    None
+  )
+
+  val all: Seq[Q] = Seq(qDedupExact, qDedupKey, qDedupNgram, qDedupMinhash, qDedupSimhash)
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal decode/feature-extract plumbing (driver-mandated E13
+  * extension): image/audio/video payloads as opaque `binary` columns
+  * with typed metadata, processed per-partition.
+  *
+  * The actual codec call is STUBBED (no image/audio libraries in this
+  * environment) behind [[FakeCodec]] — a deterministic stand-in that
+  * derives "decoded" properties from the bytes. Everything around it is
+  * the real Spark shape: binary column in, `mapPartitions` batch loop
+  * (the Scala analogue of `mapInPandas` — amortizes per-batch codec
+  * setup), typed case-class rows out, safe to run on 1000 executors.
+  */
+object Multimodal {
+
+  /** Deterministic FAKE decoder. Replace `decode` with a real codec
+    * (e.g. javax.imageio / ffmpeg bindings) in production — signature
+    * and batching stay identical.
+    */
+  object FakeCodec {
+    final case class Decoded(width: Int, height: Int, channels: Int, meanByte: Double)
+    def decode(payload: Array[Byte]): Decoded = {
+      // ??? — real codec goes here; deterministic fake below.
+      val n = payload.length
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += (payload(i) & 0xff); i += 1 }
+      Decoded(
+        width = 16 + (n % 241),
+        height = 16 + ((n * 31) % 181),
+        channels = 3,
+        meanByte = if (n == 0) 0.0 else sum.toDouble / n
+      )
+    }
+  }
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      channels: Int,
+      mean_byte: Double
+  )
+
+  /** Binary payload → per-item features via a per-partition batch loop.
+    * One codec "session" per partition, not per row — the pattern that
+    * matters when the codec has setup cost (model load, ffmpeg ctx).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init would happen here
+        it.map { case (id, payload) =>
+          val dec = FakeCodec.decode(payload)
+          MediaFeatures(id, payload.length, dec.width, dec.height, dec.channels, dec.meanByte)
+        }
+      }
+      .toDF()
+  }
+
+  /** Declared query (rows-only — the fake codec is not SQL semantics):
+    * documents.text bytes stand in for media payloads.
+    */
+  val qMmDecode = Q(
+    "q_mm_decode",
+    (s, d) => {
+      val media = Tables
+        .documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      extractFeatures(s, media).orderBy("doc_id")
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(qMmDecode)
+}

@@ -1,0 +1,583 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+import graft.cal.WorkingDays
+
+/** Relational operator coverage — SURVEY §2.C families E1-E9.
+  *
+  * Every double that reaches a hash-compared output is produced as
+  * `CAST(sum(CAST(x AS DECIMAL)) AS DOUBLE)` (exact, associative,
+  * partial-agg-order independent) or by a single deterministic IEEE op
+  * on such exact values; see Q's scaladoc.
+  */
+object Relational {
+  import Tables._
+
+  /** sum over an exact decimal view of a ~2-dp monetary double. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  // ---------------------------------------------------------------- E1
+  /** Filter/predicate — pushed to the parquet scan (PushedFilters). */
+  val qFilter = Q(
+    "q_filter",
+    (s, d) =>
+      lineitem(s, d)
+        .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+            ORDER BY l_orderkey, l_linenumber""")
+  )
+
+  // ---------------------------------------------------------------- E2
+  /** Broadcast hash join: part is a dimension (2k rows at sf0.01; still
+    * tiny at 100 TB fact scale) — explicit broadcast() avoids any shuffle
+    * of the fact side.
+    */
+  val qJoinBroadcast = Q(
+    "q_join_broadcast",
+    (s, d) =>
+      lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand"),
+    Some("""SELECT p_brand, count(*) AS cnt,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand""")
+  )
+
+  /** Big-big equi join: lineitem⋈orders — at scale this is a shuffle
+    * (sort-merge) join on the key; both sides partition by orderkey, AQE
+    * handles skew. Aggregation after the join keeps output bounded.
+    */
+  val qJoinSmj = Q(
+    "q_join_smj",
+    (s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("l_extendedprice")).as("sum_price")
+        )
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(*) AS cnt,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  /** Multi-way dimension join: customer⋈nation⋈region — both dims
+    * broadcast; zero shuffles on the customer side until the final agg.
+    */
+  val qJoinMulti = Q(
+    "q_join_multi",
+    (s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name, count(*) AS n_cust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name""")
+  )
+
+  /** Left-semi: orders having a heavy lineitem. */
+  val qSemi = Q(
+    "q_semi",
+    (s, d) =>
+      orders(s, d)
+        .join(
+          lineitem(s, d).where(col("l_quantity") > 45),
+          col("o_orderkey") === col("l_orderkey"),
+          "left_semi"
+        )
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_orderstatus FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+            ORDER BY o_orderkey""")
+  )
+
+  /** Left-anti: orders with no heavy lineitem. */
+  val qAnti = Q(
+    "q_anti",
+    (s, d) =>
+      orders(s, d)
+        .join(
+          lineitem(s, d).where(col("l_quantity") > 45),
+          col("o_orderkey") === col("l_orderkey"),
+          "left_anti"
+        )
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_orderstatus FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_orderkey = o.o_orderkey AND l_quantity > 45)
+            ORDER BY o_orderkey""")
+  )
+
+  /** Range (theta) self-join on events: same user, later event within
+    * 60 s. Equi key user_id + range predicate → Spark plans a shuffle on
+    * user_id with the band as a join filter; at 100 TB add a time-bucket
+    * blocking key ((ts div 60s) and join on bucket±1) to bound per-key
+    * fan-out — the equi-key form here is the correct first shape.
+    */
+  val qRangeJoin = Q(
+    "q_range_join",
+    (s, d) => {
+      val a = events(s, d).select(
+        col("user_id"),
+        col("event_id").as("a_id"),
+        col("ts").as("a_ts")
+      )
+      val b = events(s, d).select(
+        col("user_id").as("b_user"),
+        col("event_id").as("b_id"),
+        col("ts").as("b_ts")
+      )
+      a.join(
+          b,
+          col("user_id") === col("b_user") &&
+            col("a_id") < col("b_id") &&
+            col("b_ts") >= col("a_ts") &&
+            col("b_ts") < col("a_ts") + expr("INTERVAL 60 SECONDS")
+        )
+        .select("user_id", "a_id", "b_id")
+        .orderBy("user_id", "a_id", "b_id")
+    },
+    Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 60 SECOND
+            ORDER BY a.user_id, a_id, b_id""")
+  )
+
+  // ---------------------------------------------------------------- E3
+  /** TPC-H Q1 shape: hash aggregate with partial/map-side combine. The
+    * avg is sum_exact/count — one IEEE division on exact operands.
+    */
+  val qAggHash = Q(
+    "q_agg_hash",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(28, 6)))
+            .cast("double")
+            .as("sum_disc_price"),
+          count(lit(1)).as("cnt")
+        )
+        .withColumn("avg_qty", col("sum_qty") / col("cnt"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS cnt,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_qty
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  /** Exact distinct aggregation (expand+two-phase under the hood). */
+  val qAggDistinct = Q(
+    "q_agg_distinct",
+    (s, d) =>
+      lineitem(s, d)
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")
+        ),
+    Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps,
+                   count(*) AS n_rows
+            FROM lineitem""")
+  )
+
+  /** Rollup over region→nation; subtotal NULLs coalesced to 'ALL' so the
+    * sort keys are non-null (Spark and DuckDB disagree on default null
+    * ordering). Expressed through the SQL front-end: Spark 4.1's
+    * DetectAmbiguousSelfJoin mis-fires on Dataset-API rollup over
+    * aliased join outputs; SQL resolution has no dataset tags (and
+    * exercises the §2.B SQL surface).
+    */
+  val qRollup = Q(
+    "q_rollup",
+    (s, d) => {
+      customer(s, d).createOrReplaceTempView("customer_v")
+      nation(s, d).createOrReplaceTempView("nation_v")
+      region(s, d).createOrReplaceTempView("region_v")
+      s.sql("""SELECT coalesce(r_name, 'ALL') AS region,
+                      coalesce(n_name, 'ALL') AS nation,
+                      count(*) AS n_cust,
+                      CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal
+               FROM customer_v
+               JOIN nation_v ON c_nationkey = n_nationkey
+               JOIN region_v ON n_regionkey = r_regionkey
+               GROUP BY ROLLUP (r_name, n_name)
+               ORDER BY region, nation""")
+    },
+    Some("""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+                   count(*) AS n_cust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY region, nation""")
+  )
+
+  /** HLL sketch — the 100 TB path for distincts (constant memory per
+    * group vs expand+shuffle for exact). No SQL oracle: DuckDB's HLL
+    * differs; driver records a rows-only check (SURVEY §7.4).
+    */
+  val qApproxDistinct = Q(
+    "q_approx_distinct",
+    (s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type"),
+    None
+  )
+
+  // ---------------------------------------------------------------- E4
+  /** Top-3 orders per customer: rank windows with a total-order tiebreak. */
+  val qWindowRank = Q(
+    "q_window_rank",
+    (s, d) => {
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk")
+        .orderBy("o_custkey", "rn", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn,
+                     CAST(rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk
+              FROM orders) t
+            WHERE rn <= 3
+            ORDER BY o_custkey, rn, o_orderkey""")
+  )
+
+  /** Running sum per user — decimal accumulator: DuckDB's segment-tree
+    * window sum adds in a different order than Spark's running frame, so
+    * double accumulation would drift; decimal is exact in both.
+    */
+  val qWindowRunning = Q(
+    "q_window_running",
+    (s, d) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("running_value", sum(col("value").cast(DecimalType(28, 2))).over(w).cast("double"))
+        .select("user_id", "event_id", "value", "running_value")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id, value,
+                   CAST(sum(CAST(value AS DECIMAL(28,2)))
+                        OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+            FROM events
+            ORDER BY user_id, event_id""")
+  )
+
+  /** lag/lead per user over event time. */
+  val qWindowLag = Q(
+    "q_window_lag",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .select("user_id", "event_id", "value", "prev_value", "next_value")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id, value,
+                   lag(value)  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value,
+                   lead(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_value
+            FROM events
+            ORDER BY user_id, event_id""")
+  )
+
+  // ---------------------------------------------------------------- E5
+  /** Global top-k with total-order tiebreak — Spark plans
+    * TakeOrderedAndProject (per-partition heap + driver merge, no full
+    * sort; exactly what you want at 100 TB).
+    */
+  val qTopk = Q(
+    "q_topk",
+    (s, d) =>
+      lineitem(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+            LIMIT 10""")
+  )
+
+  // ---------------------------------------------------------------- E6
+  val qUnion = Q(
+    "q_union",
+    (s, d) => {
+      val c = customer(s, d)
+      c.where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .union(c.where(col("c_acctbal") > 8000).select("c_custkey"))
+        .distinct()
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+            ORDER BY c_custkey""")
+  )
+
+  val qIntersect = Q(
+    "q_intersect",
+    (s, d) => {
+      val c = customer(s, d)
+      c.where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .intersect(c.where(col("c_acctbal") > 8000).select("c_custkey"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+            ORDER BY c_custkey""")
+  )
+
+  val qExcept = Q(
+    "q_except",
+    (s, d) => {
+      val c = customer(s, d)
+      c.where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .except(c.where(col("c_acctbal") > 8000).select("c_custkey"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+            ORDER BY c_custkey""")
+  )
+
+  // ---------------------------------------------------------------- E7
+  val qScalarString = Q(
+    "q_scalar_string",
+    (s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          substring(col("p_type"), 1, 5).as("type_prefix"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+          regexp_extract(col("p_name"), "(\\w+)$", 1).as("last_word"),
+          length(col("p_name")).as("name_len")
+        )
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, upper(p_name) AS name_upper,
+                   substring(p_type, 1, 5) AS type_prefix,
+                   p_brand || '#' || p_type AS brand_type,
+                   regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+                   CAST(length(p_name) AS INTEGER) AS name_len
+            FROM part ORDER BY p_partkey""")
+  )
+
+  /** Math scalars — only IEEE-exact ops (abs/floor/ceil/sqrt/mod) so both
+    * engines produce identical bits; no libm transcendentals.
+    */
+  val qScalarMath = Q(
+    "q_scalar_math",
+    (s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          abs(-col("p_retailprice")).as("abs_price"),
+          floor(col("p_retailprice")).as("floor_price"),
+          ceil(col("p_retailprice")).as("ceil_price"),
+          sqrt(col("p_retailprice")).as("sqrt_price"),
+          pmod(col("p_size"), lit(7)).as("size_mod7")
+        )
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, abs(-p_retailprice) AS abs_price,
+                   CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+                   CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+                   sqrt(p_retailprice) AS sqrt_price,
+                   p_size % 7 AS size_mod7
+            FROM part ORDER BY p_partkey""")
+  )
+
+  val qScalarJson = Q(
+    "q_scalar_json",
+    (s, d) =>
+      events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val")
+        )
+        .orderBy("event_id"),
+    Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+            FROM events ORDER BY event_id""")
+  )
+
+  val qScalarArray = Q(
+    "q_scalar_array",
+    (s, d) =>
+      embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          element_at(col("embedding"), 64).cast("double").as("last_val")
+        )
+        .orderBy("vec_id"),
+    Some("""SELECT vec_id, len(embedding) AS dim,
+                   CAST(embedding[1] AS DOUBLE) AS first_val,
+                   CAST(embedding[64] AS DOUBLE) AS last_val
+            FROM embeddings ORDER BY vec_id""")
+  )
+
+  val qScalarDate = Q(
+    "q_scalar_date",
+    (s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year"),
+          month(col("o_orderdate")).as("o_month"),
+          dayofmonth(col("o_orderdate")).as("o_day"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"),
+          last_day(col("o_orderdate")).as("month_end")
+        )
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(month(o_orderdate) AS INTEGER) AS o_month,
+                   CAST(day(o_orderdate) AS INTEGER) AS o_day,
+                   CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+                   last_day(CAST(o_orderdate AS DATE)) AS month_end
+            FROM orders ORDER BY o_orderkey""")
+  )
+
+  // ---------------------------------------------------------------- E8
+  /** Reference op-20 closed form as native columns (see WorkingDays):
+    * the oracle replicates the same arithmetic in DuckDB SQL.
+    */
+  private val duckNth20 =
+    """(d20.first + INTERVAL (21 +
+         CASE WHEN (isodow(d20.first)-1) = 5 THEN 2
+              WHEN (isodow(d20.first)-1) = 6 THEN 1 ELSE 0 END +
+         4 + CASE WHEN 4 > 5 - (CASE WHEN (isodow(d20.first)-1) >= 5 THEN 0
+                                     ELSE (isodow(d20.first)-1) END)
+                  THEN 2 ELSE 0 END) DAY)"""
+
+  val qNthWorkingDay = Q(
+    "q_nth_working_day",
+    (s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          WorkingDays
+            .nthWorkingDayCol(col("o_orderdate").cast("date"), 20)
+            .as("pub_day")
+        )
+        .orderBy("o_orderkey"),
+    Some(s"""SELECT o_orderkey, CAST($duckNth20 AS DATE) AS pub_day
+             FROM (SELECT o_orderkey,
+                          date_trunc('month', CAST(o_orderdate AS DATE)) AS first
+                   FROM orders) d20
+             ORDER BY o_orderkey""")
+  )
+
+  /** Reference op-22: publish date for a given "current" date. */
+  val qPublishDate = Q(
+    "q_publish_date",
+    (s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          WorkingDays.toPublishDateCol(col("o_orderdate").cast("date")).as("publish_date")
+        )
+        .orderBy("o_orderkey"),
+    Some(s"""WITH base AS (
+               SELECT o_orderkey, CAST(o_orderdate AS DATE) AS cur,
+                      date_trunc('month', CAST(o_orderdate AS DATE)) AS cur_first,
+                      date_trunc('month', CAST(o_orderdate AS DATE)) - INTERVAL 1 MONTH AS prev_first
+               FROM orders),
+             this_m AS (
+               SELECT o_orderkey, cur, CAST($duckNth20 AS DATE) AS nth20
+               FROM (SELECT o_orderkey, cur, cur_first AS first FROM base) d20),
+             prev_m AS (
+               SELECT o_orderkey, CAST($duckNth20 AS DATE) AS nth20_prev
+               FROM (SELECT o_orderkey, prev_first AS first FROM base) d20)
+             SELECT t.o_orderkey AS o_orderkey,
+                    CASE WHEN day(t.cur) < day(t.nth20) THEN p.nth20_prev ELSE t.nth20 END AS publish_date
+             FROM this_m t JOIN prev_m p ON t.o_orderkey = p.o_orderkey
+             ORDER BY t.o_orderkey""")
+  )
+
+  // ---------------------------------------------------------------- E9
+  /** Reference ops 7+8 over events: max(ts) floored to date. */
+  val qAutoDate = Q(
+    "q_auto_date",
+    (s, d) =>
+      events(s, d).agg(max(col("ts")).cast("date").as("auto_date")),
+    Some("SELECT CAST(max(ts) AS DATE) AS auto_date FROM events")
+  )
+
+  /** Reference op-13 analogue: per-run stats in one aggregate pass. */
+  val qMetaStats = Q(
+    "q_meta_stats",
+    (s, d) =>
+      events(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"),
+        sum(length(col("props"))).as("props_chars")
+      ),
+    Some("""SELECT count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts,
+                   CAST(sum(length(props)) AS BIGINT) AS props_chars
+            FROM events""")
+  )
+
+  val all: Seq[Q] = Seq(
+    qFilter,
+    qJoinBroadcast, qJoinSmj, qJoinMulti, qSemi, qAnti, qRangeJoin,
+    qAggHash, qAggDistinct, qRollup, qApproxDistinct,
+    qWindowRank, qWindowRunning, qWindowLag,
+    qTopk,
+    qUnion, qIntersect, qExcept,
+    qScalarString, qScalarMath, qScalarJson, qScalarArray, qScalarDate,
+    qNthWorkingDay, qPublishDate,
+    qAutoDate, qMetaStats
+  )
+}

@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search + multimodal columns (SURVEY §2.C E11/E13).
+  *
+  * Vector math is built from native higher-order functions
+  * (`zip_with` + `aggregate`) over `array<double>` — codegen'd, no UDF.
+  * Accumulation is a sequential left fold in index order, which both
+  * Spark and DuckDB use, so doubles match bitwise; thresholds are chosen
+  * ≥ 5·10⁻⁴ away from any data point (verified against the corpus).
+  *
+  * Scale paths: brute-force kNN is the correctness baseline; the IVF
+  * variant is the 100 TB shape (assign once per vector — one broadcast
+  * join against K centroids — then search only the probed cluster,
+  * cutting compared vectors by ~K×). For web-scale, swap centroids for
+  * a trained codebook; the dataflow is identical.
+  */
+object Similarity {
+  import Tables._
+
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dotCol(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** DuckDB-side cosine between a DOUBLE[] column expr and another. Same
+    * fold shape: list comprehension products → list_sum → one division.
+    */
+  private def duckCos(a: String, b: String): String =
+    s"""(list_sum([$a[i] * $b[i] for i in range(1, 65)]) /
+        (sqrt(list_sum([$a[i] * $a[i] for i in range(1, 65)])) *
+         sqrt(list_sum([$b[i] * $b[i] for i in range(1, 65)]))))"""
+
+  /** Brute-force top-10 cosine neighbors of vector 0 — the exact
+    * baseline every ANN variant is measured against.
+    */
+  val qKnnCosine = Q(
+    "q_knn_cosine",
+    (s, d) => {
+      val emb = embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("v")
+      )
+      val q = emb.where(col("vec_id") === 0).select("v").head().getSeq[Double](0)
+      val qv = typedLit(q)
+      emb
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(cosine(col("v"), qv), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some(s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+             SELECT vec_id, round(${duckCos("v", "qv")}, 6) AS cos_sim
+             FROM e, q
+             ORDER BY cos_sim DESC, vec_id ASC
+             LIMIT 10""")
+  )
+
+  /** Embedding near-duplicate pairs: cosine above a threshold chosen
+    * ≥ 5·10⁻⁴ clear of every pair in the corpus (membership can never
+    * flip on float noise). Output is ids only — exact, integer-sorted.
+    * 100 TB path: replace the self-join with LSH bucketing (random
+    * hyperplane signatures) and join per bucket, same verify step.
+    */
+  val qCosineNear = Q(
+    "q_cosine_near",
+    (s, d) => {
+      val emb = embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("v")
+      )
+      emb
+        .as("x")
+        .join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .where(cosine(col("x.v"), col("y.v")) >= 0.45)
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .orderBy("a_id", "b_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE ${duckCos("a.v", "b.v")} >= 0.45
+             ORDER BY a_id, b_id""")
+  )
+
+  /** IVF-style ANN: vectors are assigned to the nearest of K=8 fixed
+    * centroids (vec_id < 8 — a deterministic stand-in for a trained
+    * codebook), the query probes only its own cluster, exact top-5
+    * inside it. One broadcast join for assignment; no all-pairs work.
+    */
+  val qAnnIvf = Q(
+    "q_ann_ivf",
+    (s, d) => {
+      val emb = embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("v")
+      )
+      val cents = emb.where(col("vec_id") < 8).select(
+        col("vec_id").as("cid"),
+        col("v").as("cv")
+      )
+      val sqdist = aggregate(
+        zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+      val assign = emb
+        .join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("v"), col("cid"), sqdist.as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val qCluster = assign.where(col("vec_id") === 0).select(
+        col("cid").as("qcid"),
+        col("v").as("qv")
+      )
+      assign
+        .join(broadcast(qCluster), col("cid") === col("qcid"))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             dists AS (
+               SELECT e.vec_id, e.v, c.cid,
+                      list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) for i in range(1,65)]) AS dist
+               FROM e, c),
+             assign AS (
+               SELECT vec_id, v, cid FROM (
+                 SELECT vec_id, v, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+                 FROM dists) t WHERE rn = 1),
+             qc AS (SELECT cid AS qcid, v AS qv FROM assign WHERE vec_id = 0)
+             SELECT a.vec_id, round(${duckCos("a.v", "qv")}, 6) AS cos_sim
+             FROM assign a, qc
+             WHERE a.cid = qc.qcid AND a.vec_id <> 0
+             ORDER BY cos_sim DESC, vec_id ASC
+             LIMIT 5""")
+  )
+
+  /** Multimodal columns are first-class: text + array<float> + typed
+    * metadata flow through join/filter/project with no custom type.
+    */
+  val qMultimodalJoin = Q(
+    "q_multimodal_join",
+    (s, d) =>
+      documents(s, d)
+        .join(embeddings(s, d), col("doc_id") === col("vec_id"))
+        .where(col("n_chars") > 100)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("n_chars"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("e_first"),
+          col("label")
+        )
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, n_chars,
+                   CAST(len(embedding) AS INTEGER) AS dim,
+                   CAST(embedding[1] AS DOUBLE) AS e_first,
+                   label
+            FROM documents JOIN embeddings ON doc_id = vec_id
+            WHERE n_chars > 100
+            ORDER BY doc_id""")
+  )
+
+  /** Opaque-binary plumbing: content as `binary` + byte length + sha256
+    * content address — the schema shape image/audio payloads use.
+    */
+  val qMultimodalMeta = Q(
+    "q_multimodal_meta",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          col("text").cast("binary").as("payload"),
+          col("source")
+        )
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("sha"),
+          col("source")
+        )
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+                   sha256(text) AS sha, source
+            FROM documents ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] =
+    Seq(qKnnCosine, qCosineNear, qAnnIvf, qMultimodalJoin, qMultimodalMeta)
+}

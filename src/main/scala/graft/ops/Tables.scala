@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's testdata tables (TESTDATA.md / FIXTURES.md F4).
+  *
+  * Scale note: plain parquet scans — Catalyst pushes filters and prunes
+  * columns into these (verify via `.explain`: `PushedFilters`,
+  * `ReadSchema`). On a real cluster the same code reads from object
+  * storage; nothing here assumes local disk.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String) = t(s, d, "region")
+  def nation(s: SparkSession, d: String) = t(s, d, "nation")
+  def customer(s: SparkSession, d: String) = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String) = t(s, d, "supplier")
+  def part(s: SparkSession, d: String) = t(s, d, "part")
+  def orders(s: SparkSession, d: String) = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String) = t(s, d, "lineitem")
+
+  /** events.ts is physically TIMESTAMP(NANOS) — Spark has no nanos
+    * timestamp, so sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    * and the loader floors to micros (exactly DuckDB's behavior when it
+    * reads the same file into its micros TIMESTAMP).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = t(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String) = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
+}
+
+/** One declared engine query: the Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) the DuckDB oracle the driver
+  * hash-compares against at sf0.01.
+  *
+  * Determinism discipline (SURVEY §2.C): every query ends in a total-order
+  * `orderBy` over its output; double outputs are derived from EXACT
+  * quantities (decimal-cast sums, integer counts) by at most one final
+  * IEEE operation, so Spark's partial-aggregation order can never change
+  * a bit. No transcendentals in hash-compared columns.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String]
+)
