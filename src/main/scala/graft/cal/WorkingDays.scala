@@ -57,38 +57,47 @@ object WorkingDays {
     res
   }
 
-  /** Days from the 1st (weekday w, Mon=0) to the quirky nth working day. */
+  /** Days from the 1st (weekday w, Mon=0..Sun=6) to the quirky nth
+    * working day: the smallest k with exactly (nth-1) weekdays in the
+    * half-open [month-start, month-start + k).
+    */
   private def offsetDays(w: Int, nth: Int): Int = {
-    val m = nth - 1       // weekdays to pass
-    val f = m / 5         // full weeks
-    val r = m % 5
-    if (r == 0) 7 * f
-    else {
-      val skip = if (w == 5) 2 else if (w == 6) 1 else 0 // hop a leading weekend
-      val wp = if (w >= 5) 0 else w
-      val extra = r + (if (r > 5 - wp) 2 else 0)         // cross a mid-window weekend
-      7 * f + skip + extra
+    val m = nth - 1 // weekdays that must elapse before the result
+    if (m == 0) 0
+    else if (w <= 4) {
+      val lead = 5 - w // weekdays remaining in the first partial week
+      if (m <= lead) m
+      else {
+        val mp = m - lead // weekdays beyond the first partial week
+        (7 - w) + 7 * ((mp - 1) / 5) + ((mp - 1) % 5) + 1
+      }
+    } else {
+      val skip = 7 - w // leading weekend: Sat→2, Sun→1 days to Monday
+      skip + 7 * ((m - 1) / 5) + ((m - 1) % 5) + 1
     }
   }
 
   /** op-20 as a native Column over a DATE column (fixed literal nth).
-    * Same closed form in builtin expressions only — codegen-fused.
+    * Builtin expressions only — codegen-fused, no UDF in the hot path.
     */
   def nthWorkingDayCol(d: Column, nth: Int): Column =
     nthWorkingDayColFrom(trunc(d, "month"), nth)
 
-  /** Internal: nth working day given the month-start column. */
+  /** Internal: nth working day given the month-start column. `nth` is a
+    * literal, so the per-weekday offset is PRECOMPUTED with the same
+    * Scala closed form ([[offsetDays]]) and emitted as a 7-way CASE on
+    * weekday(first) — the Column form is identical to the Scala form by
+    * construction.
+    */
   private def nthWorkingDayColFrom(first: Column, nth: Int): Column = {
-    val m = nth - 1
-    val f = m / 5
-    val r = m % 5
-    if (r == 0) date_add(first, 7 * f)
+    val offs = (0 to 6).map(offsetDays(_, nth))
+    if (offs.distinct.size == 1) date_add(first, offs.head)
     else {
       val w = weekdayCol(first) // Mon=0..Sun=6
-      val skip = when(w === 5, 2).when(w === 6, 1).otherwise(0)
-      val wp = when(w >= 5, 0).otherwise(w)
-      val extra = lit(r) + when(lit(r) > lit(5) - wp, 2).otherwise(0)
-      date_add(first, lit(7 * f) + skip + extra)
+      val k = (0 to 5).foldRight(lit(offs(6)): Column) { (wv, acc) =>
+        when(w === wv, offs(wv)).otherwise(acc)
+      }
+      date_add(first, k)
     }
   }
 

@@ -91,10 +91,14 @@ object Ingest {
     * second job over typed data.
     */
   def assertDates(raw: DataFrame): Unit = {
+    // try_to_timestamp (not to_timestamp): under Spark's default ANSI mode
+    // a malformed value would throw inside the scan with a generic error;
+    // try_ yields null so we can abort with the offending value, matching
+    // the reference's informative raise.
     val bad = raw
       .where(
         col("transaction_date").isNotNull &&
-          to_timestamp(col("transaction_date"), PPComplete.dateTimeFormat).isNull
+          try_to_timestamp(col("transaction_date"), lit(PPComplete.dateTimeFormat)).isNull
       )
       .limit(1)
       .collect()
@@ -133,18 +137,26 @@ object Ingest {
       // the write job — no second scan (reference computes the running max
       // while uploading, `main.py:228-230`).
       val wr0 = System.nanoTime()
+      // Observation (not raw observe + queryExecution.observedMetrics: the
+      // write command runs its own QueryExecution, so the DataFrame's QE
+      // would never see the metrics — Observation registers a listener).
+      val obs = org.apache.spark.sql.Observation("ingest_stats")
       val observed = data.observe(
-        "ingest_stats",
+        obs,
         max(col("transaction_date")).as("max_ts"),
         count(lit(1)).as("n_rows")
       )
       observed.write.mode("overwrite").parquet(outDir)
       val wrUs = (System.nanoTime() - wr0) / 1000
 
-      val stats: Row = observed.queryExecution.observedMetrics("ingest_stats")
-      val maxTs = Option(stats.getAs[Timestamp]("max_ts"))
-      val nRows = stats.getAs[Long]("n_rows")
-      val autoDate = maxTs.map(ts => new Date(ts.getTime)) // op-8 floor-to-date (UTC session)
+      val stats = obs.get
+      val maxTs = Option(stats("max_ts").asInstanceOf[Timestamp])
+      val nRows = stats("n_rows").asInstanceOf[Long]
+      // op-8 floor-to-date, explicitly in UTC (new Date(millis) would keep
+      // the time-of-day and break date equality).
+      val autoDate = maxTs.map(ts =>
+        Date.valueOf(ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate)
+      )
 
       val end = new Timestamp(System.currentTimeMillis())
       val meta = RunMeta(

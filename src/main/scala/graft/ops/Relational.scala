@@ -455,7 +455,7 @@ object Relational {
       embeddings(s, d)
         .select(
           col("vec_id"),
-          size(col("embedding")).as("dim"),
+          size(col("embedding")).cast("long").as("dim"),
           element_at(col("embedding"), 1).cast("double").as("first_val"),
           element_at(col("embedding"), 64).cast("double").as("last_val")
         )

@@ -1,0 +1,96 @@
+package graft.ingest
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Reference-semantics specs for the ingest pipeline — SURVEY §5.2
+  * items 1, 3: NULL/empty discipline (§1.5), strict-datetime abort
+  * (§1.6), and the full run (ops 1-16) end-to-end over file://.
+  */
+class IngestSpec extends SparkSpec {
+
+  private def writeCsv(rows: String*): String = {
+    val f = Files.createTempFile("ingest-spec-", ".csv")
+    Files.writeString(f, rows.mkString("\n"))
+    f.toString
+  }
+
+  // A valid quoted row builder: 16 fields, positions per PPComplete.columns.
+  private def row(
+      id: String,
+      date: String = "2024-02-01 02:58",
+      postcode: String = "AB1 2CD",
+      ppdCat: String = "\"A\""
+  ): String =
+    Seq(
+      "\"" + id + "\"", "\"100000\"", "\"" + date + "\"", "\"" + postcode + "\"",
+      "\"D\"", "\"Y\"", "\"F\"", "\"1\"", "\"\"", "\"HIGH ST\"", "\"\"",
+      "\"LONDON\"", "\"LONDON\"", "\"LONDON\"", ppdCat, "\"A\""
+    ).mkString(",")
+
+  test("§1.5: quoted-empty stays '' and \\N token is the only NULL") {
+    val p = writeCsv(
+      row("{1}", postcode = ""),     // quoted empty postcode → ''
+      row("{2}", ppdCat = "\\N")     // \N unquoted → SQL NULL
+    )
+    val df = Ingest.readRaw(spark, p)
+    val rows = df.orderBy("transaction_unique_id").collect()
+    assert(rows(0).getAs[String]("postcode") == "")      // NOT null
+    assert(rows(1).getAs[String]("ppd_cat") == null)     // token → NULL
+    assert(rows(0).getAs[String]("secondary_address_object_name") == "")
+  }
+
+  test("§1.6: strict format — malformed transaction_date aborts the run") {
+    val p = writeCsv(row("{1}"), row("{2}", date = "01/02/2024 02:58"))
+    assertThrows[IllegalArgumentException] {
+      Ingest.assertDates(Ingest.readRaw(spark, p))
+    }
+  }
+
+  test("§1.6: well-formed dates pass the assert and type to UTC micros") {
+    val p = writeCsv(row("{1}", date = "2024-02-01 02:58"))
+    val raw = Ingest.readRaw(spark, p)
+    Ingest.assertDates(raw) // must not throw
+    val ts = Ingest.typed(raw).select("transaction_date").head.getTimestamp(0)
+    // session TZ is UTC: epoch of 2024-02-01T02:58Z
+    assert(ts.toInstant == java.time.Instant.parse("2024-02-01T02:58:00Z"))
+  }
+
+  test("ops 1-16 end-to-end: run over file:// fixture writes data + meta") {
+    val out = Files.createTempDirectory("ingest-out-").toString
+    val meta = Files.createTempDirectory("ingest-meta-").toString
+    val url = "file://" + IngestSpecFixture.path
+    val r = Ingest.run(spark, url, out, meta)
+
+    assert(r.rowCount == 200)
+    // auto_date == max(transaction_date) floored to date, via re-read
+    val expected = spark.read
+      .parquet(out)
+      .agg(max(col("transaction_date")).cast("date"))
+      .head
+      .getDate(0)
+    assert(r.autoDate.contains(expected))
+    // op-12: exactly one provenance row, with the same auto_date
+    val m = spark.read.parquet(meta)
+    assert(m.count() == 1)
+    assert(m.select("auto_date").head.getDate(0) == expected)
+    // op-11 full refresh: a second run overwrites, not appends, data...
+    val r2 = Ingest.run(spark, url, out, meta)
+    assert(spark.read.parquet(out).count() == 200 && r2.rowCount == 200)
+    // ...while metadata appends one row per run
+    assert(spark.read.parquet(meta).count() == 2)
+  }
+
+  test("op-2 retry: unreachable URL exhausts retries then raises") {
+    val t0 = System.nanoTime()
+    assertThrows[Throwable] {
+      Ingest.fetchToLocal("file:///nonexistent/nope.csv", maxRetries = 2, sleepMs = 10)
+    }
+    assert((System.nanoTime() - t0) / 1e6 >= 10) // slept between attempts
+  }
+}
+
+object IngestSpecFixture {
+  val path = "/root/repo/src/test/resources/pp_complete.csv"
+}
