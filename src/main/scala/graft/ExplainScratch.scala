@@ -1,0 +1,15 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ExplainScratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.1").explain("formatted")
+    spark.stop()
+  }
+}

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles as a native codegen expression.
+  *
+  * Replaces the `transform(sequence(...), i -> concat_ws(element_at…))`
+  * higher-order formulation: HOFs are CodegenFallback, so that version
+  * interpreted ~150 boxed sub-expressions per document — and Spark
+  * re-evaluates the expression in every Filter/Project that references
+  * it (~6× per doc across a self-join). This one is a single compiled
+  * call inside whole-stage codegen.
+  *
+  * Semantics (bit-identical to the old column and the DuckDB oracle):
+  * split on single space keeping empties, windows of n consecutive
+  * words joined by one space, distinct keeping FIRST occurrence order,
+  * empty array when the text has fewer than n words.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.shingles(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object ShingleUtil {
+  /** Static entry called from generated Java. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    // String.split(" ", -1) == Spark's split(text, " "): regex split on a
+    // literal space, trailing empties kept.
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]((words.length - n + 1) * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}

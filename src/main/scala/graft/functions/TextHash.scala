@@ -12,21 +12,14 @@ import org.apache.spark.sql.{Encoder, Encoders}
 object TextHash {
 
   /** Word n-gram shingles of a text column as a distinct string array.
-    * Native higher-order functions only (codegen'd, no UDF): at 100 TB
-    * this runs inside the scan stage.
+    * Custom codegen expression ([[WordShingles]]) — runs inside the scan
+    * stage's whole-stage codegen; at 100 TB this is the map side of
+    * every dedup shuffle.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = split(text, " ")
-    when(
-      size(w) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)
-        )
-      )
-    ).otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      WordShingles(org.apache.spark.sql.graft.ColumnBridge.expression(text), n)
+    )
 
   /** MinHash signature column i: min over exploded shingles of a seeded
     * 64-bit hash. Seeding via an extra lit column re-keys xxhash64 —

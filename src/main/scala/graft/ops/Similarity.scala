@@ -6,11 +6,13 @@ import org.apache.spark.sql.expressions.Window
 
 /** Similarity search + multimodal columns (SURVEY §2.C E11/E13).
   *
-  * Vector math is built from native higher-order functions
-  * (`zip_with` + `aggregate`) over `array<double>` — codegen'd, no UDF.
-  * Accumulation is a sequential left fold in index order, which both
-  * Spark and DuckDB use, so doubles match bitwise; thresholds are chosen
-  * ≥ 5·10⁻⁴ away from any data point (verified against the corpus).
+  * Vector math uses the custom codegen expressions in
+  * [[graft.functions.VectorExprs]] (Spark's own `zip_with`/`aggregate`
+  * are CodegenFallback — interpreted boxed lambdas, ~20× slower on the
+  * all-pairs join). Accumulation is the same sequential left fold in
+  * index order that DuckDB's `list_sum` uses, so doubles match bitwise;
+  * thresholds are chosen ≥ 5·10⁻⁴ away from any data point (verified
+  * against the corpus).
   *
   * Scale paths: brute-force kNN is the correctness baseline; the IVF
   * variant is the 100 TB shape (assign once per vector — one broadcast
@@ -20,15 +22,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
   import Tables._
+  import graft.functions.VectorExprs.{dot, sqDist}
 
-  private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  private def norm2(a: Column): Column = dot(a, a)
 
   private def cosine(a: Column, b: Column): Column =
-    dotCol(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** DuckDB-side cosine between a DOUBLE[] column expr and another. Same
     * fold shape: list comprehension products → list_sum → one division.
@@ -73,14 +72,20 @@ object Similarity {
   val qCosineNear = Q(
     "q_cosine_near",
     (s, d) => {
+      // Norms are computed ONCE per vector before the join (2 000 sqrts),
+      // not once per pair (2 000 000): per-pair work is a single codegen'd
+      // dot + one divide + compare. sqrt(n2a)*sqrt(n2b) here is bitwise
+      // the same product the per-pair formula produced; output is ids
+      // only, and the 0.45 threshold is ≥ 5·10⁻⁴ from every pair.
       val emb = embeddings(s, d).select(
         col("vec_id"),
         col("embedding").cast("array<double>").as("v")
       )
-      emb
+      val withNorm = emb.select(col("vec_id"), col("v"), sqrt(norm2(col("v"))).as("nrm"))
+      withNorm
         .as("x")
-        .join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
-        .where(cosine(col("x.v"), col("y.v")) >= 0.45)
+        .join(withNorm.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .where(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) >= 0.45)
         .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
         .orderBy("a_id", "b_id")
     },
@@ -107,11 +112,7 @@ object Similarity {
         col("vec_id").as("cid"),
         col("v").as("cv")
       )
-      val sqdist = aggregate(
-        zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
+      val sqdist = sqDist(col("v"), col("cv"))
       val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
       val assign = emb
         .join(broadcast(cents), lit(true))
