@@ -15,7 +15,8 @@ object SparkEntry {
   /** All declared queries, by family (SURVEY §2.A ops + §2.C E1-E13). */
   private val declared: Seq[Q] =
     Relational.all ++ IngestQueries.all ++ Dedup.all ++ TextOps.all ++
-      Similarity.all ++ Multimodal.all :+ AutoDateAgg.qAutoDateAgg
+      Similarity.all ++ Multimodal.all ++
+      Seq(AutoDateAgg.qAutoDateAgg, graft.streaming.Replay.qStreamWindow)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's own pipeline shape — ingest the pp-complete fixture,

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** E14 self-verification (SURVEY §2.C: streaming output equals its batch
+  * equivalent on the same data — the reference-free correctness anchor
+  * for the non-t2 streaming surface).
+  */
+class ReplaySpec extends SparkSpec {
+
+  /** Split sf0.001 events (raw nanos schema) into `slices` time-ordered
+    * parquet files in a fresh dir, so maxFilesPerTrigger=1 replays them
+    * as chronological micro-batches. Returns the dir.
+    */
+  private def sliceEvents(slices: Int, sentinel: Boolean): String = {
+    val dir = Files.createTempDirectory("events-replay-")
+    val raw = spark.read.schema(Replay.rawSchema)
+      .parquet(s"$sf0001/events.parquet")
+    val rows = raw.collect().sortBy(_.getLong(1)) // by ts nanos
+    val per = math.ceil(rows.length.toDouble / slices).toInt
+    val groups = rows.grouped(per).toSeq
+    def writeSlice(rs: Seq[org.apache.spark.sql.Row], idx: Int): Unit = {
+      val tmp = Files.createTempDirectory("slice-")
+      spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rs).asJava),
+        Replay.rawSchema
+      ).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+      val dest = dir.resolve(f"$idx%02d.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + idx * 60000L))
+    }
+    groups.zipWithIndex.foreach { case (g, i) => writeSlice(g, i) }
+    if (sentinel) {
+      // One far-future event of user -1: advances the watermark past every
+      // real session so event-time timeouts flush them all.
+      val maxTs = rows.map(_.getLong(1)).max
+      val row = org.apache.spark.sql.Row(
+        -1L, maxTs + 10L * 86400 * 1000000000L, -1L, "sentinel", 0.0, "{}"
+      )
+      writeSlice(Seq(row), groups.size)
+    }
+    dir.toString
+  }
+
+  private def batchEvents(dir: String): DataFrame =
+    spark.read.schema(Replay.rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  test("windowed counts: streamed replay == batch aggregation") {
+    val dir = sliceEvents(4, sentinel = false)
+    val streamed = Replay.replayWindowedCounts(spark, dir, "replay_spec_counts")
+      .orderBy("window_start", "event_type").collect()
+    val batch = Replay.windowedCounts(batchEvents(dir))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("sessionize: streamed flatMapGroupsWithState == batch lag-gap sessions") {
+    val dir = sliceEvents(4, sentinel = true)
+    val emitted = Replay.replaySessions(spark, dir)
+      .filter(_.user_id != -1L)
+      .sortBy(s => (s.user_id, s.session_start.getTime))
+    val expected = Replay.sessionizeBatch(batchEvents(dir).where(col("user_id") =!= -1L))
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => Replay.Session(r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getInt(3)))
+      .toSeq
+    assert(emitted.nonEmpty)
+    assert(emitted == expected)
+  }
+
+  test("q_stream_window declared query runs on the plain sf dir") {
+    val n = Replay.qStreamWindow.fn(spark, sf0001).count()
+    assert(n > 0)
+  }
+}
