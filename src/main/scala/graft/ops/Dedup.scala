@@ -89,9 +89,12 @@ object Dedup {
             WHERE rn = 1 ORDER BY user_id, event_type""")
   )
 
-  /** Exploded (doc_id, shingle) pairs + per-doc set size. */
+  /** Exploded (doc_id, shingle) pairs + per-doc set size. fanOut before
+    * shingling: the single-split scan would otherwise shingle+explode+
+    * probe the whole corpus on one task (see Tables.fanOut).
+    */
   private def exploded(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val sh = documents(s, d)
+    val sh = fanOut(documents(s, d))
       .select(col("doc_id"), TextHash.shingles(col("text"), SHINGLE_N).as("sh"))
       .where(size(col("sh")) > 0)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
@@ -130,8 +133,14 @@ object Dedup {
     "q_dedup_ngram",
     (s, d) => {
       val (ex, sizes) = exploded(s, d)
+      // shuffle_hash, NOT broadcast: the exploded shingle set grows with
+      // the corpus — Spark's size estimate happily broadcasts it at test
+      // scale, which is exactly the plan that dies at 100 TB. A shuffle
+      // join on the shingle key is the scale-correct shape (and
+      // parallelizes the build side too).
       val shared = ex
         .as("x")
+        .hint("shuffle_hash")
         .join(ex.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .agg(count(lit(1)).as("shared"))
@@ -169,8 +178,11 @@ object Dedup {
       val banded = sigs
         .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      // shuffle_hash: banded signatures grow with the corpus (see
+      // q_dedup_ngram note) — never broadcast them.
       val cands = banded
         .as("x")
+        .hint("shuffle_hash")
         .join(
           banded.as("y"),
           col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -209,8 +221,11 @@ object Dedup {
         ).as("bk")
       )
       val flat = blocks.select(col("doc_id"), col("sig"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+      // shuffle_hash: per-doc block keys grow with the corpus — never
+      // broadcast (see q_dedup_ngram note).
       val cands = flat
         .as("x")
+        .hint("shuffle_hash")
         .join(
           flat.as("y"),
           col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&

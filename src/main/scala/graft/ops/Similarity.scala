@@ -82,7 +82,9 @@ object Similarity {
         col("embedding").cast("array<double>").as("v")
       )
       val withNorm = emb.select(col("vec_id"), col("v"), sqrt(norm2(col("v"))).as("nrm"))
-      withNorm
+      // fanOut the streamed side: the scan is one split, and the 2M-pair
+      // probe must not run on one task (see Tables.fanOut).
+      fanOut(withNorm)
         .as("x")
         .join(withNorm.as("y"), col("x.vec_id") < col("y.vec_id"))
         .where(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) >= 0.45)

@@ -35,6 +35,18 @@ object Tables {
   }
   def documents(s: SparkSession, d: String) = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
+
+  /** Re-parallelize a small-file scan before compute-heavy per-row work.
+    * The local testdata files are single-row-group parquet — one split,
+    * so the scan stage is ONE task no matter what maxPartitionBytes
+    * says; without this, an all-pairs join or shingle explode runs
+    * single-threaded on a 32-core session. On a real cluster the input
+    * arrives in many splits and the same round-robin exchange is a
+    * cheap rebalance of a dimension-sized input. Use only where per-row
+    * compute dominates the (tiny) shuffle cost.
+    */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
 
 /** One declared engine query: the Spark implementation plus (when the
