@@ -21,6 +21,14 @@ object TextHash {
       WordShingles(org.apache.spark.sql.graft.ColumnBridge.expression(text), n)
     )
 
+  /** Shingles as 61-bit rolling hashes (`array<long>`) — for pair
+    * verification where `array_intersect` on longs beats strings.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      WordShingleHashes(org.apache.spark.sql.graft.ColumnBridge.expression(text), n)
+    )
+
   /** MinHash signature column i: min over exploded shingles of a seeded
     * 64-bit hash. Seeding via an extra lit column re-keys xxhash64 —
     * k independent-enough permutation approximations.

@@ -94,8 +94,10 @@ object Dedup {
     * probe the whole corpus on one task (see Tables.fanOut).
     */
   private def exploded(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // hashed shingles: 8-byte join/shuffle keys instead of ~25-char
+    // strings (counts match the string-side oracle; collisions ~2⁻⁶¹).
     val sh = fanOut(documents(s, d))
-      .select(col("doc_id"), TextHash.shingles(col("text"), SHINGLE_N).as("sh"))
+      .select(col("doc_id"), TextHash.shingleHashes(col("text"), SHINGLE_N).as("sh"))
       .where(size(col("sh")) > 0)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -109,7 +111,7 @@ object Dedup {
       candidates: DataFrame // columns a_id, b_id
   ): DataFrame = {
     val sets = documents(s, d)
-      .select(col("doc_id"), TextHash.shingles(col("text"), SHINGLE_N).as("sh"))
+      .select(col("doc_id"), TextHash.shingleHashes(col("text"), SHINGLE_N).as("sh"))
       .where(size(col("sh")) > 0)
     candidates
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")

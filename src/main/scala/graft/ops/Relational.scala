@@ -245,6 +245,32 @@ object Relational {
             ORDER BY region, nation""")
   )
 
+  /** Cube over (returnflag, linestatus) — the full grouping-set lattice
+    * (§2.B grouping-sets line). Single-table, so the Dataset API cube
+    * works directly (no self-join tag issue like q_rollup).
+    */
+  val qCube = Q(
+    "q_cube",
+    (s, d) =>
+      lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"),
+          col("sum_qty")
+        )
+        .orderBy("rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   count(*) AS cnt,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY rf, ls""")
+  )
+
   /** HLL sketch — the 100 TB path for distincts (constant memory per
     * group vs expand+shuffle for exact). No SQL oracle: DuckDB's HLL
     * differs; driver records a rows-only check (SURVEY §7.4).
@@ -572,7 +598,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qFilter,
     qJoinBroadcast, qJoinSmj, qJoinMulti, qSemi, qAnti, qRangeJoin,
-    qAggHash, qAggDistinct, qRollup, qApproxDistinct,
+    qAggHash, qAggDistinct, qRollup, qCube, qApproxDistinct,
     qWindowRank, qWindowRunning, qWindowLag,
     qTopk,
     qUnion, qIntersect, qExcept,

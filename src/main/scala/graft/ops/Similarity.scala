@@ -152,6 +152,117 @@ object Similarity {
              LIMIT 5""")
   )
 
+  /** Near-duplicate doc pairs by length+prefix BLOCKING then shingle
+    * Jaccard (E11's second representative query). Candidates = pairs
+    * sharing the first token whose shingle-set sizes satisfy the J≥1/2
+    * bound 3·min(na,nb) ≥ na+nb; similarity = 3-gram shingle Jaccard
+    * decided by the integer comparison 3·|A∩B| ≥ na+nb (word SETS are
+    * degenerate on a shared-vocabulary corpus — sequence shingles are
+    * not). Unlike q_dedup_ngram's exact shingle-join candidates, this
+    * blocking is O(pairs-per-bucket) and can miss an edited-first-token
+    * duplicate — the classic cheap-blocking recall trade, which
+    * DedupSpec measures.
+    * 100 TB: one shuffle on the block key; hot first tokens need a
+    * frequency cap (sub-block or drop buckets above a bound).
+    */
+  val qPairwiseNear = Q(
+    "q_pairwise_near",
+    (s, d) => {
+      val w = Tables
+        .fanOut(documents(s, d))
+        .select(
+          col("doc_id"),
+          // hashed shingles: the per-pair array_intersect dominates this
+          // query; longs intersect several-fold faster than UTF8Strings
+          // (sizes/counts match the string-side oracle — collisions are
+          // ~2⁻⁶¹ per pair and deterministic).
+          graft.functions.TextHash.shingleHashes(col("text"), 3).as("sh"),
+          element_at(split(col("text"), " "), 1).as("ft")
+        )
+        .where(size(col("sh")) > 0)
+        .withColumn("n", size(col("sh")))
+      w.as("a")
+        .hint("shuffle_hash") // blocking buckets grow with the corpus
+        .join(
+          w.as("b"),
+          col("a.ft") === col("b.ft") && col("a.doc_id") < col("b.doc_id") &&
+            lit(3) * least(col("a.n"), col("b.n")) >= col("a.n") + col("b.n")
+        )
+        .select(
+          col("a.doc_id").as("a_id"),
+          col("b.doc_id").as("b_id"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).as("shared"),
+          col("a.n").as("na"),
+          col("b.n").as("nb")
+        )
+        .where(lit(3) * col("shared") >= col("na") + col("nb"))
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS wl FROM documents),
+            w AS (SELECT doc_id,
+                         list_distinct([wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+                                        for i in range(1, len(wl)-1)]) AS sh,
+                         wl[1] AS ft
+                  FROM toks WHERE len(wl) >= 3)
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS INTEGER) AS shared,
+                   CAST(len(a.sh) AS INTEGER) AS na, CAST(len(b.sh) AS INTEGER) AS nb
+            FROM w a JOIN w b
+              ON a.ft = b.ft AND a.doc_id < b.doc_id
+             AND 3 * least(len(a.sh), len(b.sh)) >= len(a.sh) + len(b.sh)
+            WHERE 3 * len(list_intersect(a.sh, b.sh)) >= len(a.sh) + len(b.sh)
+            ORDER BY a_id, b_id""")
+  )
+
+  /** LSH-bucketed ANN (the E11 scale path alongside IVF): 16 fixed
+    * seeded random hyperplanes → sign-bit signature, 4 bands × 4 bits;
+    * the query probes vectors sharing ≥1 band bucket, exact cosine
+    * rerank inside the candidate set. Rows-only check (bucket membership
+    * is not ANSI-SQL-expressible); AnnSpec asserts candidate recall and
+    * internal consistency vs the brute-force baseline.
+    */
+  val qAnnLsh = Q(
+    "q_ann_lsh",
+    (s, d) => {
+      val rnd = new scala.util.Random(42)
+      val planes: Seq[Seq[Double]] =
+        Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+      val emb = Tables.fanOut(
+        embeddings(s, d).select(
+          col("vec_id"),
+          col("embedding").cast("array<double>").as("v")
+        )
+      )
+      val sigBits = planes.zipWithIndex.map { case (p, j) =>
+        when(dot(col("v"), typedLit(p)) >= 0.0, 1L << j).otherwise(0L)
+      }
+      val sig = sigBits.reduce(_ + _)
+      val banded = emb
+        .withColumn("sig", sig)
+        .select(
+          col("vec_id"),
+          col("v"),
+          explode(array((0 until 4).map { b =>
+            struct(
+              lit(b).as("band"),
+              shiftrightunsigned(col("sig"), 4 * b).bitwiseAND(lit(0xfL)).as("key")
+            )
+          }: _*)).as("bk")
+        )
+        .select(col("vec_id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val qSide = banded.where(col("vec_id") === 0)
+        .select(col("band").as("qband"), col("key").as("qkey"), col("v").as("qv"))
+      banded
+        .join(broadcast(qSide), col("band") === col("qband") && col("key") === col("qkey"))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+        .groupBy("vec_id").agg(max(col("cos_sim")).as("cos_sim")) // dedupe multi-band hits
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(5)
+    },
+    None
+  )
+
   /** Multimodal columns are first-class: text + array<float> + typed
     * metadata flow through join/filter/project with no custom type.
     */
@@ -204,5 +315,6 @@ object Similarity {
   )
 
   val all: Seq[Q] =
-    Seq(qKnnCosine, qCosineNear, qAnnIvf, qMultimodalJoin, qMultimodalMeta)
+    Seq(qKnnCosine, qCosineNear, qAnnIvf, qAnnLsh, qPairwiseNear,
+      qMultimodalJoin, qMultimodalMeta)
 }

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.SparkSpec
+
+/** Unit specs for the custom expression/hash primitives. */
+class FunctionsSpec extends AnyFunSuite {
+
+  test("rollingHash is deterministic and order-sensitive") {
+    val h1 = TextHash.rollingHash("the quick brown fox")
+    assert(h1 == TextHash.rollingHash("the quick brown fox"))
+    assert(h1 != TextHash.rollingHash("quick the brown fox"))
+    assert(TextHash.rollingHash("") == 0L)
+    // stays within the Mersenne modulus 2^61-1
+    val big = TextHash.rollingHash("x" * 10000)
+    assert(big >= 0L && big < (1L << 61) - 1)
+  }
+
+  test("rollingHash matches a naive BigInt mod implementation") {
+    val M = BigInt((1L << 61) - 1)
+    def naive(s: String): Long =
+      s.foldLeft(BigInt(0))((h, c) => (h * 31 + c.toInt) % M).toLong
+    for (s <- Seq("a", "ab", "hello world", "ÿüñ", "x" * 500))
+      assert(TextHash.rollingHash(s) == naive(s), s"mismatch for '$s'")
+  }
+
+  test("ShingleUtil matches a naive sliding-window implementation") {
+    def naive(text: String, n: Int): Seq[String] =
+      text.split(" ", -1).toSeq.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).distinct.toSeq
+    for (
+      t <- Seq(
+        "a b c d e",
+        "a b a b a b",
+        "one two",
+        "",
+        "  double  spaces here ",
+        "exactly three words"
+      )
+    ) {
+      val got = ShingleUtil
+        .shingles(UTF8String.fromString(t), 3)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString)
+        .toSeq
+      assert(got == naive(t, 3), s"mismatch for '$t'")
+    }
+  }
+}
+
+/** Codegen expressions must equal their interpreted/naive references —
+  * evaluated THROUGH Spark (so the generated Java runs, not just the
+  * Scala eval path).
+  */
+class VectorExprsSparkSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("DotProduct / SquaredDistance == zip_with+aggregate folds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(100)((
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1)
+    ))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      VectorExprs.dot(col("a"), col("b")).as("dot"),
+      VectorExprs.sqDist(col("a"), col("b")).as("sq"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("dot_ref"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x).as("sq_ref")
+    ).collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(2)) // bitwise: same fold order
+      assert(r.getDouble(1) == r.getDouble(3))
+    }
+  }
+
+  test("WordShingles through Spark == the old HOF formulation") {
+    import spark.implicits._
+    val texts = graft.ops.Tables.documents(spark, sf0001)
+      .select("text").as[String].take(200).toSeq
+    val df = texts.toDF("text")
+    val w = split(col("text"), " ")
+    val hof = when(
+      size(w) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))
+      ))
+    ).otherwise(array().cast("array<string>"))
+    val rows = df.select(
+      TextHash.shingles(col("text"), 3).as("got"),
+      hof.as("ref")
+    ).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("hamming == manual bit count") {
+    import spark.implicits._
+    val pairs = Seq((0L, 0L), (-1L, 0L), (0x5555555555555555L, 0L), (123456789L, 987654321L))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(TextHash.hamming(col("a"), col("b"))).as[Int].collect()
+    val exp = pairs.map { case (a, b) => java.lang.Long.bitCount(a ^ b) }
+    assert(got.toSeq == exp)
+  }
+}
+
+/** Property laws for the hash/shingle primitives. */
+object TextHashLawsSpec extends Properties("TextHash") {
+  private val genWords: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "b", "c", "dog", "cat", "")).map(_.mkString(" "))
+
+  property("shingle count = distinct windows; each shingle has n words") =
+    Prop.forAll(genWords) { t =>
+      val got = ShingleUtil
+        .shingles(UTF8String.fromString(t), 3)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString)
+      val words = t.split(" ", -1)
+      (got.length == words.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq.distinct.size) &&
+      got.forall(s => s.split(" ", -1).length == 3)
+    }
+
+  property("rollingHash stays in [0, 2^61-1) and is pure") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val h = TextHash.rollingHash(s)
+      h >= 0L && h < (1L << 61) - 1 && h == TextHash.rollingHash(s)
+    }
+}
