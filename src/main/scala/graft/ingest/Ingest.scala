@@ -119,6 +119,17 @@ object Ingest {
       sourceUrl: String,
       outDir: String,
       metaDir: String
+  ): RunResult =
+    run(spark, sourceUrl, ParquetSink(outDir), ParquetSink(metaDir))
+
+  /** Sink-parameterized run (SURVEY §7.1: swap in a JDBC/COPY sink for
+    * real-Postgres parity without touching the pipeline).
+    */
+  def run(
+      spark: SparkSession,
+      sourceUrl: String,
+      dataSink: Sink,
+      metaSink: Sink
   ): RunResult = {
     val t0 = System.nanoTime()
     val start = new Timestamp(System.currentTimeMillis())
@@ -146,7 +157,7 @@ object Ingest {
         max(col("transaction_date")).as("max_ts"),
         count(lit(1)).as("n_rows")
       )
-      observed.write.mode("overwrite").parquet(outDir)
+      dataSink.overwrite(observed) // ops 10-11: full-refresh bulk load
       val wrUs = (System.nanoTime() - wr0) / 1000
 
       val stats = obs.get
@@ -173,7 +184,7 @@ object Ingest {
       )
       // op-12: single-row append to the metadata table.
       import spark.implicits._
-      Seq(meta).toDF().write.mode("append").parquet(metaDir)
+      metaSink.append(Seq(meta).toDF())
       RunResult(autoDate, nRows, sizeMB, meta)
     } finally {
       Files.deleteIfExists(Paths.get(local)) // op-16 temp-file lifecycle
