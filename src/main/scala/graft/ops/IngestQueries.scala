@@ -44,5 +44,23 @@ object IngestQueries {
              FROM read_csv('$fixturePath', header=false, all_varchar=true, nullstr='\\N')""")
   )
 
-  val all: Seq[Q] = Seq(qIngestPp, qIngestAutoDate)
+  /** The same flagship ingest through the DSv2 URL source (op-1 as a
+    * real Spark source, `graft.sources.UrlCsvSource`) — the shared
+    * oracle proves the source's CSV/NULL semantics match the file path.
+    */
+  val qUrlSource = Q(
+    "q_url_source",
+    (s, _) =>
+      Ingest
+        .typed(
+          s.read
+            .format(graft.sources.UrlCsvSource.Name)
+            .option("url", s"file://$fixturePath")
+            .load()
+        )
+        .orderBy("transaction_unique_id"),
+    qIngestPp.oracle
+  )
+
+  val all: Seq[Q] = Seq(qIngestPp, qIngestAutoDate, qUrlSource)
 }

@@ -75,6 +75,37 @@ object Relational {
             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
+  /** q_join_smj with explicit key salting ([[Skew]]): lineitem's
+    * orderkey salted 8 ways (hashed from linenumber), orders replicated
+    * 8×. Same oracle SQL as the unsalted join — the t2 hash-match IS the
+    * proof that salting preserves semantics. At 100 TB this is the
+    * manual fallback when one key floods a shuffle partition and AQE's
+    * skew splitting can't apply (e.g. aggregation keys).
+    */
+  val qJoinSalted = Q(
+    "q_join_salted",
+    (s, d) =>
+      Skew
+        .saltedJoin(
+          lineitem(s, d),
+          orders(s, d),
+          "l_orderkey",
+          "o_orderkey",
+          salts = 8,
+          saltBy = col("l_linenumber")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("l_extendedprice")).as("sum_price")
+        )
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(*) AS cnt,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
   /** Multi-way dimension join: customer⋈nation⋈region — both dims
     * broadcast; zero shuffles on the customer side until the final agg.
     */
@@ -597,7 +628,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     qFilter,
-    qJoinBroadcast, qJoinSmj, qJoinMulti, qSemi, qAnti, qRangeJoin,
+    qJoinBroadcast, qJoinSmj, qJoinSalted, qJoinMulti, qSemi, qAnti, qRangeJoin,
     qAggHash, qAggDistinct, qRollup, qCube, qApproxDistinct,
     qWindowRank, qWindowRunning, qWindowLag,
     qTopk,

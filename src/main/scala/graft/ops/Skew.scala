@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skewed shuffles (the manual complement to AQE's
+  * skew-join splitting, for when one join/grouping key dominates —
+  * e.g. a null-ish user_id or a hot document bucket at 100 TB).
+  *
+  * Mechanics: the large (skewed) side gets a deterministic salt in
+  * [0, S) hashed from a secondary column, splitting each hot key's rows
+  * across S shuffle partitions; the other side is replicated S× with
+  * every salt value. The salted equi-join is row-for-row equal to the
+  * plain join (SkewSpec + the q_join_salted oracle prove it).
+  */
+object Skew {
+
+  /** Deterministic salt: pmod(xxhash64(saltBy), salts). Hash-derived so
+    * re-runs and retries salt identically (no rand()).
+    */
+  def saltCol(saltBy: Column, salts: Int): Column =
+    pmod(xxhash64(saltBy), lit(salts.toLong)).cast("int")
+
+  /** Inner equi-join with the LEFT side salted and the RIGHT side
+    * replicated `salts`×. Use when `left` is large with hot `leftKey`
+    * values and `right` is small enough to replicate (dim-scale).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      salts: Int,
+      saltBy: Column
+  ): DataFrame = {
+    val l = left.withColumn("_salt", saltCol(saltBy, salts))
+    val r = right.withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
+    l.join(r, l(leftKey) === r(rightKey) && l("_salt") === r("_salt"))
+      .drop("_salt")
+  }
+}
