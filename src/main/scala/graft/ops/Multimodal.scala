@@ -35,6 +35,35 @@ object Multimodal {
         meanByte = if (n == 0) 0.0 else sum.toDouble / n
       )
     }
+
+    /** Resize stub: a real impl decodes, scales, re-encodes. The fake
+      * deterministically downsamples the byte stream to w·h bytes so
+      * output size behaves like a real thumbnail.
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      // ??? — real scaler goes here; deterministic fake below.
+      val target = math.max(1, w * h)
+      if (payload.length <= target) payload
+      else {
+        val out = new Array[Byte](target)
+        val step = payload.length.toDouble / target
+        var i = 0
+        while (i < target) { out(i) = payload((i * step).toInt); i += 1 }
+        out
+      }
+    }
+
+    /** Frame-sample stub: a real impl pulls every k-th video frame. The
+      * fake treats the payload as fixed-size "frames" and samples every
+      * k-th chunk.
+      */
+    def frameSample(payload: Array[Byte], frameBytes: Int, everyK: Int): Seq[(Int, Array[Byte])] = {
+      // ??? — real demuxer goes here; deterministic fake below.
+      val frames = payload.grouped(frameBytes).toSeq
+      frames.zipWithIndex.collect {
+        case (f, idx) if idx % everyK == 0 => (idx, f)
+      }
+    }
   }
 
   final case class MediaFeatures(
@@ -79,5 +108,61 @@ object Multimodal {
     None
   )
 
-  val all: Seq[Q] = Seq(qMmDecode)
+  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, frame_sha: String)
+
+  /** Frame sampling: binary payload → every-3rd 64-byte "frame" with a
+    * content address — the one-row-to-many-frames fan-out shape (a video
+    * becomes its sampled frames). Per-partition batching as in
+    * [[extractFeatures]]; output is rows-only (stub codec).
+    */
+  val qMmFrames = Q(
+    "q_mm_frames",
+    (s, d) => {
+      import s.implicits._
+      Tables
+        .documents(s, d)
+        .select(col("doc_id").cast("long"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, payload) =>
+          FakeCodec.frameSample(payload, frameBytes = 64, everyK = 3).map {
+            case (idx, frame) =>
+              Frame(
+                id,
+                idx,
+                frame.length,
+                java.security.MessageDigest.getInstance("SHA-256")
+                  .digest(frame).map("%02x".format(_)).mkString
+              )
+          }
+        }
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    },
+    None
+  )
+
+  /** Resize: payload → 32×32 thumbnail bytes (stubbed scaler), carrying
+    * before/after sizes. Rows-only (stub codec).
+    */
+  val qMmResize = Q(
+    "q_mm_resize",
+    (s, d) => {
+      import s.implicits._
+      Tables
+        .documents(s, d)
+        .select(col("doc_id").cast("long"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            val thumb = FakeCodec.resize(payload, 32, 32)
+            (id, payload.length, thumb.length)
+          }
+        }
+        .toDF("doc_id", "orig_bytes", "thumb_bytes")
+        .orderBy("doc_id")
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(qMmDecode, qMmFrames, qMmResize)
 }

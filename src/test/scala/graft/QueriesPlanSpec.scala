@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape regressions: the properties that make these
+  * queries scale are plan properties (pushdown, pruning, join strategy,
+  * top-k operator) — assert them so a refactor can't silently trade a
+  * broadcast for a nested loop or un-push a filter.
+  */
+class QueriesPlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q_filter: predicates pushed to the parquet scan, columns pruned") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount)"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    // 5-column projection reaches the scan — no full-width read
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("q_join_broadcast / q_join_multi: dimensions broadcast") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    val multi = plan("q_join_multi")
+    assert(multi.contains("BroadcastHashJoin"))
+    assert(!multi.contains("SortMergeJoin") && !multi.contains("NestedLoop"))
+  }
+
+  test("q_semi / q_anti: semi-join operators, not materialized joins") {
+    assert(plan("q_semi").contains("LeftSemi"))
+    assert(plan("q_anti").contains("LeftAnti"))
+  }
+
+  test("q_topk plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("dedup candidate self-joins use shuffle joins, never broadcast") {
+    for (q <- Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash")) {
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q lost its shuffle_hash hint")
+    }
+  }
+
+  test("q_cosine_near: norms computed pre-join (single scan-side sqrt)") {
+    val p = plan("q_cosine_near")
+    // the per-pair predicate divides by precomputed norms — no SQRT in
+    // the join condition itself
+    val joinCond = p.linesIterator.filter(_.contains("Join condition")).mkString
+    assert(!joinCond.toLowerCase.contains("sqrt"), joinCond)
+  }
+
+  test("q_agg_hash: partial aggregation before the shuffle") {
+    val p = plan("q_agg_hash")
+    // two HashAggregates (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("Exchange"))
+  }
+
+  test("ingest plan is shuffle-free (scan -> cast, no Exchange)") {
+    val p = graft.ingest.Ingest
+      .typed(graft.ingest.Ingest.readRaw(spark, graft.ops.IngestQueries.fixturePath))
+      .queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), "ingest pipeline acquired a shuffle")
+  }
+}
