@@ -88,17 +88,24 @@ object WorkingDays {
     * Scala closed form ([[offsetDays]]) and emitted as a 7-way CASE on
     * weekday(first) — the Column form is identical to the Scala form by
     * construction.
+    *
+    * Where the Scala forms RAISE (nth beyond the month, possible only
+    * for nth ≥ 21), the Column form yields NULL — a per-row throw has no
+    * SQL equivalent; callers use nth=20, which always exists.
     */
   private def nthWorkingDayColFrom(first: Column, nth: Int): Column = {
     val offs = (0 to 6).map(offsetDays(_, nth))
-    if (offs.distinct.size == 1) date_add(first, offs.head)
-    else {
-      val w = weekdayCol(first) // Mon=0..Sun=6
-      val k = (0 to 5).foldRight(lit(offs(6)): Column) { (wv, acc) =>
-        when(w === wv, offs(wv)).otherwise(acc)
+    val res =
+      if (offs.distinct.size == 1) date_add(first, offs.head)
+      else {
+        val w = weekdayCol(first) // Mon=0..Sun=6
+        val k = (0 to 5).foldRight(lit(offs(6)): Column) { (wv, acc) =>
+          when(w === wv, offs(wv)).otherwise(acc)
+        }
+        date_add(first, k)
       }
-      date_add(first, k)
-    }
+    if (nth <= 20) res // max offset 27 < shortest month: always in-month
+    else when(trunc(res, "month") === first, res) // else NULL, like the raise
   }
 
   /** Spark `weekday()` (Mon=0..Sun=6) — exists in the SQL registry but has

@@ -45,14 +45,15 @@ object Ingest {
     var lastErr: Throwable = null
     while (attempt < maxRetries) {
       attempt += 1
+      val tmp = Files.createTempFile("pp-complete-", ".csv")
       try {
-        val tmp = Files.createTempFile("pp-complete-", ".csv")
         val in = new java.net.URI(url).toURL.openStream()
         try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
         finally in.close()
         return tmp.toString
       } catch {
         case e: Throwable =>
+          Files.deleteIfExists(tmp) // op-16: no orphaned partial downloads
           lastErr = e
           if (attempt < maxRetries) Thread.sleep(sleepMs)
       }
@@ -61,9 +62,15 @@ object Ingest {
   }
 
   /** op-4: headerless all-string CSV scan with the reference's NULL
-    * discipline (§1.5): empty CSV fields stay `''` (keep_default_na=False)
-    * and only the literal `\N` token is NULL (COPY `NULL '\N'`).
-    * Spark's CSV default (empty→null) is explicitly overridden.
+    * discipline (§1.5): QUOTED empty fields stay `''` (emptyValue
+    * override — Spark's default would null them) and the literal `\N`
+    * token is NULL (COPY `NULL '\N'`).
+    *
+    * Caveat: an UNQUOTED empty field reads as NULL — Spark's univocity
+    * options cannot distinguish unquoted-empty from the null token at
+    * parser level. The real pp-complete.txt quotes every field, so this
+    * never fires on reference data; the DSv2 UrlCsvSource implements the
+    * same convention so both ingest paths agree.
     */
   def readRaw(spark: SparkSession, path: String): DataFrame =
     spark.read

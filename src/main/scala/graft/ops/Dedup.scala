@@ -110,7 +110,7 @@ object Dedup {
       d: String,
       candidates: DataFrame // columns a_id, b_id
   ): DataFrame = {
-    val sets = documents(s, d)
+    val sets = fanOut(documents(s, d)) // single-split scan: see Tables.fanOut
       .select(col("doc_id"), TextHash.shingleHashes(col("text"), SHINGLE_N).as("sh"))
       .where(size(col("sh")) > 0)
     candidates

@@ -29,8 +29,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = t(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // `div` (integer division), NOT `/`: Long / Long promotes to Double,
+      // whose 2^53 mantissa can floor modern epoch-nanos 1µs low vs
+      // DuckDB's exact truncation.
       raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String) = t(s, d, "documents")

@@ -98,10 +98,14 @@ final class UrlCsvReader(url: String, nCols: Int) extends PartitionReader[Intern
     val s = new CsvParserSettings
     s.setMaxColumns(nCols + 8)
     // Univocity's null/empty settings SUBSTITUTE values for missing
-    // fields (they do not recognize tokens): map both unquoted-empty and
-    // quoted-empty to '' here, and recognize the \N token below.
-    s.setNullValue("")
+    // fields (they do not recognize tokens). Convention shared with
+    // Ingest.readRaw: QUOTED empty → '' (setEmptyValue), UNQUOTED empty
+    // → null (univocity's native null, same as Spark's CSV path), and
+    // the \N token → null (recognized in get()).
     s.setEmptyValue("")
+    // match Spark's CSV defaults: unquoted whitespace is significant
+    s.setIgnoreLeadingWhitespaces(false)
+    s.setIgnoreTrailingWhitespaces(false)
     val p = new CsvParser(s)
     p.beginParsing(new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
     p

@@ -45,7 +45,8 @@ object Replay {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer div: see Tables.events — double division floors 1µs low
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling 1-hour windows per event_type with a 1-hour watermark:
     * counts + exact decimal sum (same discipline as the batch queries).
@@ -73,18 +74,23 @@ object Replay {
     * last window — the batch-equality check needs the full result.
     */
   def replayWindowedCounts(spark: SparkSession, dir: String, name: String = "replay_counts"): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("replay-ckpt-")
     val q = windowedCounts(readEvents(spark, dir)).writeStream
       .format("memory")
       .queryName(name)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
-      .option(
-        "checkpointLocation",
-        java.nio.file.Files.createTempDirectory("replay-ckpt-").toString
-      )
+      .option("checkpointLocation", ckpt.toString)
       .start()
     q.awaitTermination()
+    deleteRecursively(ckpt) // one-shot replay: state must not leak /tmp
     spark.table(name)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
   private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
@@ -201,19 +207,18 @@ object Replay {
     import spark.implicits._
     val sink = new java.util.concurrent.ConcurrentLinkedQueue[Session]()
     val evts = readEvents(spark, dir).select("event_id", "ts", "user_id").as[Evt]
+    val ckpt = java.nio.file.Files.createTempDirectory("sess-ckpt-")
     val q = sessionize(evts).writeStream
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
-      .option(
-        "checkpointLocation",
-        java.nio.file.Files.createTempDirectory("sess-ckpt-").toString
-      )
+      .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: Dataset[Session], _: Long) =>
         batch.collect().foreach(sink.add)
         ()
       }
       .start()
     q.awaitTermination()
+    deleteRecursively(ckpt)
     import scala.jdk.CollectionConverters._
     sink.asScala.toSeq
   }

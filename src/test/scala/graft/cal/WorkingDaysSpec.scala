@@ -117,6 +117,13 @@ class WorkingDaysColumnSpec extends SparkSpec {
     }
   }
 
+  test("Column form yields NULL where the Scala form raises (nth=23, Feb)") {
+    import spark.implicits._
+    val df = Seq(java.sql.Date.valueOf("2023-02-10")).toDF("d")
+    val r = df.select(WorkingDays.nthWorkingDayCol(col("d"), 23)).head
+    assert(r.isNullAt(0))
+  }
+
   test("registered UDFs agree with native columns") {
     import spark.implicits._
     WorkingDays.registerUdfs(spark)

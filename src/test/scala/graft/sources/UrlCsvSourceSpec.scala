@@ -24,22 +24,28 @@ class UrlCsvSourceSpec extends SparkSpec {
     assert(viaSource.toSeq == viaFile.toSeq)
   }
 
-  test("§1.5 semantics: quoted-empty is '', bare \\N is NULL") {
+  test("§1.5 semantics: quoted-empty '', bare \\N NULL, unquoted-empty NULL — both paths agree") {
     val f = Files.createTempFile("urlcsv-", ".csv")
+    // locality (col 11) is UNQUOTED empty; postcode/secondary quoted empty
     Files.writeString(
       f,
       Seq(
-        "\"{1}\",\"1\",\"2024-02-01 02:58\",\"\",\"D\",\"Y\",\"F\",\"1\",\"\",\"S\",\"\",\"T\",\"D\",\"C\",\\N,\"A\""
+        "\"{1}\",\"1\",\"2024-02-01 02:58\",\"\",\"D\",\"Y\",\"F\",\"1\",\"\",\"S\",,\"T\",\"D\",\"C\",\\N,\"A\""
       ).mkString("\n")
     )
-    val rows = spark.read
+    val viaSource = spark.read
       .format(UrlCsvSource.Name)
       .option("url", s"file://$f")
       .load()
       .collect()
-    assert(rows.length == 1)
-    assert(rows(0).getAs[String]("postcode") == "")   // quoted empty → ''
-    assert(rows(0).getAs[String]("ppd_cat") == null)  // \N token → NULL
+    val viaFile = Ingest.readRaw(spark, f.toString).collect()
+    for (rows <- Seq(viaSource, viaFile)) {
+      assert(rows.length == 1)
+      assert(rows(0).getAs[String]("postcode") == "")   // quoted empty → ''
+      assert(rows(0).getAs[String]("ppd_cat") == null)  // \N token → NULL
+      assert(rows(0).getAs[String]("locality") == null) // unquoted empty → NULL
+    }
+    assert(viaSource.toSeq == viaFile.toSeq)
   }
 
   test("multiple urls become multiple partitions") {

@@ -49,7 +49,7 @@ class ReplaySpec extends SparkSpec {
 
   private def batchEvents(dir: String): DataFrame =
     spark.read.schema(Replay.rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   test("windowed counts: streamed replay == batch aggregation") {
     val dir = sliceEvents(4, sentinel = false)
