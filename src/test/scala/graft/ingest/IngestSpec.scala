@@ -82,6 +82,25 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(meta).count() == 2)
   }
 
+  test("op-9 CSV round-trip preserves empty-vs-NULL (SURVEY §5.2 item 4)") {
+    val raw = Ingest.readRaw(spark, IngestSpecFixture.path)
+    val out = Files.createTempDirectory("csv-roundtrip-").toString
+    // sink-side encode with the reference's conventions: quote
+    // everything (like pp-complete.txt), \N for NULL
+    raw.coalesce(1).write
+      .option("header", "false")
+      .option("nullValue", "\\N")
+      .option("emptyValue", "\"\"")
+      .option("quoteAll", "true")
+      .mode("overwrite")
+      .csv(out)
+    val back = Ingest.readRaw(spark, out)
+    val a = raw.orderBy("transaction_unique_id").collect()
+    val b = back.orderBy("transaction_unique_id").collect()
+    assert(a.length == 200 && b.length == 200)
+    assert(a.toSeq == b.toSeq) // '' stays '', NULL stays NULL, bytes equal
+  }
+
   test("op-2 retry: unreachable URL exhausts retries then raises") {
     val t0 = System.nanoTime()
     assertThrows[Throwable] {
