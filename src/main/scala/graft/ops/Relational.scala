@@ -302,6 +302,55 @@ object Relational {
             ORDER BY rf, ls""")
   )
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * (region,nation), (region), () — via the SQL front-end like
+    * q_rollup.
+    */
+  val qGroupingSets = Q(
+    "q_grouping_sets",
+    (s, d) => {
+      customer(s, d).createOrReplaceTempView("customer_gs")
+      nation(s, d).createOrReplaceTempView("nation_gs")
+      region(s, d).createOrReplaceTempView("region_gs")
+      s.sql("""SELECT coalesce(r_name, 'ALL') AS region,
+                      coalesce(n_name, 'ALL') AS nation,
+                      count(*) AS n_cust
+               FROM customer_gs
+               JOIN nation_gs ON c_nationkey = n_nationkey
+               JOIN region_gs ON n_regionkey = r_regionkey
+               GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+               ORDER BY region, nation""")
+    },
+    Some("""SELECT coalesce(r_name, 'ALL') AS region,
+                   coalesce(n_name, 'ALL') AS nation,
+                   count(*) AS n_cust
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+            ORDER BY region, nation""")
+  )
+
+  /** Approximate quantiles — the other sketch a training pipeline leans
+    * on (length/quality cutoffs over 100 TB need one pass, bounded
+    * memory). Rows-only: Spark's KLL-style percentile_approx and
+    * DuckDB's quantile implementations legitimately differ;
+    * QuantileSpec bounds the error against the exact percentiles.
+    */
+  val qQuantiles = Q(
+    "q_quantiles",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75, 0.99), 10000)")
+            .as("price_quantiles"),
+          count(lit(1)).as("cnt")
+        )
+        .orderBy("l_returnflag"),
+    None
+  )
+
   /** HLL sketch — the 100 TB path for distincts (constant memory per
     * group vs expand+shuffle for exact). No SQL oracle: DuckDB's HLL
     * differs; driver records a rows-only check (SURVEY §7.4).
@@ -629,7 +678,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qFilter,
     qJoinBroadcast, qJoinSmj, qJoinSalted, qJoinMulti, qSemi, qAnti, qRangeJoin,
-    qAggHash, qAggDistinct, qRollup, qCube, qApproxDistinct,
+    qAggHash, qAggDistinct, qRollup, qCube, qGroupingSets, qQuantiles, qApproxDistinct,
     qWindowRank, qWindowRunning, qWindowLag,
     qTopk,
     qUnion, qIntersect, qExcept,
