@@ -197,6 +197,45 @@ object Relational {
             ORDER BY a.user_id, a_id, b_id""")
   )
 
+  /** AS-OF join (temporal lookup): for each event, the matching user's
+    * latest order at-or-before the event time — the fact-looks-up-
+    * dimension-state direction. Spark has no native as-of operator —
+    * this is the compose-existing-ops path (SURVEY §4 preference (a)):
+    * equi-join on the key with the temporal bound as a join filter,
+    * then keep the max-ts row per left row via window row_number. One
+    * shuffle on the key; per-key fan-out is bounded by the band in real
+    * temporal data. (A mapPartitions merge-scan only pays off when both
+    * sides are bucketed+sorted on disk.)
+    */
+  val qAsofJoin = Q(
+    "q_asof_join",
+    (s, d) => {
+      val e = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val o = orders(s, d).select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("o_ts")
+      )
+      val w = Window
+        .partitionBy("event_id")
+        .orderBy(col("o_ts").desc, col("o_orderkey").desc)
+      e.join(o, col("user_id") === col("o_custkey") && col("o_ts") <= col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("event_id", "user_id", "o_orderkey", "o_ts")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, o_orderkey, o_ts FROM (
+              SELECT event_id, user_id, o_orderkey,
+                     CAST(o_orderdate AS TIMESTAMP) AS o_ts,
+                     row_number() OVER (PARTITION BY event_id
+                                        ORDER BY CAST(o_orderdate AS TIMESTAMP) DESC,
+                                                 o_orderkey DESC) AS rn
+              FROM events JOIN orders
+                ON user_id = o_custkey AND CAST(o_orderdate AS TIMESTAMP) <= ts
+            ) t WHERE rn = 1 ORDER BY event_id""")
+  )
+
   // ---------------------------------------------------------------- E3
   /** TPC-H Q1 shape: hash aggregate with partial/map-side combine. The
     * avg is sum_exact/count — one IEEE division on exact operands.
@@ -678,6 +717,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qFilter,
     qJoinBroadcast, qJoinSmj, qJoinSalted, qJoinMulti, qSemi, qAnti, qRangeJoin,
+    qAsofJoin,
     qAggHash, qAggDistinct, qRollup, qCube, qGroupingSets, qQuantiles, qApproxDistinct,
     qWindowRank, qWindowRunning, qWindowLag,
     qTopk,
