@@ -11,6 +11,9 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // typed Aggregators (TopK) degrade badly on the 128-group sort-based
+      // fallback; plenty of memory for object hash aggregation here
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = ops.Relational.qRollup.fn(spark, "/root/testdata/sf0.01")

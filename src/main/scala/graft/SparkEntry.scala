@@ -16,7 +16,8 @@ object SparkEntry {
   private val declared: Seq[Q] =
     Relational.all ++ IngestQueries.all ++ Dedup.all ++ TextOps.all ++
       Similarity.all ++ Multimodal.all ++
-      Seq(AutoDateAgg.qAutoDateAgg, graft.streaming.Replay.qStreamWindow)
+      Seq(AutoDateAgg.qAutoDateAgg, TopKAgg.qTopkPerKey,
+        graft.streaming.Replay.qStreamWindow)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's own pipeline shape — ingest the pp-complete fixture,

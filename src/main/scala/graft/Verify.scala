@@ -15,6 +15,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long + convert
       // in Tables.events (Spark has no nanos timestamp type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // typed Aggregators (TopK) degrade badly on the 128-group sort-based
+      // fallback; plenty of memory for object hash aggregation here
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

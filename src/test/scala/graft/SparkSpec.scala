@@ -21,6 +21,9 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // typed Aggregators (TopK) degrade badly on the 128-group sort-based
+      // fallback; plenty of memory for object hash aggregation here
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
