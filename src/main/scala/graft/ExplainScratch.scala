@@ -2,15 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object ExplainScratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // typed Aggregators (TopK) degrade badly on the 128-group sort-based
-      // fallback; plenty of memory for object hash aggregation here
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
-      .getOrCreate()
+    val spark = Sessions.local(32)
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.1").explain("formatted")
     spark.stop()

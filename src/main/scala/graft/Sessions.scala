@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session configuration — every main and
+  * the test session build through here so a new setting cannot drift
+  * across entry points.
+  */
+object Sessions {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); read as long + convert
+      // in Tables.events (Spark has no nanos timestamp type).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // typed Aggregators (TopK) degrade badly on the 128-group
+      // sort-based fallback; plenty of memory for object hash
+      // aggregation here
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+
+  /** Standard driver-contract session: local[N], shuffle=N. */
+  def local(cpus: Int): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Shared filesystem helpers for one-shot scratch state. */
+object FsUtil {
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+}

@@ -218,8 +218,14 @@ object Relational {
       )
       val w = Window
         .partitionBy("event_id")
-        .orderBy(col("o_ts").desc, col("o_orderkey").desc)
-      e.join(o, col("user_id") === col("o_custkey") && col("o_ts") <= col("ts"))
+        .orderBy(col("o_ts").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+      // LEFT join — conventional as-of semantics: an event whose user has
+      // no order at-or-before it still appears, with null order columns.
+      e.join(
+          o,
+          col("user_id") === col("o_custkey") && col("o_ts") <= col("ts"),
+          "left"
+        )
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select("event_id", "user_id", "o_orderkey", "o_ts")
@@ -229,9 +235,9 @@ object Relational {
               SELECT event_id, user_id, o_orderkey,
                      CAST(o_orderdate AS TIMESTAMP) AS o_ts,
                      row_number() OVER (PARTITION BY event_id
-                                        ORDER BY CAST(o_orderdate AS TIMESTAMP) DESC,
-                                                 o_orderkey DESC) AS rn
-              FROM events JOIN orders
+                                        ORDER BY CAST(o_orderdate AS TIMESTAMP) DESC NULLS LAST,
+                                                 o_orderkey DESC NULLS LAST) AS rn
+              FROM events LEFT JOIN orders
                 ON user_id = o_custkey AND CAST(o_orderdate AS TIMESTAMP) <= ts
             ) t WHERE rn = 1 ORDER BY event_id""")
   )

@@ -18,8 +18,15 @@ object TopKAgg {
   final case class Entry(value: Double, tiebreak: Long)
 
   final class TopK(k: Int) extends Aggregator[Entry, List[Entry], Seq[Entry]] {
-    private def better(a: Entry, b: Entry): Boolean =
-      a.value > b.value || (a.value == b.value && a.tiebreak < b.tiebreak)
+    // Double.compare, not `>`: IEEE > is not a total order (NaN compares
+    // false both ways), which would make the kept set merge-order-
+    // dependent. Double.compare ranks NaN above every value — the same
+    // ordering Spark's sort uses — so results stay deterministic and
+    // window-oracle-consistent even with NaN inputs.
+    private def better(a: Entry, b: Entry): Boolean = {
+      val c = java.lang.Double.compare(a.value, b.value)
+      c > 0 || (c == 0 && a.tiebreak < b.tiebreak)
+    }
 
     def zero: List[Entry] = Nil
     // buffer kept sorted best-first, length ≤ k (k is tiny; list insert

@@ -83,14 +83,8 @@ object Replay {
       .option("checkpointLocation", ckpt.toString)
       .start()
     q.awaitTermination()
-    deleteRecursively(ckpt) // one-shot replay: state must not leak /tmp
+    graft.FsUtil.deleteRecursively(ckpt) // one-shot replay: no /tmp leak
     spark.table(name)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-      .foreach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
   private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
@@ -218,7 +212,7 @@ object Replay {
       }
       .start()
     q.awaitTermination()
-    deleteRecursively(ckpt)
+    graft.FsUtil.deleteRecursively(ckpt)
     import scala.jdk.CollectionConverters._
     sink.asScala.toSeq
   }

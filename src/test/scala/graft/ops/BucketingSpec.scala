@@ -17,13 +17,7 @@ class BucketingSpec extends SparkSpec {
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     // a crashed previous run can leave the location without the catalog
     // entry — Spark then refuses the CREATE; clear the directory too
-    val loc = new java.io.File(s"spark-warehouse/$db.db")
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(loc)
-    }
+    graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(s"spark-warehouse/$db.db"))
     spark.sql(s"CREATE DATABASE $db")
     Tables.lineitem(spark, sf0001)
       .select("l_orderkey", "l_extendedprice")
