@@ -1,0 +1,36 @@
+package graft
+
+/** Partition-count invariance: every oracled result must be bitwise
+  * identical whether the plan shuffles into 4 or 32 partitions — the
+  * property that makes the determinism discipline (decimal sums,
+  * total-order sorts, integer thresholds) hold on a 1000-executor
+  * cluster and not just at the partition count the oracle was checked
+  * at. Exercised on the shuffle-heavy queries (aggregation, join,
+  * window, dedup, similarity).
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val shuffleSensitive = Seq(
+    "q_agg_hash", "q_agg_distinct", "q_rollup", "q_cube", "q_grouping_sets",
+    "q_join_smj", "q_join_salted", "q_join_broadcast", "q_asof_join",
+    "q_window_rank", "q_window_running", "q_topk_per_key",
+    "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash",
+    "q_cosine_near", "q_pairwise_near", "q_text_stats", "q_top_terms"
+  )
+
+  shuffleSensitive.foreach { name =>
+    test(s"$name identical at shuffle.partitions 4 and 32") {
+      val fn = SparkEntry.queries(name)
+      val conf = spark.conf
+      val orig = conf.get("spark.sql.shuffle.partitions")
+      try {
+        conf.set("spark.sql.shuffle.partitions", "4")
+        val a = fn(spark, sf0001).collect()
+        conf.set("spark.sql.shuffle.partitions", "32")
+        val b = fn(spark, sf0001).collect()
+        assert(a.nonEmpty)
+        assert(a.toSeq == b.toSeq, s"$name varies with partition count")
+      } finally conf.set("spark.sql.shuffle.partitions", orig)
+    }
+  }
+}
