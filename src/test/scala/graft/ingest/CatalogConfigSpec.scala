@@ -8,7 +8,10 @@ class CatalogConfigSpec extends SparkSpec {
   test("op-17: recreateAll creates schema + 3 tables; drop removes") {
     val db = "graft_ddl_spec"
     Catalog.recreateAll(spark, recreate = true, database = db)
-    val tables = spark.sql(s"SHOW TABLES IN $db").collect().map(_.getString(1)).toSet
+    // SHOW TABLES also lists session temp views (q_rollup/q_grouping_sets
+    // register some in the shared test session) — keep only catalog tables.
+    val tables = spark.sql(s"SHOW TABLES IN $db").collect()
+      .filter(!_.getBoolean(2)).map(_.getString(1)).toSet
     assert(tables == Set("pp_complete_data", "pp_complete_metadata", "test_table"))
     // schema-on-write: the catalog table carries the declared StructType
     val dataCols = spark.table(s"$db.pp_complete_data").schema.fieldNames.toSeq
@@ -19,7 +22,9 @@ class CatalogConfigSpec extends SparkSpec {
     )
     // recreate drops and recreates (idempotent, like recreate=True)
     Catalog.recreateAll(spark, recreate = true, database = db)
-    assert(spark.sql(s"SHOW TABLES IN $db").count() == 3)
+    assert(
+      spark.sql(s"SHOW TABLES IN $db").collect().count(!_.getBoolean(2)) == 3
+    )
     // cleanup
     spark.sql(s"DROP DATABASE $db CASCADE")
   }
