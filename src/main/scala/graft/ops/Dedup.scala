@@ -173,7 +173,16 @@ object Dedup {
     (s, d) => {
       val (ex, _) = exploded(s, d)
       val sigCols = (0 until MINHASH_K).map(i => TextHash.minhashCol(col("shingle"), i).as(s"h$i"))
-      val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      // Materialize the signatures ONCE before the band self-join: both
+      // sides of the join read the checkpointed rows instead of each
+      // re-running the shingle→explode→minhash pipeline (round 1's plan
+      // had the full signature subtree twice — 2× map-side cost at
+      // 100 TB). Signatures are k longs per doc, tiny relative to the
+      // corpus; in production this is a write to object storage
+      // (localCheckpoint is executor-memory-resident, not
+      // fault-tolerant — right for local, swap for a real checkpoint on
+      // a cluster).
+      val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).localCheckpoint()
       val bandStructs = (0 until LSH_BANDS).map { j =>
         struct(lit(j).as("band"), xxhash64(col(s"h${2 * j}"), col(s"h${2 * j + 1}")).as("key"))
       }
@@ -206,10 +215,13 @@ object Dedup {
     (s, d) => {
       val (ex, _) = exploded(s, d)
       val simhashUdaf = udaf(TextHash.SimHashAgg)
+      // Materialized once before the block self-join — see the
+      // q_dedup_minhash note (one 64-bit signature per doc).
       val sigs = ex
         .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
         .groupBy("doc_id")
         .agg(simhashUdaf(col("h")).as("sig"))
+        .localCheckpoint()
       val blocks = sigs.select(
         col("doc_id"),
         col("sig"),

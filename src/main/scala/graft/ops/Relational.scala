@@ -206,16 +206,22 @@ object Relational {
     * shuffle on the key; per-key fan-out is bounded by the band in real
     * temporal data. (A mapPartitions merge-scan only pays off when both
     * sides are bucketed+sorted on disk.)
+    *
+    * Both sides carry a `merge` hint: at local scale Catalyst's size
+    * estimate happily BROADCASTS the events side (10k rows here), which
+    * is exactly the plan that OOMs at 100 TB where events is the big
+    * fact. Sort-merge on the equi key is the shape that survives the
+    * scale-up; QueriesPlanSpec pins the absence of a BroadcastExchange.
     */
   val qAsofJoin = Q(
     "q_asof_join",
     (s, d) => {
-      val e = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val e = events(s, d).select(col("event_id"), col("user_id"), col("ts")).hint("merge")
       val o = orders(s, d).select(
         col("o_orderkey"),
         col("o_custkey"),
         col("o_orderdate").cast("timestamp").as("o_ts")
-      )
+      ).hint("merge")
       val w = Window
         .partitionBy("event_id")
         .orderBy(col("o_ts").desc_nulls_last, col("o_orderkey").desc_nulls_last)
@@ -381,6 +387,8 @@ object Relational {
     * memory). Rows-only: Spark's KLL-style percentile_approx and
     * DuckDB's quantile implementations legitimately differ;
     * QuantileSpec bounds the error against the exact percentiles.
+    * Output is flattened to one scalar column per percentile (not an
+    * `array<double>`) so the driver's rows-only check can sort/hash it.
     */
   val qQuantiles = Q(
     "q_quantiles",
@@ -389,8 +397,16 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(
           expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75, 0.99), 10000)")
-            .as("price_quantiles"),
+            .as("q"),
           count(lit(1)).as("cnt")
+        )
+        .select(
+          col("l_returnflag"),
+          element_at(col("q"), 1).as("p25"),
+          element_at(col("q"), 2).as("p50"),
+          element_at(col("q"), 3).as("p75"),
+          element_at(col("q"), 4).as("p99"),
+          col("cnt")
         )
         .orderBy("l_returnflag"),
     None

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search + multimodal columns (SURVEY §2.C E11/E13).
   *
@@ -101,7 +100,15 @@ object Similarity {
   /** IVF-style ANN: vectors are assigned to the nearest of K=8 fixed
     * centroids (vec_id < 8 — a deterministic stand-in for a trained
     * codebook), the query probes only its own cluster, exact top-5
-    * inside it. One broadcast join for assignment; no all-pairs work.
+    * inside it.
+    *
+    * Assignment is a pure per-row expression: the codebook is K vectors
+    * (driver-held by definition — a trained codebook ships with the job)
+    * inlined as literals, and argmin is `array_min` over (dist, cid)
+    * structs — struct ordering compares dist first, then cid, exactly
+    * the row_number (dist asc, cid asc) rule. No join, no window, no
+    * shuffle in the assignment stage (the round-1 shape shuffled N×K
+    * rows through a Window; VERDICT r1 item 8).
     */
   val qAnnIvf = Q(
     "q_ann_ivf",
@@ -110,18 +117,15 @@ object Similarity {
         col("vec_id"),
         col("embedding").cast("array<double>").as("v")
       )
-      val cents = emb.where(col("vec_id") < 8).select(
-        col("vec_id").as("cid"),
-        col("v").as("cv")
-      )
-      val sqdist = sqDist(col("v"), col("cv"))
-      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
-      val assign = emb
-        .join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("v"), col("cid"), sqdist.as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"))
+      val cents: Array[(Int, Seq[Double])] = emb
+        .where(col("vec_id") < 8)
+        .collect()
+        .map(r => (r.getAs[Number](0).intValue, r.getSeq[Double](1)))
+        .sortBy(_._1)
+      val best = array_min(array(cents.map { case (cid, cv) =>
+        struct(sqDist(col("v"), typedLit(cv)).as("dist"), lit(cid).as("cid"))
+      }: _*))
+      val assign = emb.select(col("vec_id"), col("v"), best.getField("cid").as("cid"))
       val qCluster = assign.where(col("vec_id") === 0).select(
         col("cid").as("qcid"),
         col("v").as("qv")

@@ -38,6 +38,13 @@ class QueriesPlanSpec extends SparkSpec {
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q_asof_join: sort-merge on the key, events never broadcast") {
+    val p = plan("q_asof_join")
+    assert(p.contains("SortMergeJoin"), "as-of join must be a merge join")
+    assert(!p.contains("BroadcastExchange"),
+      "a broadcast build side here OOMs when events is the 100 TB fact")
+  }
+
   test("dedup candidate self-joins use shuffle joins, never broadcast") {
     for (q <- Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash")) {
       val p = plan(q)

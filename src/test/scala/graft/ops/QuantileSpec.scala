@@ -15,7 +15,7 @@ class QuantileSpec extends SparkSpec {
     val li = Tables.lineitem(spark, sf0001)
     rows.foreach { r =>
       val flag = r.getString(0)
-      val approx = r.getSeq[Double](1)
+      val approx = (1 to 4).map(r.getDouble) // p25, p50, p75, p99 scalars
       val vals = li
         .where(col("l_returnflag") === flag)
         .select("l_extendedprice")
