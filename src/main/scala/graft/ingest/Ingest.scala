@@ -83,8 +83,11 @@ object Ingest {
 
   /** ops 5+6: positional rename (toDF is implicit in the schema read) +
     * strict datetime typing. The reference aborts on a malformed date
-    * (`main.py:218-222` raises); Spark's permissive to_timestamp nulls
-    * instead, so we re-raise via a null-vs-input check in [[assertDates]].
+    * (`main.py:218-222` raises); under Spark 4's default ANSI mode this
+    * strict `to_timestamp` throws INSIDE the scan of whatever job
+    * evaluates it, so fail-on-malformed needs no validation pass of its
+    * own — [[rethrowMalformed]] translates the ANSI error at the one
+    * job that reads the data (the write).
     */
   def typed(raw: DataFrame): DataFrame =
     raw.withColumn(
@@ -92,29 +95,30 @@ object Ingest {
       to_timestamp(col("transaction_date"), PPComplete.dateTimeFormat)
     )
 
-  /** §1.6 fail-on-malformed: any row where the raw string was non-null
-    * but the parse produced null is a format violation → abort.
-    * Implemented as a cheap fused filter+count on the same scan, not a
-    * second job over typed data.
+  /** §1.6 fail-on-malformed, single-pass: run `body` (the write job) and
+    * translate a scan-side ANSI datetime parse failure into the
+    * reference's informative abort. Round 1 ran a separate
+    * validate-then-write (a 2× read of clean input at 100 TB); the
+    * reference reads its file exactly once (`main.py:204-249`) and
+    * aborts mid-COPY when pandas' strict to_datetime raises — this is
+    * the same semantics on the same single pass.
     */
-  def assertDates(raw: DataFrame): Unit = {
-    // try_to_timestamp (not to_timestamp): under Spark's default ANSI mode
-    // a malformed value would throw inside the scan with a generic error;
-    // try_ yields null so we can abort with the offending value, matching
-    // the reference's informative raise.
-    val bad = raw
-      .where(
-        col("transaction_date").isNotNull &&
-          try_to_timestamp(col("transaction_date"), lit(PPComplete.dateTimeFormat)).isNull
-      )
-      .limit(1)
-      .collect()
-    if (bad.nonEmpty)
-      throw new IllegalArgumentException(
-        s"malformed transaction_date (expected ${PPComplete.dateTimeFormat}): " +
-          bad.head.getString(2)
-      )
-  }
+  def rethrowMalformed[T](body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        val chain =
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(32).toSeq
+        chain.collectFirst { case dt: java.time.DateTimeException => dt } match {
+          case Some(dt) =>
+            throw new IllegalArgumentException(
+              s"malformed transaction_date (expected ${PPComplete.dateTimeFormat}): " +
+                dt.getMessage,
+              e
+            )
+          case None => throw e
+        }
+    }
 
   /** Full run (op-15 orchestration): fetch → scan → type → write with the
     * max(transaction_date) observed on the same pass (op-7 "auto_date"),
@@ -148,7 +152,6 @@ object Ingest {
 
     try {
       val raw = readRaw(spark, local)
-      assertDates(raw)
       val data = typed(raw)
 
       // op-7 fused with the load pass: observe piggybacks the aggregate on
@@ -164,7 +167,9 @@ object Ingest {
         max(col("transaction_date")).as("max_ts"),
         count(lit(1)).as("n_rows")
       )
-      dataSink.overwrite(observed) // ops 10-11: full-refresh bulk load
+      // ops 10-11: full-refresh bulk load — the ONE job over the input
+      // (strict-date abort fires in this scan, §1.6).
+      rethrowMalformed(dataSink.overwrite(observed))
       val wrUs = (System.nanoTime() - wr0) / 1000
 
       val stats = obs.get

@@ -97,6 +97,71 @@ object Similarity {
              ORDER BY a_id, b_id""")
   )
 
+  /** The 100 TB twin of [[qCosineNear]]: the SAME exact threshold join
+    * (same oracle — output is bit-identical) re-shaped as a BLOCKED
+    * distributed cartesian. Each vector lands in one of B blocks
+    * (`vec_id mod B`); each side replicates a row to the block-PAIR keys
+    * it participates in, and the join is an equi join on (block_a,
+    * block_b) — so the O(n²) pair work spreads over B·(B+1)/2 tasks,
+    * each holding two n/B-row blocks, with NO broadcast of either side.
+    * Round 1's q_cosine_near plans a BroadcastNestedLoopJoin, which
+    * requires one full side in every executor — dead at fact-scale n.
+    *
+    * Why not an LSH prefilter (VERDICT r1 item 4 suggested one): at this
+    * threshold the pairs sit at cos ≈ 0.45-0.60 ⇒ angle ≈ 53-63°, where
+    * a random hyperplane agrees with probability p = 1 − θ/π ≈ 0.65.
+    * A b-bit band catches a true pair with p^b, so B bands miss with
+    * (1−p^b)^B, while pruning random pairs (p≈0.5) by 2^−b per band:
+    * total-recall work ratio is ln(1/ε)·(0.5/p)^b·... ≥ brute force for
+    * every (b,B) at p≤0.65 — hyperplane LSH only wins at HIGH
+    * similarity (p→1, e.g. near-dup dedup, see [[qAnnLsh]]). An exact
+    * moderate-threshold join is inherently all-pairs; the scalable form
+    * is this blocked shuffle, not a candidate filter.
+    */
+  val qCosineNearBlocked = Q(
+    "q_cosine_near_blocked",
+    (s, d) => {
+      val B = 16 // blocks; at 100 TB pick B ≈ n / (rows that fit a task)
+      val emb = fanOut(
+        embeddings(s, d).select(
+          col("vec_id"),
+          col("embedding").cast("array<double>").as("v")
+        )
+      ).select(
+        col("vec_id"),
+        col("v"),
+        sqrt(norm2(col("v"))).as("nrm"),
+        pmod(col("vec_id"), lit(B)).cast("int").as("bid")
+      )
+      // x covers block pairs (bid, kb) with kb ≥ bid; y covers (ka, bid)
+      // with ka ≤ bid — every unordered block pair handled exactly once.
+      val x = emb.withColumn("kb", explode(sequence(col("bid"), lit(B - 1))))
+      val y = emb.withColumn("ka", explode(sequence(lit(0), col("bid"))))
+      x.as("x")
+        .hint("shuffle_hash") // never broadcast a replicated fact side
+        .join(
+          y.as("y"),
+          col("x.bid") === col("y.ka") && col("x.kb") === col("y.bid") &&
+            // same block: dedupe by id order; cross block: the key
+            // structure already yields each pair once (either order)
+            (col("x.bid") =!= col("y.bid") || col("x.vec_id") < col("y.vec_id"))
+        )
+        .where(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) >= 0.45)
+        .select(
+          least(col("x.vec_id"), col("y.vec_id")).as("a_id"),
+          greatest(col("x.vec_id"), col("y.vec_id")).as("b_id")
+        )
+        .orderBy("a_id", "b_id")
+    },
+    // Same oracle as q_cosine_near: the blocking is a partitioning of
+    // the identical pair set, so the result is bit-identical.
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             FROM e a JOIN e b ON a.vec_id < b.vec_id
+             WHERE ${duckCos("a.v", "b.v")} >= 0.45
+             ORDER BY a_id, b_id""")
+  )
+
   /** IVF-style ANN: vectors are assigned to the nearest of K=8 fixed
     * centroids (vec_id < 8 — a deterministic stand-in for a trained
     * codebook), the query probes only its own cluster, exact top-5
@@ -319,6 +384,6 @@ object Similarity {
   )
 
   val all: Seq[Q] =
-    Seq(qKnnCosine, qCosineNear, qAnnIvf, qAnnLsh, qPairwiseNear,
-      qMultimodalJoin, qMultimodalMeta)
+    Seq(qKnnCosine, qCosineNear, qCosineNearBlocked, qAnnIvf, qAnnLsh,
+      qPairwiseNear, qMultimodalJoin, qMultimodalMeta)
 }

@@ -52,6 +52,18 @@ class QueriesPlanSpec extends SparkSpec {
     }
   }
 
+  test("q_cosine_near_blocked: equi shuffle join on block pairs, no broadcast") {
+    val p = plan("q_cosine_near_blocked")
+    assert(p.contains("ShuffledHashJoin"), "block-pair join must shuffle")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the blocked form exists to kill the all-pairs broadcast plan")
+  }
+
+  test("q_ann_ivf: centroid assignment is a per-row expression (no Window)") {
+    val p = plan("q_ann_ivf")
+    assert(!p.contains("Window"), "assignment regressed to the N×K window shuffle")
+  }
+
   test("q_cosine_near: norms computed pre-join (single scan-side sqrt)") {
     val p = plan("q_cosine_near")
     // the per-pair predicate divides by precomputed norms — no SQRT in

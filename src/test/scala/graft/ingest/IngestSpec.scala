@@ -42,16 +42,21 @@ class IngestSpec extends SparkSpec {
   }
 
   test("§1.6: strict format — malformed transaction_date aborts the run") {
+    // Through the REAL single-pass run: the strict to_timestamp throws
+    // inside the write job's scan (no separate validation pass), and
+    // run() translates it into the reference's informative abort.
     val p = writeCsv(row("{1}"), row("{2}", date = "01/02/2024 02:58"))
-    assertThrows[IllegalArgumentException] {
-      Ingest.assertDates(Ingest.readRaw(spark, p))
+    val out = Files.createTempDirectory("ingest-bad-out-").toString
+    val meta = Files.createTempDirectory("ingest-bad-meta-").toString
+    val e = intercept[IllegalArgumentException] {
+      Ingest.run(spark, "file://" + p, out, meta)
     }
+    assert(e.getMessage.contains("malformed transaction_date"))
   }
 
-  test("§1.6: well-formed dates pass the assert and type to UTC micros") {
+  test("§1.6: well-formed dates type to UTC micros") {
     val p = writeCsv(row("{1}", date = "2024-02-01 02:58"))
     val raw = Ingest.readRaw(spark, p)
-    Ingest.assertDates(raw) // must not throw
     val ts = Ingest.typed(raw).select("transaction_date").head.getTimestamp(0)
     // session TZ is UTC: epoch of 2024-02-01T02:58Z
     assert(ts.toInstant == java.time.Instant.parse("2024-02-01T02:58:00Z"))
@@ -80,6 +85,34 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 200 && r2.rowCount == 200)
     // ...while metadata appends one row per run
     assert(spark.read.parquet(meta).count() == 2)
+  }
+
+  test("single-pass: run launches exactly 2 jobs (data write, meta write)") {
+    // The round-1 pipeline ran a validation scan BEFORE the write — a 2×
+    // read of clean input. Pin the reference's one-pass shape: the only
+    // jobs are the observed data write and the 1-row metadata append.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = Files.createTempDirectory("ingest-1pass-out-").toString
+      val meta = Files.createTempDirectory("ingest-1pass-meta-").toString
+      Ingest.run(spark, "file://" + IngestSpecFixture.path, out, meta)
+      // listener bus is async; wait for the count to go quiet
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val now = jobs.get
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      assert(jobs.get == 2, s"expected 2 jobs (data+meta writes), saw ${jobs.get}")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("op-9 CSV round-trip preserves empty-vs-NULL (SURVEY §5.2 item 4)") {
