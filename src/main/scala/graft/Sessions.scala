@@ -33,8 +33,14 @@ object Sessions {
 object FsUtil {
   def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    if (java.nio.file.Files.exists(p)) {
+      // materialize the walk, then CLOSE it — the stream holds directory
+      // handles that would otherwise leak once per checkpoint cleanup
+      val walk = java.nio.file.Files.walk(p)
+      val paths =
+        try walk.iterator().asScala.toSeq
+        finally walk.close()
+      paths.reverseIterator.foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
   }
 }

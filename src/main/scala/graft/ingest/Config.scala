@@ -25,13 +25,15 @@ final case class Config(
   def connectionUrlPsycopg: String =
     s"postgresql+psycopg://$user:$password@$host/$database"
 
-  /** `lib_env.py:52-59` — explicit-port form. */
+  /** `lib_env.py:52-59` — explicit-port form (psycopg3 dialect, like the
+    * reference's `get_postgres_psycopg3_connection_string_with_port`).
+    */
   def connectionUrlWithPort: String =
-    s"postgresql://$user:$password@$host:$port/$database"
+    s"postgresql+psycopg://$user:$password@$host:$port/$database"
 
-  /** `lib_env.py:61-68` — key-value (libpq) form. */
+  /** `lib_env.py:61-68` — key-value (libpq) form, reference field order. */
   def connectionKeyValue: String =
-    s"host=$host port=$port dbname=$database user=$user password=$password"
+    s"user=$user password=$password host=$host dbname=$database port=$port"
 
   /** The engine-native equivalent: a JDBC URL + properties for
     * `DataFrameWriter.jdbc` (what a real Postgres sink would use).

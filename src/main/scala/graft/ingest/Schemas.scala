@@ -73,3 +73,14 @@ case class RunMeta(
     write_duration_us: Long,
     upload_duration_us: Long
 )
+
+object RunMeta {
+  /** Column order for explicit-column-list sinks ([[CopySink]]). */
+  val columns: Seq[String] = Seq(
+    "auto_date", "download_size_MB", "process_start_timestamp",
+    "process_complete_timestamp", "process_duration_us",
+    "download_duration_us", "read_duration_us",
+    "datetime_convert_duration_us", "write_duration_us",
+    "upload_duration_us"
+  )
+}

@@ -16,16 +16,24 @@ import java.sql.{Date, Timestamp}
   * uses. AutoDateAggSpec asserts the two agree.
   */
 object AutoDateAgg extends Aggregator[Timestamp, Long, Date] {
-  // buffer = max epoch-millis seen; Long.MinValue = "nothing yet"
+  // buffer = max epoch-MICROS seen (full TimestampType precision — a
+  // millis buffer would order two timestamps in the same millisecond
+  // equal and silently truncate the advertised max-timestamp parity);
+  // Long.MinValue = "nothing yet"
   def zero: Long = Long.MinValue
+  private def micros(ts: Timestamp): Long =
+    math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L) + ts.getNanos / 1000
   def reduce(buf: Long, ts: Timestamp): Long =
-    if (ts == null) buf else math.max(buf, ts.getTime)
+    if (ts == null) buf else math.max(buf, micros(ts))
   def merge(a: Long, b: Long): Long = math.max(a, b)
   def finish(buf: Long): Date =
     if (buf == Long.MinValue) null
     else // floor in UTC explicitly — immune to the JVM default timezone
       Date.valueOf(
-        java.time.Instant.ofEpochMilli(buf).atZone(java.time.ZoneOffset.UTC).toLocalDate
+        java.time.Instant
+          .ofEpochSecond(Math.floorDiv(buf, 1000000L), Math.floorMod(buf, 1000000L) * 1000)
+          .atZone(java.time.ZoneOffset.UTC)
+          .toLocalDate
       )
   def bufferEncoder: Encoder[Long] = Encoders.scalaLong
   def outputEncoder: Encoder[Date] = Encoders.DATE

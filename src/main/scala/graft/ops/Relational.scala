@@ -294,6 +294,29 @@ object Relational {
             FROM lineitem""")
   )
 
+  private val viewId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Run `sql` with per-invocation UNIQUE temp-view names (dropped once
+    * the statement is analyzed): fixed names on the shared session are
+    * global mutable state — concurrent or repeated query construction
+    * would clash, and the leaked views polluted catalog listings
+    * (ADVICE r1). Dropping after `s.sql` is safe: analysis resolves the
+    * relations eagerly, the returned plan no longer needs the catalog
+    * entries.
+    */
+  private def sqlWithViews(
+      s: SparkSession,
+      views: Seq[(String, DataFrame)]
+  )(sql: Seq[String] => String): DataFrame = {
+    val names = views.map { case (base, df) =>
+      val n = s"${base}_${viewId.incrementAndGet()}"
+      df.createOrReplaceTempView(n)
+      n
+    }
+    try s.sql(sql(names))
+    finally names.foreach(s.catalog.dropTempView)
+  }
+
   /** Rollup over region→nation; subtotal NULLs coalesced to 'ALL' so the
     * sort keys are non-null (Spark and DuckDB disagree on default null
     * ordering). Expressed through the SQL front-end: Spark 4.1's
@@ -303,20 +326,21 @@ object Relational {
     */
   val qRollup = Q(
     "q_rollup",
-    (s, d) => {
-      customer(s, d).createOrReplaceTempView("customer_v")
-      nation(s, d).createOrReplaceTempView("nation_v")
-      region(s, d).createOrReplaceTempView("region_v")
-      s.sql("""SELECT coalesce(r_name, 'ALL') AS region,
-                      coalesce(n_name, 'ALL') AS nation,
-                      count(*) AS n_cust,
-                      CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal
-               FROM customer_v
-               JOIN nation_v ON c_nationkey = n_nationkey
-               JOIN region_v ON n_regionkey = r_regionkey
-               GROUP BY ROLLUP (r_name, n_name)
-               ORDER BY region, nation""")
-    },
+    (s, d) =>
+      sqlWithViews(
+        s,
+        Seq("customer_v" -> customer(s, d), "nation_v" -> nation(s, d), "region_v" -> region(s, d))
+      ) { case Seq(cv, nv, rv) =>
+        s"""SELECT coalesce(r_name, 'ALL') AS region,
+                   coalesce(n_name, 'ALL') AS nation,
+                   count(*) AS n_cust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal
+            FROM $cv
+            JOIN $nv ON c_nationkey = n_nationkey
+            JOIN $rv ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY region, nation"""
+      },
     Some("""SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
                    count(*) AS n_cust,
                    CAST(sum(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS sum_bal
@@ -359,19 +383,20 @@ object Relational {
     */
   val qGroupingSets = Q(
     "q_grouping_sets",
-    (s, d) => {
-      customer(s, d).createOrReplaceTempView("customer_gs")
-      nation(s, d).createOrReplaceTempView("nation_gs")
-      region(s, d).createOrReplaceTempView("region_gs")
-      s.sql("""SELECT coalesce(r_name, 'ALL') AS region,
-                      coalesce(n_name, 'ALL') AS nation,
-                      count(*) AS n_cust
-               FROM customer_gs
-               JOIN nation_gs ON c_nationkey = n_nationkey
-               JOIN region_gs ON n_regionkey = r_regionkey
-               GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
-               ORDER BY region, nation""")
-    },
+    (s, d) =>
+      sqlWithViews(
+        s,
+        Seq("customer_gs" -> customer(s, d), "nation_gs" -> nation(s, d), "region_gs" -> region(s, d))
+      ) { case Seq(cv, nv, rv) =>
+        s"""SELECT coalesce(r_name, 'ALL') AS region,
+                   coalesce(n_name, 'ALL') AS nation,
+                   count(*) AS n_cust
+            FROM $cv
+            JOIN $nv ON c_nationkey = n_nationkey
+            JOIN $rv ON n_regionkey = r_regionkey
+            GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+            ORDER BY region, nation"""
+      },
     Some("""SELECT coalesce(r_name, 'ALL') AS region,
                    coalesce(n_name, 'ALL') AS nation,
                    count(*) AS n_cust

@@ -118,41 +118,47 @@ object Similarity {
     * moderate-threshold join is inherently all-pairs; the scalable form
     * is this blocked shuffle, not a candidate filter.
     */
+  /** Blocked exact near-pair generation shared by
+    * [[qCosineNearBlocked]] and [[qDedupEmbedding]]: all (a_id, b_id)
+    * with a_id < b_id and cosine ≥ `threshold`, as a distributed blocked
+    * cartesian (see qCosineNearBlocked's scaladoc).
+    */
+  private def nearPairsBlocked(s: SparkSession, d: String, threshold: Double): DataFrame = {
+    val B = 16 // blocks; at 100 TB pick B ≈ n / (rows that fit a task)
+    val emb = fanOut(
+      embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("v")
+      )
+    ).select(
+      col("vec_id"),
+      col("v"),
+      sqrt(norm2(col("v"))).as("nrm"),
+      pmod(col("vec_id"), lit(B)).cast("int").as("bid")
+    )
+    // x covers block pairs (bid, kb) with kb ≥ bid; y covers (ka, bid)
+    // with ka ≤ bid — every unordered block pair handled exactly once.
+    val x = emb.withColumn("kb", explode(sequence(col("bid"), lit(B - 1))))
+    val y = emb.withColumn("ka", explode(sequence(lit(0), col("bid"))))
+    x.as("x")
+      .hint("shuffle_hash") // never broadcast a replicated fact side
+      .join(
+        y.as("y"),
+        col("x.bid") === col("y.ka") && col("x.kb") === col("y.bid") &&
+          // same block: dedupe by id order; cross block: the key
+          // structure already yields each pair once (either order)
+          (col("x.bid") =!= col("y.bid") || col("x.vec_id") < col("y.vec_id"))
+      )
+      .where(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) >= threshold)
+      .select(
+        least(col("x.vec_id"), col("y.vec_id")).as("a_id"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("b_id")
+      )
+  }
+
   val qCosineNearBlocked = Q(
     "q_cosine_near_blocked",
-    (s, d) => {
-      val B = 16 // blocks; at 100 TB pick B ≈ n / (rows that fit a task)
-      val emb = fanOut(
-        embeddings(s, d).select(
-          col("vec_id"),
-          col("embedding").cast("array<double>").as("v")
-        )
-      ).select(
-        col("vec_id"),
-        col("v"),
-        sqrt(norm2(col("v"))).as("nrm"),
-        pmod(col("vec_id"), lit(B)).cast("int").as("bid")
-      )
-      // x covers block pairs (bid, kb) with kb ≥ bid; y covers (ka, bid)
-      // with ka ≤ bid — every unordered block pair handled exactly once.
-      val x = emb.withColumn("kb", explode(sequence(col("bid"), lit(B - 1))))
-      val y = emb.withColumn("ka", explode(sequence(lit(0), col("bid"))))
-      x.as("x")
-        .hint("shuffle_hash") // never broadcast a replicated fact side
-        .join(
-          y.as("y"),
-          col("x.bid") === col("y.ka") && col("x.kb") === col("y.bid") &&
-            // same block: dedupe by id order; cross block: the key
-            // structure already yields each pair once (either order)
-            (col("x.bid") =!= col("y.bid") || col("x.vec_id") < col("y.vec_id"))
-        )
-        .where(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) >= 0.45)
-        .select(
-          least(col("x.vec_id"), col("y.vec_id")).as("a_id"),
-          greatest(col("x.vec_id"), col("y.vec_id")).as("b_id")
-        )
-        .orderBy("a_id", "b_id")
-    },
+    (s, d) => nearPairsBlocked(s, d, 0.45).orderBy("a_id", "b_id"),
     // Same oracle as q_cosine_near: the blocking is a partitioning of
     // the identical pair set, so the result is bit-identical.
     Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -332,6 +338,34 @@ object Similarity {
     None
   )
 
+  /** Embedding-cosine near-duplicate DEDUP (the E10 mandate's fifth
+    * family, closing the loop from pair detection to survivor
+    * selection): a vector survives iff it has NO lower-id near-duplicate
+    * (cos ≥ 0.45) — the standard "keep the smallest id in each
+    * neighborhood" rule, evaluated as a left-anti join of the corpus
+    * against the dominated side of the blocked exact pair join. Scale
+    * shape = [[nearPairsBlocked]] (one blocked shuffle) + one anti-join
+    * shuffle on vec_id; no broadcast of anything corpus-sized.
+    */
+  val qDedupEmbedding = Q(
+    "q_dedup_embedding",
+    (s, d) => {
+      val dominated = nearPairsBlocked(s, d, 0.45).select(col("b_id").as("vec_id"))
+      embeddings(s, d)
+        .select(col("vec_id"))
+        .join(dominated, Seq("vec_id"), "left_anti")
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             dominated AS (
+               SELECT b.vec_id
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE ${duckCos("a.v", "b.v")} >= 0.45)
+             SELECT vec_id FROM embeddings
+             WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+             ORDER BY vec_id""")
+  )
+
   /** Multimodal columns are first-class: text + array<float> + typed
     * metadata flow through join/filter/project with no custom type.
     */
@@ -384,6 +418,6 @@ object Similarity {
   )
 
   val all: Seq[Q] =
-    Seq(qKnnCosine, qCosineNear, qCosineNearBlocked, qAnnIvf, qAnnLsh,
-      qPairwiseNear, qMultimodalJoin, qMultimodalMeta)
+    Seq(qKnnCosine, qCosineNear, qCosineNearBlocked, qDedupEmbedding,
+      qAnnIvf, qAnnLsh, qPairwiseNear, qMultimodalJoin, qMultimodalMeta)
 }

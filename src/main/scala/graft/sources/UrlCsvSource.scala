@@ -91,9 +91,19 @@ final class UrlCsvReaderFactory(nCols: Int) extends PartitionReaderFactory {
 final class UrlCsvReader(url: String, nCols: Int) extends PartitionReader[InternalRow] {
   import com.univocity.parsers.csv.{CsvParser, CsvParserSettings}
 
-  private val in = new java.io.BufferedInputStream(
-    new java.net.URI(url).toURL.openStream(), 8 * 1024 * 1024 // op-1's 8 MiB chunks
-  )
+  private val in = {
+    // Bounded connect/read timeouts (reference op-1/2 downloads are
+    // bounded attempts, `main.py:93-132`): a stalled server FAILS the
+    // task so Spark's scheduler retry — the distributed analogue of the
+    // reference's retry loop — actually triggers, instead of hanging
+    // the executor forever.
+    val conn = new java.net.URI(url).toURL.openConnection()
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(60000)
+    new java.io.BufferedInputStream(
+      conn.getInputStream, 8 * 1024 * 1024 // op-1's 8 MiB chunks
+    )
+  }
   private val parser: CsvParser = {
     val s = new CsvParserSettings
     s.setMaxColumns(nCols + 8)

@@ -108,6 +108,10 @@ object Replay {
 
   final case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp, n: Int)
+  /** Per-user state: the OPEN session fragments, kept until the
+    * watermark proves no admissible event can extend them.
+    */
+  final case class SessionAcc(open: Seq[SessionState])
   final case class Session(
       user_id: Long,
       session_start: java.sql.Timestamp,
@@ -117,53 +121,70 @@ object Replay {
 
   private val GapMs = 30L * 60 * 1000
 
+  private def tsMin(a: java.sql.Timestamp, b: java.sql.Timestamp) =
+    if (a.compareTo(b) <= 0) a else b
+  private def tsMax(a: java.sql.Timestamp, b: java.sql.Timestamp) =
+    if (a.compareTo(b) >= 0) a else b
+
   /** Custom stateful operator: sessionization with a 30-minute idle gap
     * via flatMapGroupsWithState (the KeyValueGroupedDataset custom-state
-    * surface). A session closes when the gap is exceeded by a later
-    * event of the same user, or when the event-time timeout fires
-    * (watermark passed last+gap with no new data).
+    * surface).
+    *
+    * Correct for ANY arrival order the 1-hour watermark admits: state
+    * holds a LIST of open session fragments, an event merges into (and
+    * can bridge) every fragment within the gap of it, and a fragment is
+    * emitted only once the watermark passes `last + gap` — i.e. once no
+    * admissible future event can extend or bridge it. (The round-1
+    * single-fragment version emitted a session as soon as a later event
+    * exceeded the gap, so a late-but-in-watermark event could corrupt
+    * or falsely split sessions — ADVICE r1.) This makes the streamed
+    * output equal [[sessionizeBatch]]'s lag-gap ground truth for every
+    * delivery order with lateness under the watermark; ReplaySpec
+    * replays a delayed-delivery reordering to prove it.
     *
     * Gap decisions use millisecond precision on both the streaming and
-    * batch sides ([[sessionizeBatch]]); emitted timestamps are the exact
-    * event timestamps (micros preserved).
+    * batch sides; emitted timestamps are the exact event timestamps
+    * (micros preserved — fragment bounds compare by full precision).
     */
   def sessionize(events: Dataset[Evt]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionAcc, Session](
         OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout
-      ) { (uid: Long, it: Iterator[Evt], state: GroupState[SessionState]) =>
-        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        var cur = state.getOption
-        val out = Seq.newBuilder[Session]
-        if (state.hasTimedOut) {
-          cur.foreach(s => out += Session(uid, s.start, s.last, s.n))
-          state.remove()
-          cur = None
-        }
-        for (e <- sorted) {
-          cur match {
-            case Some(s) if e.ts.getTime - s.last.getTime <= GapMs =>
-              cur = Some(SessionState(s.start, e.ts, s.n + 1))
-            case Some(s) =>
-              out += Session(uid, s.start, s.last, s.n)
-              cur = Some(SessionState(e.ts, e.ts, 1))
-            case None =>
-              cur = Some(SessionState(e.ts, e.ts, 1))
+      ) { (uid: Long, it: Iterator[Evt], state: GroupState[SessionAcc]) =>
+        var frags: Seq[SessionState] =
+          state.getOption.map(_.open).getOrElse(Seq.empty)
+        // Insert each event: merge every fragment within the gap (one
+        // event can bridge two fragments into one).
+        for (e <- it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+          val t = e.ts.getTime
+          val (touch, rest) = frags.partition(f =>
+            t >= f.start.getTime - GapMs && t <= f.last.getTime + GapMs)
+          val merged = touch.foldLeft(SessionState(e.ts, e.ts, 1)) { (m, f) =>
+            SessionState(tsMin(m.start, f.start), tsMax(m.last, f.last), m.n + f.n)
           }
+          frags = merged +: rest
         }
-        cur.foreach { s =>
-          state.update(s)
+        // Emit exactly the fragments no admissible event can still touch
+        // (events older than the watermark are dropped upstream, so
+        // ts >= wm always; a fragment with last + gap < wm is final).
+        val wm = state.getCurrentWatermarkMs()
+        val (due, open) = frags.partition(_.last.getTime + GapMs < wm)
+        if (open.isEmpty) state.remove()
+        else {
+          state.update(SessionAcc(open.sortBy(_.start.getTime)))
           // Timeout must stay above the current watermark or Spark
-          // rejects it; a clamped session emits on a later batch.
+          // rejects it; a clamped fragment emits on a later batch.
           state.setTimeoutTimestamp(
-            math.max(s.last.getTime + GapMs, state.getCurrentWatermarkMs() + 1)
+            math.max(open.map(_.last.getTime + GapMs).min, wm + 1)
           )
         }
-        out.result().iterator
+        due.sortBy(_.start.getTime)
+          .map(f => Session(uid, f.start, f.last, f.n))
+          .iterator
       }
   }
 
@@ -194,26 +215,24 @@ object Replay {
       .select("user_id", "session_start", "session_end", "n_events")
   }
 
-  /** Run sessionization over a directory of event files, collecting all
-    * emitted sessions (foreachBatch accumulator).
+  /** Run sessionization over a directory of event files, streaming
+    * emitted sessions straight to a parquet sink — the production wiring
+    * (executor-parallel write, nothing accumulates on the driver) —
+    * then hand back the sink contents as a lazy Dataset.
     */
-  def replaySessions(spark: SparkSession, dir: String): Seq[Session] = {
+  def replaySessions(spark: SparkSession, dir: String, outDir: String): Dataset[Session] = {
     import spark.implicits._
-    val sink = new java.util.concurrent.ConcurrentLinkedQueue[Session]()
     val evts = readEvents(spark, dir).select("event_id", "ts", "user_id").as[Evt]
     val ckpt = java.nio.file.Files.createTempDirectory("sess-ckpt-")
     val q = sessionize(evts).writeStream
+      .format("parquet")
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (batch: Dataset[Session], _: Long) =>
-        batch.collect().foreach(sink.add)
-        ()
-      }
+      .option("path", outDir)
       .start()
     q.awaitTermination()
     graft.FsUtil.deleteRecursively(ckpt)
-    import scala.jdk.CollectionConverters._
-    sink.asScala.toSeq
+    spark.read.parquet(outDir).as[Session]
   }
 }

@@ -34,8 +34,8 @@ class CatalogConfigSpec extends SparkSpec {
     assert(c.connectionUrl == "postgresql://u:pw@h/db")
     assert(c.connectionUrlPsycopg2 == "postgresql+psycopg2://u:pw@h/db")
     assert(c.connectionUrlPsycopg == "postgresql+psycopg://u:pw@h/db")
-    assert(c.connectionUrlWithPort == "postgresql://u:pw@h:5432/db")
-    assert(c.connectionKeyValue == "host=h port=5432 dbname=db user=u password=pw")
+    assert(c.connectionUrlWithPort == "postgresql+psycopg://u:pw@h:5432/db")
+    assert(c.connectionKeyValue == "user=u password=pw host=h dbname=db port=5432")
     assert(c.jdbcUrl == "jdbc:postgresql://h:5432/db")
   }
 

@@ -1,0 +1,137 @@
+package graft.ingest
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** op-10 COPY sink: the per-partition `COPY ... FROM STDIN` body
+  * serialized with the reference's exact byte convention
+  * (`main.py:194-251`: pandas to_csv QUOTE_MINIMAL feeding
+  * `FORMAT csv, NULL '\N'`), exercised against a stream-capturing fake
+  * in place of pgjdbc's CopyManager (no database in this environment).
+  */
+class CopySinkSpec extends SparkSpec {
+
+  import CopySinkSpec._
+
+  private def sink(table: String = "land_registry_simple.pp_complete_data",
+                   cols: Seq[String] = Seq("a", "b", "c")) =
+    CopySink(table, cols, () => new FakeTarget)
+
+  test("copy statement matches the reference form") {
+    val s = CopySink(
+      "land_registry_simple.pp_complete_data",
+      graft.ingest.PPComplete.columns,
+      () => new FakeTarget
+    )
+    assert(s.copySql ==
+      "COPY land_registry_simple.pp_complete_data (transaction_unique_id, " +
+        "price, transaction_date, postcode, property_type, new_tag, lease, " +
+        "primary_address_object_name, secondary_address_object_name, street, " +
+        "locality, town_city, district, county, ppd_cat, record_op) " +
+        "FROM STDIN WITH (FORMAT csv, NULL '\\N')")
+  }
+
+  test("overwrite = driver-side TRUNCATE then per-partition COPY") {
+    FakeTarget.reset()
+    import spark.implicits._
+    val df = Seq(("x", "y", "z")).toDF("a", "b", "c").coalesce(1)
+    sink().overwrite(df)
+    assert(FakeTarget.executed.toArray.toSeq ==
+      Seq("TRUNCATE TABLE land_registry_simple.pp_complete_data"))
+    assert(FakeTarget.payloads().map(_._2) == Seq("x,y,z\n"))
+  }
+
+  test("serialization: '' vs \\N, QUOTE_MINIMAL, timestamp normalization") {
+    FakeTarget.reset()
+    val rows = Seq(
+      org.apache.spark.sql.Row("plain", "", null),
+      org.apache.spark.sql.Row("has,comma", "has\"quote", "line\nbreak"),
+      org.apache.spark.sql.Row("\\N", "end", "x") // a LITERAL backslash-N string
+    )
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("a", "b", "c").map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))
+    )
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema
+    ).coalesce(1)
+    sink().append(df)
+    val payload = FakeTarget.payloads().map(_._2).mkString
+    assert(payload.contains("plain,,\\N\n"))        // '' empty field; NULL → \N
+    // QUOTE_MINIMAL: comma/quote/newline fields quoted, quotes doubled,
+    // the embedded newline kept verbatim inside the quotes
+    assert(payload.contains("\"has,comma\",\"has\"\"quote\",\"line\nbreak\"\n"))
+    // NOTE: the literal string \N serializes unquoted and would load as
+    // NULL — the same lossy corner the reference has (pandas to_csv
+    // writes it bare too); §1.5 data never contains it.
+    assert(payload.contains("\\N,end,x\n"))
+  }
+
+  test("timestamps serialize as the reference's normalized round-trip form") {
+    FakeTarget.reset()
+    import spark.implicits._
+    val df = Seq("2024-02-01 02:58")
+      .toDF("raw")
+      .select(to_timestamp(col("raw"), "yyyy-MM-dd HH:mm").as("ts"), lit(7).as("n"))
+      .coalesce(1)
+    sink(cols = Seq("ts", "n")).append(df)
+    assert(FakeTarget.payloads().map(_._2) == Seq("2024-02-01 02:58:00+00:00,7\n"))
+  }
+
+  test("one COPY channel per non-empty partition") {
+    FakeTarget.reset()
+    import spark.implicits._
+    val df = (1 to 8).map(i => (s"r$i", "v", "w")).toDF("a", "b", "c").repartition(4)
+    sink().append(df)
+    val ps = FakeTarget.payloads()
+    assert(ps.size == 4)
+    assert(ps.map(_._2).mkString.split("\n").length == 8)
+    assert(ps.forall(_._1.startsWith("COPY land_registry_simple")))
+  }
+
+  test("ingest runs end-to-end through the COPY sink") {
+    FakeTarget.reset()
+    val url = "file://" + IngestSpecFixture.path
+    val data = sink(table = "land_registry_simple.pp_complete_data",
+      cols = PPComplete.columns)
+    val meta = sink(table = "land_registry_simple.pp_complete_metadata",
+      cols = RunMeta.columns)
+    val r = Ingest.run(spark, url, data, meta)
+    assert(r.rowCount == 200)
+    val rows = FakeTarget.payloads()
+      .filter(_._1.contains("pp_complete_data"))
+      .map(_._2).mkString.split("\n").filter(_.nonEmpty)
+    assert(rows.length == 200)
+    // §1.6 normalization reached the wire format
+    assert(rows.forall(_.matches(".*\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\+00:00.*")))
+    assert(FakeTarget.executed.toArray.toSeq
+      .contains("TRUNCATE TABLE land_registry_simple.pp_complete_data"))
+  }
+}
+
+object CopySinkSpec {
+  /** Capturing fake CopyTarget — static queues because foreachPartition
+    * closures deserialize on (local-mode) executors.
+    */
+  final class FakeTarget extends CopyTarget {
+    def execute(sql: String): Unit = { FakeTarget.executed.add(sql); () }
+    def copyIn(sql: String, lines: Iterator[String]): Long = {
+      val payload = lines.mkString
+      FakeTarget.copied.add(sql -> payload)
+      payload.count(_ == '\n').toLong
+    }
+    def close(): Unit = ()
+  }
+
+  object FakeTarget {
+    val executed = new ConcurrentLinkedQueue[String]()
+    val copied = new ConcurrentLinkedQueue[(String, String)]()
+    def reset(): Unit = { executed.clear(); copied.clear() }
+    def payloads(): Seq[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      copied.asScala.toSeq.sortBy(_._2)
+    }
+  }
+}

@@ -12,15 +12,21 @@ import graft.SparkSpec
   */
 class ReplaySpec extends SparkSpec {
 
-  /** Split sf0.001 events (raw nanos schema) into `slices` time-ordered
-    * parquet files in a fresh dir, so maxFilesPerTrigger=1 replays them
-    * as chronological micro-batches. Returns the dir.
+  /** Split sf0.001 events (raw nanos schema) into `slices` parquet files
+    * in a fresh dir, ordered by DELIVERY time (event time + `delayNanos`
+    * per event), so maxFilesPerTrigger=1 replays them as micro-batches.
+    * delayNanos == 0 gives chronological replay; a nonzero bounded delay
+    * produces out-of-order arrival within the watermark. Returns the dir.
     */
-  private def sliceEvents(slices: Int, sentinel: Boolean): String = {
+  private def sliceEvents(
+      slices: Int,
+      sentinel: Boolean,
+      delayNanos: org.apache.spark.sql.Row => Long = _ => 0L
+  ): String = {
     val dir = Files.createTempDirectory("events-replay-")
     val raw = spark.read.schema(Replay.rawSchema)
       .parquet(s"$sf0001/events.parquet")
-    val rows = raw.collect().sortBy(_.getLong(1)) // by ts nanos
+    val rows = raw.collect().sortBy(r => r.getLong(1) + delayNanos(r)) // by delivery time
     val per = math.ceil(rows.length.toDouble / slices).toInt
     val groups = rows.grouped(per).toSeq
     def writeSlice(rs: Seq[org.apache.spark.sql.Row], idx: Int): Unit = {
@@ -61,9 +67,10 @@ class ReplaySpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
-  test("sessionize: streamed flatMapGroupsWithState == batch lag-gap sessions") {
-    val dir = sliceEvents(4, sentinel = true)
-    val emitted = Replay.replaySessions(spark, dir)
+  private def assertSessionsMatchBatch(dir: String): Unit = {
+    val out = Files.createTempDirectory("sess-out-").toString + "/sessions"
+    val emitted = Replay.replaySessions(spark, dir, out)
+      .collect().toSeq
       .filter(_.user_id != -1L)
       .sortBy(s => (s.user_id, s.session_start.getTime))
     val expected = Replay.sessionizeBatch(batchEvents(dir).where(col("user_id") =!= -1L))
@@ -73,6 +80,21 @@ class ReplaySpec extends SparkSpec {
       .toSeq
     assert(emitted.nonEmpty)
     assert(emitted == expected)
+  }
+
+  test("sessionize: streamed flatMapGroupsWithState == batch lag-gap sessions") {
+    assertSessionsMatchBatch(sliceEvents(4, sentinel = true))
+  }
+
+  test("sessionize: out-of-order delivery within the watermark still == batch") {
+    // Every third event is delivered 25 minutes late (< 1 h watermark,
+    // comparable to the 30 min gap): sessions can arrive end-first,
+    // events can land inside or before already-open fragments, and one
+    // late event can bridge two fragments. The multi-fragment state must
+    // still reproduce the batch ground truth exactly.
+    val lateEvery3 = (r: org.apache.spark.sql.Row) =>
+      if (r.getLong(0) % 3 == 0) 25L * 60 * 1000000000L else 0L
+    assertSessionsMatchBatch(sliceEvents(6, sentinel = true, delayNanos = lateEvery3))
   }
 
   test("q_stream_window declared query runs on the plain sf dir") {
