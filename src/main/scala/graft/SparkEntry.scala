@@ -17,7 +17,9 @@ object SparkEntry {
     Relational.all ++ IngestQueries.all ++ Dedup.all ++ TextOps.all ++
       Similarity.all ++ Multimodal.all ++
       Seq(AutoDateAgg.qAutoDateAgg, TopKAgg.qTopkPerKey,
-        graft.streaming.Replay.qStreamWindow)
+        graft.streaming.Replay.qStreamWindow,
+        graft.streaming.Replay.qStreamJoin,
+        graft.streaming.Replay.qStreamDedup)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's own pipeline shape — ingest the pp-complete fixture,

@@ -106,6 +106,107 @@ object Replay {
     None
   )
 
+  /** Stream-stream RANGE JOIN (the streaming analogue of the batch
+    * q_range_join): same user, later event within 60 s, both sides
+    * watermarked 1 h. State on each side is bounded by the watermark:
+    * a left row is evicted once the watermark passes `a_ts + 60 s`,
+    * provably after the last admissible match — so the INNER join's
+    * result set is INDEPENDENT of trigger boundaries and equals the
+    * batch join exactly (which is why q_stream_join can carry the same
+    * DuckDB oracle as q_range_join: a hash-verified streaming operator).
+    */
+  def rangeJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val a = readEvents(spark, dir)
+      .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val b = readEvents(spark, dir)
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    a.join(
+      b,
+      col("user_id") === col("b_user") &&
+        col("a_id") < col("b_id") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") < col("a_ts") + expr("INTERVAL 60 SECONDS")
+    ).select("user_id", "a_id", "b_id")
+  }
+
+  /** Replay [[rangeJoinStream]] to completion (memory sink — the match
+    * set is band-bounded and small relative to the input).
+    */
+  def replayRangeJoin(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("join-ckpt-")
+    val q = rangeJoinStream(spark, dir).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    q.awaitTermination()
+    graft.FsUtil.deleteRecursively(ckpt)
+    spark.table(name)
+  }
+
+  /** Declared query: the streaming range join over the sf directory,
+    * totally ordered — and ORACLED with the same SQL as q_range_join
+    * (see [[rangeJoinStream]] for why the result is trigger-invariant).
+    */
+  val qStreamJoin: graft.ops.Q = graft.ops.Q(
+    "q_stream_join",
+    (s, d) =>
+      replayRangeJoin(s, s"$d/events*.parquet",
+        s"replay_join_${runCounter.incrementAndGet()}")
+        .orderBy("user_id", "a_id", "b_id"),
+    Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 60 SECOND
+            ORDER BY a.user_id, a_id, b_id""")
+  )
+
+  /** Streaming exact dedup (E10 × E14): first event per (user_id,
+    * event_type) via dropDuplicatesWithinWatermark — per-key state is
+    * EVICTED once the watermark passes it (the scale-correct streaming
+    * dedup; plain dropDuplicates would grow state forever). A key whose
+    * duplicates span more than the watermark re-emits — so the declared
+    * query projects the distinct KEY SET, which is watermark-invariant
+    * and oracled against batch DISTINCT; ReplaySpec bounds re-emission
+    * separately.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type", "event_id", "ts")
+
+  /** Replay [[dedupStream]] to completion (memory sink). */
+  def replayDedup(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory("dedup-ckpt-")
+    val q = dedupStream(readEvents(spark, dir)).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    q.awaitTermination()
+    graft.FsUtil.deleteRecursively(ckpt)
+    spark.table(name)
+  }
+
+  val qStreamDedup: graft.ops.Q = graft.ops.Q(
+    "q_stream_dedup",
+    (s, d) =>
+      replayDedup(s, s"$d/events*.parquet",
+        s"replay_dedup_${runCounter.incrementAndGet()}")
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type"),
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type""")
+  )
+
   final case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp, n: Int)
   /** Per-user state: the OPEN session fragments, kept until the

@@ -101,4 +101,38 @@ class ReplaySpec extends SparkSpec {
     val n = Replay.qStreamWindow.fn(spark, sf0001).count()
     assert(n > 0)
   }
+
+  test("stream-stream range join: multi-batch replay == batch join exactly") {
+    // 4 micro-batches: pairs straddle trigger boundaries, so this fails
+    // if cross-batch state retention or eviction is wrong.
+    val dir = sliceEvents(4, sentinel = false)
+    val streamed = Replay.replayRangeJoin(spark, dir, "spec_range_join")
+      .orderBy("user_id", "a_id", "b_id").collect()
+    val e = batchEvents(dir)
+    val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+    val batch = a.join(
+        b,
+        col("user_id") === col("b_user") && col("a_id") < col("b_id") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") < col("a_ts") + expr("INTERVAL 60 SECONDS"))
+      .select("user_id", "a_id", "b_id")
+      .orderBy("user_id", "a_id", "b_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming dedup: key set == batch distinct, re-emission bounded") {
+    val dir = sliceEvents(4, sentinel = false)
+    val out = Replay.replayDedup(spark, dir, "spec_dedup").collect()
+    val keys = out.map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batchKeys = batchEvents(dir)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keys.toSet == batchKeys) // complete: nothing lost, nothing invented
+    // re-emission only when a key's duplicates span > the 1 h watermark:
+    // far fewer emissions than input events
+    val nEvents = batchEvents(dir).count()
+    assert(keys.size < nEvents / 2, s"dedup emitted ${keys.size} of $nEvents events")
+  }
 }
