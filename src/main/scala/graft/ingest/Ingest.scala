@@ -120,6 +120,24 @@ object Ingest {
         }
     }
 
+  /** op-13 stage-metric recovery: the reference measures read /
+    * datetime-convert / write / upload as separate wall-clock spans
+    * (`main.py:211-249`); Spark FUSES scan→convert→write into one
+    * whole-stage-codegen pipeline, so the engine-honest equivalents come
+    * from the write job's own metric system (QueryExecutionListener):
+    * `pipelineTime` = the executor-side fused scan+convert pipeline
+    * duration (ms). Returns it in microseconds.
+    */
+  private def recoverStageMetrics(
+      qe: org.apache.spark.sql.execution.QueryExecution
+  ): Long = {
+    var pipelineMs = 0L
+    qe.executedPlan.foreach { n =>
+      n.metrics.get("pipelineTime").foreach(m => pipelineMs += math.max(0L, m.value))
+    }
+    pipelineMs * 1000
+  }
+
   /** Full run (op-15 orchestration): fetch → scan → type → write with the
     * max(transaction_date) observed on the same pass (op-7 "auto_date"),
     * floored to a calendar date (op-8) — then append one provenance row
@@ -167,9 +185,27 @@ object Ingest {
         max(col("transaction_date")).as("max_ts"),
         count(lit(1)).as("n_rows")
       )
-      // ops 10-11: full-refresh bulk load — the ONE job over the input
-      // (strict-date abort fires in this scan, §1.6).
-      rethrowMalformed(dataSink.overwrite(observed))
+      // Capture the write's QueryExecution for op-13 metric recovery
+      // (the listener bus is async — latch before reading).
+      val qeLatch = new java.util.concurrent.CountDownLatch(1)
+      @volatile var writeQe: org.apache.spark.sql.execution.QueryExecution = null
+      val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
+        def onSuccess(f: String, q: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
+          if (writeQe == null) { writeQe = q; qeLatch.countDown() }
+        }
+        def onFailure(f: String, q: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit =
+          qeLatch.countDown()
+      }
+      spark.listenerManager.register(qeListener)
+      val pipelineUs =
+        try {
+          // ops 10-11: full-refresh bulk load — the ONE job over the input
+          // (strict-date abort fires in this scan, §1.6).
+          rethrowMalformed(dataSink.overwrite(observed))
+          if (qeLatch.await(10, java.util.concurrent.TimeUnit.SECONDS) && writeQe != null)
+            recoverStageMetrics(writeQe)
+          else 0L
+        } finally spark.listenerManager.unregister(qeListener)
       val wrUs = (System.nanoTime() - wr0) / 1000
 
       val stats = obs.get
@@ -189,10 +225,17 @@ object Ingest {
         process_complete_timestamp = end,
         process_duration_us = (System.nanoTime() - t0) / 1000,
         download_duration_us = dlUs,
-        read_duration_us = 0L, // scan+write fused in Spark; split timings are not separable
-        datetime_convert_duration_us = 0L,
+        // op-13 recovery: the fused scan+datetime-convert executor
+        // pipeline, from the engine's own metrics (ms granularity — can
+        // legitimately be 0 for sub-ms pipelines). The convert share is
+        // not separable from the read (whole-stage codegen), so it is
+        // reported fused here and 0 below, documented.
+        read_duration_us = pipelineUs,
+        datetime_convert_duration_us = 0L, // fused into read_duration_us
         write_duration_us = wrUs,
-        upload_duration_us = wrUs
+        // sink-side share of the write job: wall minus the fused
+        // scan/convert pipeline (reference: database_upload_duration)
+        upload_duration_us = math.max(0L, wrUs - pipelineUs)
       )
       // op-12: single-row append to the metadata table.
       import spark.implicits._

@@ -80,6 +80,13 @@ class IngestSpec extends SparkSpec {
     val m = spark.read.parquet(meta)
     assert(m.count() == 1)
     assert(m.select("auto_date").head.getDate(0) == expected)
+    // op-13 stage metrics: the fused scan+convert pipeline duration is
+    // recovered from the write job's own metrics (ms granularity, so 0
+    // is legal on a sub-ms pipeline but it must never exceed the write
+    // wall), and upload is the sink-side remainder.
+    assert(r.meta.read_duration_us >= 0L)
+    assert(r.meta.read_duration_us <= r.meta.write_duration_us)
+    assert(r.meta.upload_duration_us == r.meta.write_duration_us - r.meta.read_duration_us)
     // op-11 full refresh: a second run overwrites, not appends, data...
     val r2 = Ingest.run(spark, url, out, meta)
     assert(spark.read.parquet(out).count() == 200 && r2.rowCount == 200)
