@@ -39,11 +39,13 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 /** Distinct word n-gram shingles as 61-bit rolling hashes
-  * (`array<long>`). For pair-verification workloads the per-pair
-  * `array_intersect` dominates; comparing 8-byte longs instead of
-  * UTF8Strings cuts that cost several-fold. Collision probability per
-  * compared pair is ≈ |sets|²/2⁶¹ (~10⁻¹⁴ here) — and deterministic:
-  * the same corpus always yields the same result.
+  * (`array<long>`), SORTED ascending. For pair-verification workloads
+  * the per-pair intersection dominates; comparing 8-byte longs instead
+  * of UTF8Strings cuts that cost several-fold, and the sorted contract
+  * lets [[SortedLongIntersectCount]] merge-count pairs in O(|A|+|B|)
+  * with no per-pair hash set. Collision probability per compared pair
+  * is ≈ |sets|²/2⁶¹ (~10⁻¹⁴ here) — and deterministic: the same corpus
+  * always yields the same result.
   */
 case class WordShingleHashes(child: Expression, n: Int)
     extends UnaryExpression
@@ -92,12 +94,14 @@ object ShingleUtil {
   }
 
   /** Static entry called from generated Java: distinct shingles as
-    * rolling hashes, first-occurrence order.
+    * rolling hashes, sorted ascending (the [[SortedLongIntersectCount]]
+    * input contract; every consumer — explode, minhash min, set
+    * intersection — is order-independent).
     */
   def shingleHashes(text: UTF8String, n: Int): ArrayData = {
     val words = text.toString.split(" ", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[java.lang.Long]((words.length - n + 1) * 2)
+    val seen = new java.util.TreeSet[java.lang.Long]()
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i + n <= words.length) {

@@ -29,6 +29,18 @@ object TextHash {
       WordShingleHashes(org.apache.spark.sql.graft.ColumnBridge.expression(text), n)
     )
 
+  /** |A ∩ B| of two sorted distinct `array<long>` columns (the
+    * [[shingleHashes]] contract) — codegen merge loop, no per-pair
+    * allocation ([[SortedLongIntersectCount]]).
+    */
+  def intersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SortedLongIntersectCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)
+      )
+    )
+
   /** MinHash signature column i: min over exploded shingles of a seeded
     * 64-bit hash. Seeding via an extra lit column re-keys xxhash64 —
     * k independent-enough permutation approximations.

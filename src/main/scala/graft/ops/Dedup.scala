@@ -119,7 +119,9 @@ object Dedup {
       .select(
         col("a_id"),
         col("b_id"),
-        size(array_intersect(col("sa"), col("sb"))).as("shared"),
+        // codegen merge-count over the sorted hash arrays — the builtin
+        // array_intersect allocates a hash set per pair
+        TextHash.intersectCount(col("sa"), col("sb")).as("shared"),
         size(col("sa")).as("na"),
         size(col("sb")).as("nb")
       )

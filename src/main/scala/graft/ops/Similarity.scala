@@ -266,7 +266,9 @@ object Similarity {
         .select(
           col("a.doc_id").as("a_id"),
           col("b.doc_id").as("b_id"),
-          size(array_intersect(col("a.sh"), col("b.sh"))).as("shared"),
+          // codegen merge-count over sorted hashes (shingleHashes
+          // contract) — array_intersect allocates a hash set per pair
+          graft.functions.TextHash.intersectCount(col("a.sh"), col("b.sh")).as("shared"),
           col("a.n").as("na"),
           col("b.n").as("nb")
         )

@@ -97,6 +97,30 @@ class VectorExprsSparkSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("intersectCount over shingle hashes == size(array_intersect)") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.documents(spark, sf0001).limit(60)
+      .select(col("doc_id"), TextHash.shingleHashes(col("text"), 3).as("sh"))
+    val pairs = docs.as("a")
+      .crossJoin(docs.select(col("doc_id").as("b_id"), col("sh").as("shb")).as("b"))
+      .select(
+        TextHash.intersectCount(col("sh"), col("shb")).as("got"),
+        size(array_intersect(col("sh"), col("shb"))).as("ref")
+      ).as[(Int, Int)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (got, ref) => assert(got == ref) }
+  }
+
+  test("shingleHashes output is sorted ascending and distinct") {
+    import spark.implicits._
+    val rows = graft.ops.Tables.documents(spark, sf0001).limit(100)
+      .select(TextHash.shingleHashes(col("text"), 3)).as[Seq[Long]].collect()
+    rows.foreach { sh =>
+      assert(sh == sh.sorted, "sorted contract violated")
+      assert(sh.distinct.size == sh.size, "distinct contract violated")
+    }
+  }
+
   test("hamming == manual bit count") {
     import spark.implicits._
     val pairs = Seq((0L, 0L), (-1L, 0L), (0x5555555555555555L, 0L), (123456789L, 987654321L))
