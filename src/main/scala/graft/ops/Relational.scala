@@ -161,12 +161,49 @@ object Relational {
             ORDER BY o_orderkey""")
   )
 
-  /** Range (theta) self-join on events: same user, later event within
-    * 60 s. Equi key user_id + range predicate → Spark plans a shuffle on
-    * user_id with the band as a join filter; at 100 TB add a time-bucket
-    * blocking key ((ts div 60s) and join on bucket±1) to bound per-key
-    * fan-out — the equi-key form here is the correct first shape.
+  /** Time-bucket-blocked band join: same user, later event, b_ts within
+    * [a_ts, a_ts + 60 s). The equi key is (user_id, minute-bucket), not
+    * user_id alone: since 0 ≤ b_ts − a_ts < 60 s, b's bucket is either
+    * a's or a's + 1, so the a side replicates each row to those two
+    * bucket keys and the band becomes a plain equi join + residual
+    * filter. This bounds per-task fan-out by events-per-user-per-MINUTE
+    * squared — a bot-like user with k events no longer makes one task do
+    * O(k²) band checks (VERDICT r2 "what's wrong" #3); the 2× a-side
+    * replication is the standard interval-blocking price.
+    *
+    * Exactly one replica matches each true pair (the two replicas carry
+    * distinct bucket values), so the result set is identical to the
+    * unblocked join — same DuckDB oracle. Shared by the batch
+    * [[qRangeJoin]] and the streaming
+    * [[graft.streaming.Replay.rangeJoinStream]].
+    *
+    * Expects columns (user_id, a_id, a_ts) / (b_user, b_id, b_ts).
     */
+  def bucketedRangeJoin(a: DataFrame, b: DataFrame): DataFrame = {
+    // integer `div` on epoch micros: exact bucketing, no double rounding
+    val ax = a.withColumn(
+      "a_bkt",
+      explode(array(expr("unix_micros(a_ts) div 60000000"),
+        expr("unix_micros(a_ts) div 60000000") + 1))
+    )
+    val bx = b.withColumn("b_bkt", expr("unix_micros(b_ts) div 60000000"))
+    // shuffle_hash, not broadcast: both sides are the events FACT — the
+    // local size estimate happily broadcasts the exploded side, the plan
+    // that OOMs at 100 TB. A shuffle join on (user_id, bucket) is the
+    // scale shape. (Streaming joins ignore the hint — they always plan
+    // symmetric hash state.)
+    ax.hint("shuffle_hash")
+      .join(
+        bx,
+        col("user_id") === col("b_user") && col("a_bkt") === col("b_bkt") &&
+          col("a_id") < col("b_id") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") < col("a_ts") + expr("INTERVAL 60 SECONDS")
+      )
+      .select("user_id", "a_id", "b_id")
+  }
+
+  /** Range (theta) self-join on events via [[bucketedRangeJoin]]. */
   val qRangeJoin = Q(
     "q_range_join",
     (s, d) => {
@@ -180,15 +217,7 @@ object Relational {
         col("event_id").as("b_id"),
         col("ts").as("b_ts")
       )
-      a.join(
-          b,
-          col("user_id") === col("b_user") &&
-            col("a_id") < col("b_id") &&
-            col("b_ts") >= col("a_ts") &&
-            col("b_ts") < col("a_ts") + expr("INTERVAL 60 SECONDS")
-        )
-        .select("user_id", "a_id", "b_id")
-        .orderBy("user_id", "a_id", "b_id")
+      bucketedRangeJoin(a, b).orderBy("user_id", "a_id", "b_id")
     },
     Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
             FROM events a JOIN events b

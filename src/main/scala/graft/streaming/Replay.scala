@@ -72,8 +72,16 @@ object Replay {
     * back every window newer than (max event time − watermark) forever,
     * because a terminated stream never advances the watermark past its
     * last window — the batch-equality check needs the full result.
+    *
+    * Memory sink is correct HERE (unlike the append-mode join/dedup
+    * replays, which stream to parquet): Complete mode has no file-sink
+    * support, and the output is the bounded aggregate state (windows ×
+    * event types), not the unbounded input. The temp view is dropped
+    * and re-created per run, so repeated invocations (Bench runs each
+    * query 3×) hold at most one result set per name.
     */
   def replayWindowedCounts(spark: SparkSession, dir: String, name: String = "replay_counts"): DataFrame = {
+    spark.catalog.dropTempView(name) // release the previous run's sink
     val ckpt = java.nio.file.Files.createTempDirectory("replay-ckpt-")
     val q = windowedCounts(readEvents(spark, dir)).writeStream
       .format("memory")
@@ -87,7 +95,27 @@ object Replay {
     spark.table(name)
   }
 
-  private val runCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Replay an append-mode stream to a TEMP PARQUET sink and hand back a
+    * lazy batch read of the sink directory — the production wiring for
+    * unbounded output: the write is executor-parallel, nothing
+    * accumulates on the driver (a memory sink would pin the full result
+    * set there — linear in the input for a join, dead at 100 TB).
+    */
+  def replayToParquet(stream: DataFrame, outDir: String): DataFrame = {
+    val spark = stream.sparkSession
+    val ckpt = java.nio.file.Files.createTempDirectory("replay-ckpt-")
+    val q = stream.writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
+    graft.FsUtil.deleteRecursively(ckpt)
+    // explicit schema: a zero-row replay leaves no data file to infer from
+    spark.read.schema(stream.schema).parquet(outDir)
+  }
 
   /** Declared query (rows-only check — E14 is not DuckDB-comparable):
     * the windowed replay over the sf directory's events file, totally
@@ -96,13 +124,11 @@ object Replay {
     */
   val qStreamWindow: graft.ops.Q = graft.ops.Q(
     "q_stream_window",
-    (s, d) => {
-      val name = s"replay_counts_${runCounter.incrementAndGet()}"
+    (s, d) =>
       // glob, not the bare file path: the file stream source requires a
       // directory or glob for basePath inference.
-      replayWindowedCounts(s, s"$d/events*.parquet", name)
-        .orderBy("window_start", "event_type")
-    },
+      replayWindowedCounts(s, s"$d/events*.parquet", "replay_counts_q")
+        .orderBy("window_start", "event_type"),
     None
   )
 
@@ -122,31 +148,21 @@ object Replay {
     val b = readEvents(spark, dir)
       .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
       .withWatermark("b_ts", "1 hour")
-    a.join(
-      b,
-      col("user_id") === col("b_user") &&
-        col("a_id") < col("b_id") &&
-        col("b_ts") >= col("a_ts") &&
-        col("b_ts") < col("a_ts") + expr("INTERVAL 60 SECONDS")
-    ).select("user_id", "a_id", "b_id")
+    // Same bucketed equi-key shape as the batch join (bounded per-key
+    // state partitioning; the watermark on a_ts survives the a-side
+    // bucket explode — eviction semantics are unchanged).
+    graft.ops.Relational.bucketedRangeJoin(a, b)
   }
 
-  /** Replay [[rangeJoinStream]] to completion (memory sink — the match
-    * set is band-bounded and small relative to the input).
+  /** Replay [[rangeJoinStream]] to completion via a temp parquet sink
+    * ([[replayToParquet]] — join output is linear in the input, so it
+    * must never accumulate on the driver).
     */
-  def replayRangeJoin(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory("join-ckpt-")
-    val q = rangeJoinStream(spark, dir).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt.toString)
-      .start()
-    q.awaitTermination()
-    graft.FsUtil.deleteRecursively(ckpt)
-    spark.table(name)
-  }
+  def replayRangeJoin(spark: SparkSession, dir: String): DataFrame =
+    replayToParquet(
+      rangeJoinStream(spark, dir),
+      java.nio.file.Files.createTempDirectory("replay-join-out-").toString
+    )
 
   /** Declared query: the streaming range join over the sf directory,
     * totally ordered — and ORACLED with the same SQL as q_range_join
@@ -155,8 +171,7 @@ object Replay {
   val qStreamJoin: graft.ops.Q = graft.ops.Q(
     "q_stream_join",
     (s, d) =>
-      replayRangeJoin(s, s"$d/events*.parquet",
-        s"replay_join_${runCounter.incrementAndGet()}")
+      replayRangeJoin(s, s"$d/events*.parquet")
         .orderBy("user_id", "a_id", "b_id"),
     Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
             FROM events a JOIN events b
@@ -180,26 +195,19 @@ object Replay {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select("user_id", "event_type", "event_id", "ts")
 
-  /** Replay [[dedupStream]] to completion (memory sink). */
-  def replayDedup(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val ckpt = java.nio.file.Files.createTempDirectory("dedup-ckpt-")
-    val q = dedupStream(readEvents(spark, dir)).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt.toString)
-      .start()
-    q.awaitTermination()
-    graft.FsUtil.deleteRecursively(ckpt)
-    spark.table(name)
-  }
+  /** Replay [[dedupStream]] to completion via a temp parquet sink
+    * (see [[replayToParquet]]).
+    */
+  def replayDedup(spark: SparkSession, dir: String): DataFrame =
+    replayToParquet(
+      dedupStream(readEvents(spark, dir)),
+      java.nio.file.Files.createTempDirectory("replay-dedup-out-").toString
+    )
 
   val qStreamDedup: graft.ops.Q = graft.ops.Q(
     "q_stream_dedup",
     (s, d) =>
-      replayDedup(s, s"$d/events*.parquet",
-        s"replay_dedup_${runCounter.incrementAndGet()}")
+      replayDedup(s, s"$d/events*.parquet")
         .select("user_id", "event_type")
         .distinct()
         .orderBy("user_id", "event_type"),

@@ -45,6 +45,14 @@ class QueriesPlanSpec extends SparkSpec {
       "a broadcast build side here OOMs when events is the 100 TB fact")
   }
 
+  test("q_range_join: bucket equi-key join, fact side never broadcast") {
+    val p = plan("q_range_join")
+    assert(p.contains("ShuffledHashJoin"), "band join must shuffle on the bucketed key")
+    assert(p.contains("a_bkt"), "minute-bucket blocking key missing from the plan")
+    assert(!p.contains("BroadcastExchange"),
+      "broadcasting the exploded events fact dies at 100 TB")
+  }
+
   test("dedup candidate self-joins use shuffle joins, never broadcast") {
     for (q <- Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash")) {
       val p = plan(q)

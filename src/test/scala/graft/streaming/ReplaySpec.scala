@@ -106,7 +106,7 @@ class ReplaySpec extends SparkSpec {
     // 4 micro-batches: pairs straddle trigger boundaries, so this fails
     // if cross-batch state retention or eviction is wrong.
     val dir = sliceEvents(4, sentinel = false)
-    val streamed = Replay.replayRangeJoin(spark, dir, "spec_range_join")
+    val streamed = Replay.replayRangeJoin(spark, dir)
       .orderBy("user_id", "a_id", "b_id").collect()
     val e = batchEvents(dir)
     val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
@@ -124,7 +124,7 @@ class ReplaySpec extends SparkSpec {
 
   test("streaming dedup: key set == batch distinct, re-emission bounded") {
     val dir = sliceEvents(4, sentinel = false)
-    val out = Replay.replayDedup(spark, dir, "spec_dedup").collect()
+    val out = Replay.replayDedup(spark, dir).collect()
     val keys = out.map(r => (r.getLong(0), r.getString(1))).toSeq
     val batchKeys = batchEvents(dir)
       .select("user_id", "event_type").distinct().collect()
