@@ -31,6 +31,15 @@ object Dedup {
   private val MINHASH_K = 16
   private val LSH_BANDS = 8 // × 2 rows per band
 
+  /** Default hot-bucket frequency cap for the candidate joins (see
+    * [[Skew.dropHotKeys]]). 1024 bounds any bucket at ~500k candidate
+    * pairs — far above every key frequency in the test corpus (max
+    * shingle df is 25 at sf0.1), so the oracles are byte-identical with
+    * the cap ON; on a real corpus it is the safety that keeps one
+    * stop-shingle from flooding a partition with O(f²) pairs.
+    */
+  val HOT_BUCKET_CAP = 1024
+
   /** Common oracle: brute-force all-pairs shingle Jaccard ≥ 1/2 (the
     * LSH/SimHash variants are candidate generators whose verified output
     * equals this set on this corpus — asserted by tests, and by the
@@ -129,38 +138,51 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** n-gram Jaccard similarity join, exact: equi-join on shingle counts
-    * shared shingles per pair — no cross product anywhere; candidate set
-    * is exactly the pairs sharing ≥1 shingle.
+  /** n-gram Jaccard similarity join, exact in the df-filtered shingle
+    * space: the hot-shingle cap is applied at SHINGLING time (the
+    * standard stop-shingle removal — a shingle in more than `cap` docs
+    * carries no near-dup signal and floods its join bucket with O(f²)
+    * pairs), then the equi-join on the surviving shingles counts shared
+    * shingles per pair — no cross product anywhere, every join bucket
+    * ≤ cap rows, and sizes/counts/threshold are all computed in the SAME
+    * filtered space, so the Jaccard decision is self-consistent. With
+    * the default cap the filter never fires on the test corpus (max
+    * shingle df = 25 at sf0.1) — the all-pairs oracle is byte-identical.
     */
+  private[ops] def ngramPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val (exRaw, _) = exploded(s, d)
+    val ex = graft.ops.Skew.dropHotKeys(exRaw, Seq("shingle"), cap)
+    // per-doc set size in the filtered space (== array size when the cap
+    // never fires)
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
+    // shuffle_hash, NOT broadcast: the exploded shingle set grows with
+    // the corpus — Spark's size estimate happily broadcasts it at test
+    // scale, which is exactly the plan that dies at 100 TB. A shuffle
+    // join on the shingle key is the scale-correct shape (and
+    // parallelizes the build side too).
+    val shared = ex
+      .as("x")
+      .hint("shuffle_hash")
+      .join(ex.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .where(lit(3) * col("shared") >= col("na") + col("nb"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        col("shared").cast("int").as("shared"),
+        col("na"),
+        col("nb")
+      )
+      .orderBy("a_id", "b_id")
+  }
+
   val qDedupNgram = Q(
     "q_dedup_ngram",
-    (s, d) => {
-      val (ex, sizes) = exploded(s, d)
-      // shuffle_hash, NOT broadcast: the exploded shingle set grows with
-      // the corpus — Spark's size estimate happily broadcasts it at test
-      // scale, which is exactly the plan that dies at 100 TB. A shuffle
-      // join on the shingle key is the scale-correct shape (and
-      // parallelizes the build side too).
-      val shared = ex
-        .as("x")
-        .hint("shuffle_hash")
-        .join(ex.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("shared"))
-      shared
-        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-        .where(lit(3) * col("shared") >= col("na") + col("nb"))
-        .select(
-          col("a_id"),
-          col("b_id"),
-          col("shared").cast("int").as("shared"),
-          col("na"),
-          col("nb")
-        )
-        .orderBy("a_id", "b_id")
-    },
+    (s, d) => ngramPairs(s, d, HOT_BUCKET_CAP),
     Some(allPairsOracle)
   )
 
@@ -170,9 +192,7 @@ object Dedup {
     * probability is ≥ 1-(1-J²)⁸ ≈ 1-10⁻¹³ — recall is total (checked
     * against the brute-force oracle by t2).
     */
-  val qDedupMinhash = Q(
-    "q_dedup_minhash",
-    (s, d) => {
+  private[ops] def minhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
       val (ex, _) = exploded(s, d)
       val sigCols = (0 until MINHASH_K).map(i => TextHash.minhashCol(col("shingle"), i).as(s"h$i"))
       // Materialize the signatures ONCE before the band self-join: both
@@ -188,9 +208,18 @@ object Dedup {
       val bandStructs = (0 until LSH_BANDS).map { j =>
         struct(lit(j).as("band"), xxhash64(col(s"h${2 * j}"), col(s"h${2 * j + 1}")).as("key"))
       }
-      val banded = sigs
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      // Hot-bucket cap on the BAND key (the join key, where the blowup
+      // lives): a band bucket of f docs yields f²/2 candidates — f > cap
+      // happens for degenerate signature collisions or a dup cluster
+      // larger than cap (the latter belongs to exact dedup first; see
+      // HOT_BUCKET_CAP).
+      val banded = graft.ops.Skew.dropHotKeys(
+        sigs
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key")),
+        Seq("band", "key"),
+        cap
+      )
       // shuffle_hash: banded signatures grow with the corpus (see
       // q_dedup_ngram note) — never broadcast them.
       val cands = banded
@@ -204,7 +233,11 @@ object Dedup {
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
       verifyPairs(s, d, cands)
-    },
+  }
+
+  val qDedupMinhash = Q(
+    "q_dedup_minhash",
+    (s, d) => minhashPairs(s, d, HOT_BUCKET_CAP),
     Some(allPairsOracle)
   )
 
@@ -212,9 +245,7 @@ object Dedup {
     * Aggregator — UDAF surface), 4×16-bit pigeonhole block join
     * (guarantees all pairs with Hamming ≤ 3), exact Jaccard verify.
     */
-  val qDedupSimhash = Q(
-    "q_dedup_simhash",
-    (s, d) => {
+  private[ops] def simhashPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
       val (ex, _) = exploded(s, d)
       val simhashUdaf = udaf(TextHash.SimHashAgg)
       // Materialized once before the block self-join — see the
@@ -236,7 +267,13 @@ object Dedup {
           }: _*)
         ).as("bk")
       )
-      val flat = blocks.select(col("doc_id"), col("sig"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+      // Same hot-bucket cap as the minhash band join: a 16-bit block key
+      // shared by f docs yields f²/2 Hamming checks.
+      val flat = graft.ops.Skew.dropHotKeys(
+        blocks.select(col("doc_id"), col("sig"), col("bk.blk").as("blk"), col("bk.key").as("key")),
+        Seq("blk", "key"),
+        cap
+      )
       // shuffle_hash: per-doc block keys grow with the corpus — never
       // broadcast (see q_dedup_ngram note).
       val cands = flat
@@ -251,7 +288,11 @@ object Dedup {
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
       verifyPairs(s, d, cands)
-    },
+  }
+
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, d) => simhashPairs(s, d, HOT_BUCKET_CAP),
     // Approximate by design: Hamming ≤ 3 candidates are a (verified)
     // SUBSET of the brute-force pairs — small docs can drift more bits.
     // Not oracle-comparable; DedupSpec asserts subset + recall instead.

@@ -237,44 +237,79 @@ object Similarity {
     * blocking is O(pairs-per-bucket) and can miss an edited-first-token
     * duplicate — the classic cheap-blocking recall trade, which
     * DedupSpec measures.
-    * 100 TB: one shuffle on the block key; hot first tokens need a
-    * frequency cap (sub-block or drop buckets above a bound).
+    * 100 TB: one shuffle on the block key, with ADAPTIVE SUB-BLOCKING
+    * for hot buckets — a first-token bucket whose frequency f exceeds
+    * `cap` is split into s = ⌈f/cap⌉ hash-sub-blocks and its self-join
+    * becomes s·(s+1)/2 sub-block-pair tasks of ≤ ~cap rows a side
+    * (exactly the [[nearPairsBlocked]] triangle pattern, applied per
+    * bucket with a per-bucket s). This bounds per-TASK candidate work at
+    * ~cap² while staying EXACT — no pair is dropped, so the oracle is
+    * unchanged by construction (unlike the drop-cap used for the
+    * verified candidate generators in [[Dedup]]). Cold buckets get
+    * s = 1: no replication, the plain equi-join row. The per-key
+    * frequency lookup is a broadcast join against the block-key
+    * df table, which is vocabulary-bounded (first tokens), not
+    * corpus-bounded. The test corpus exercises the split for real:
+    * at sf0.1 the hottest first token covers 197 of 5 000 docs → s = 4
+    * with the default cap of 64.
     */
+  private[ops] def pairwiseNear(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val w = Tables
+      .fanOut(documents(s, d))
+      .select(
+        col("doc_id"),
+        // hashed shingles: the per-pair array_intersect dominates this
+        // query; longs intersect several-fold faster than UTF8Strings
+        // (sizes/counts match the string-side oracle — collisions are
+        // ~2⁻⁶¹ per pair and deterministic).
+        graft.functions.TextHash.shingleHashes(col("text"), 3).as("sh"),
+        element_at(split(col("text"), " "), 1).as("ft")
+      )
+      .where(size(col("sh")) > 0)
+      .withColumn("n", size(col("sh")))
+    val dfs = w.groupBy("ft").agg(count(lit(1)).as("bdf"))
+    val ww = w
+      .join(broadcast(dfs), "ft")
+      .withColumn("nsub", ceil(col("bdf") / lit(cap)).cast("int"))
+      .withColumn("sub", pmod(xxhash64(col("doc_id")), col("nsub")).cast("int"))
+    // Triangle coverage of unordered sub-block pairs (see
+    // nearPairsBlocked): a covers (sub, kb ≥ sub), b covers
+    // (ka ≤ sub, sub); each pair of docs in a bucket meets exactly once.
+    val a = ww.withColumn("kb", explode(sequence(col("sub"), col("nsub") - 1)))
+      .select("doc_id", "sh", "ft", "n", "sub", "kb")
+    val b = ww.withColumn("ka", explode(sequence(lit(0), col("sub"))))
+      .select("doc_id", "sh", "ft", "n", "sub", "ka")
+    // Orientation: cross-sub pairs arrive in hash order, not id order —
+    // least/greatest restores (a_id < b_id) and na/nb follow the ids.
+    val aFirst = col("a.doc_id") < col("b.doc_id")
+    a.as("a")
+      .hint("shuffle_hash") // blocking buckets grow with the corpus
+      .join(
+        b.as("b"),
+        col("a.ft") === col("b.ft") &&
+          col("a.sub") === col("b.ka") && col("a.kb") === col("b.sub") &&
+          (col("a.sub") =!= col("b.sub") || aFirst) &&
+          lit(3) * least(col("a.n"), col("b.n")) >= col("a.n") + col("b.n")
+      )
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"),
+        // codegen merge-count over sorted hashes (shingleHashes
+        // contract) — array_intersect allocates a hash set per pair
+        graft.functions.TextHash.intersectCount(col("a.sh"), col("b.sh")).as("shared"),
+        when(aFirst, col("a.n")).otherwise(col("b.n")).as("na"),
+        when(aFirst, col("b.n")).otherwise(col("a.n")).as("nb")
+      )
+      .where(lit(3) * col("shared") >= col("na") + col("nb"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Default per-task bucket bound for [[pairwiseNear]]'s sub-blocking. */
+  val PAIRWISE_SUB_CAP = 64
+
   val qPairwiseNear = Q(
     "q_pairwise_near",
-    (s, d) => {
-      val w = Tables
-        .fanOut(documents(s, d))
-        .select(
-          col("doc_id"),
-          // hashed shingles: the per-pair array_intersect dominates this
-          // query; longs intersect several-fold faster than UTF8Strings
-          // (sizes/counts match the string-side oracle — collisions are
-          // ~2⁻⁶¹ per pair and deterministic).
-          graft.functions.TextHash.shingleHashes(col("text"), 3).as("sh"),
-          element_at(split(col("text"), " "), 1).as("ft")
-        )
-        .where(size(col("sh")) > 0)
-        .withColumn("n", size(col("sh")))
-      w.as("a")
-        .hint("shuffle_hash") // blocking buckets grow with the corpus
-        .join(
-          w.as("b"),
-          col("a.ft") === col("b.ft") && col("a.doc_id") < col("b.doc_id") &&
-            lit(3) * least(col("a.n"), col("b.n")) >= col("a.n") + col("b.n")
-        )
-        .select(
-          col("a.doc_id").as("a_id"),
-          col("b.doc_id").as("b_id"),
-          // codegen merge-count over sorted hashes (shingleHashes
-          // contract) — array_intersect allocates a hash set per pair
-          graft.functions.TextHash.intersectCount(col("a.sh"), col("b.sh")).as("shared"),
-          col("a.n").as("na"),
-          col("b.n").as("nb")
-        )
-        .where(lit(3) * col("shared") >= col("na") + col("nb"))
-        .orderBy("a_id", "b_id")
-    },
+    (s, d) => pairwiseNear(s, d, PAIRWISE_SUB_CAP),
     Some("""WITH toks AS (SELECT doc_id, text, string_split(text,' ') AS wl FROM documents),
             w AS (SELECT doc_id,
                          list_distinct([wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]

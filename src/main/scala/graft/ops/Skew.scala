@@ -21,6 +21,32 @@ object Skew {
   def saltCol(saltBy: Column, salts: Int): Column =
     pmod(xxhash64(saltBy), lit(salts.toLong)).cast("int")
 
+  /** Hot-bucket frequency cap for candidate-generation self-joins
+    * (shingle / LSH-band / SimHash-block keys): drop every key whose
+    * row frequency exceeds `cap`, so any surviving bucket contributes
+    * at most cap·(cap−1)/2 candidate pairs. Without this, one
+    * stop-shingle ("the") with frequency f floods a single shuffle
+    * partition with O(f²) pairs — the first failure on a real web
+    * corpus.
+    *
+    * Scale shape: one aggregation on the SAME key the join shuffles on
+    * (the standard document-frequency pass), then a broadcast anti-join
+    * — the hot list is pigeonhole-bounded at N/cap keys, tiny by
+    * construction. Semantics: callers must treat the capped stream as
+    * CANDIDATE GENERATION ONLY and verify pairs against the full
+    * uncapped sets; a pair whose every shared key is hot is missed — the
+    * documented approximation (a pair sharing only ubiquitous shingles
+    * is not a near-duplicate in any meaningful corpus).
+    */
+  def dropHotKeys(rows: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val hot = rows
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_df"))
+      .where(col("_df") > cap)
+      .drop("_df")
+    rows.join(broadcast(hot), keyCols, "left_anti")
+  }
+
   /** Inner equi-join with the LEFT side salted and the RIGHT side
     * replicated `salts`×. Use when `left` is large with hot `leftKey`
     * values and `right` is small enough to replicate (dim-scale).

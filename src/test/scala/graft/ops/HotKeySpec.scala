@@ -1,0 +1,103 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Hot-bucket safety for the candidate-generation joins (the 100 TB
+  * failure mode: one stop-shingle / hot first-token floods a shuffle
+  * partition with O(f²) pairs).
+  *
+  * Two mechanisms, each proven here:
+  *  - [[Skew.dropHotKeys]] (ngram / minhash-band / simhash-block
+  *    candidates): surviving buckets are ≤ cap rows ⇒ ≤ cap²/2
+  *    candidate pairs per bucket; verification against full sets keeps
+  *    every reported pair exact.
+  *  - [[Similarity.pairwiseNear]] adaptive sub-blocking: EXACT — hot
+  *    first-token buckets split into ⌈f/cap⌉ hash sub-blocks joined
+  *    pairwise (triangle coverage), so the result is identical to the
+  *    unsplit join for every cap.
+  */
+class HotKeySpec extends SparkSpec {
+
+  /** Synthetic corpus: one true near-dup pair (docs 1000/1001 share 7 of
+    * their 8 shingles) + 40 docs that pairwise share ONLY the ubiquitous
+    * shingle "the common phrase" (df = 40 — the stop-shingle shape).
+    */
+  private lazy val hotDir: String = {
+    val dir = Files.createTempDirectory("hotkey-docs-").toString
+    import spark.implicits._
+    val near = Seq(
+      (1000L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (1001L, "alpha bravo charlie delta echo foxtrot golf hotel india kilo")
+    )
+    val hot = (0 until 40).map(i =>
+      (i.toLong, s"unique$i token$i the common phrase filler$i end$i"))
+    (near ++ hot).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Corpus with one HOT first token: 20 docs all starting with "the"
+    * (two of them near-dups), plus cold one-off buckets.
+    */
+  private lazy val hotFtDir: String = {
+    val dir = Files.createTempDirectory("hotft-docs-").toString
+    import spark.implicits._
+    val hotBucket = (0 until 18).map(i =>
+      (i.toLong, s"the subject $i differs entirely alpha$i beta$i gamma$i"))
+    val dups = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "the quick brown fox jumps over the lazy dog today")
+    )
+    val cold = Seq((200L, "isolated words that match nothing else at all"))
+    (hotBucket ++ dups ++ cold).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dropHotKeys bounds every surviving bucket at cap rows") {
+    import spark.implicits._
+    // key 7 is hot (50 rows), keys 0-6 are cold (≤ 8 rows)
+    val rows = ((0 until 50).map(i => (7L, i.toLong)) ++
+      (0 until 40).map(i => (i.toLong % 7, 100L + i))).toDF("key", "id")
+    val capped = Skew.dropHotKeys(rows, Seq("key"), 8)
+    val maxBucket = capped.groupBy("key").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxBucket <= 8)
+    // cold keys untouched — the cap is not a sampler
+    assert(capped.count() == 40)
+  }
+
+  test("ngram cap drops the stop-shingle bucket but keeps true pairs, exactly") {
+    val capped = Dedup.ngramPairs(spark, hotDir, cap = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.ngramPairs(spark, hotDir, cap = 1 << 20)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot-bucket pairs are not near-dups (J = 1/9), so the capped
+    // result equals the exact one — the cap only pruned candidate work
+    assert(uncapped == Set((1000L, 1001L)))
+    assert(capped == uncapped)
+  }
+
+  test("minhash/simhash band caps keep the true pair on the hot corpus") {
+    val mh = Dedup.minhashPairs(spark, hotDir, cap = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == Set((1000L, 1001L)))
+    val sh = Dedup.simhashPairs(spark, hotDir, cap = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sh.subsetOf(Set((1000L, 1001L))))
+  }
+
+  test("pairwise sub-blocking is exact: tiny cap == no-split result") {
+    // cap 4 ⇒ the 20-doc "the" bucket splits into 5 sub-blocks;
+    // cap 2^20 ⇒ nsub = 1 everywhere (the plain blocked join)
+    val split = Similarity.pairwiseNear(spark, hotFtDir, cap = 4).collect()
+    val plain = Similarity.pairwiseNear(spark, hotFtDir, cap = 1 << 20).collect()
+    assert(plain.nonEmpty, "expected the dup pair in the hot bucket")
+    assert(split.toSeq == plain.toSeq)
+    // and the replication really happened: a-side rows explode to >1
+    // sub-pair key only when a bucket is split
+    assert(split.map(r => (r.getLong(0), r.getLong(1))).contains((100L, 101L)))
+  }
+}
