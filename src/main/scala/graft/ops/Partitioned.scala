@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition pruning, exercised end-to-end (SURVEY §4 claims it among
+  * the Catalyst rewrites the engine relies on; this makes it a tested
+  * plan property instead of a claim).
+  *
+  * A 100 TB events store lives or dies on its partition layout, and the
+  * natural key is the event date — the same freshness column the
+  * reference derives as `auto_date` (reference `main.py:218-222`).
+  * [[eventsByDay]] materializes a date-partitioned copy of the events
+  * table (one `day=YYYY-MM-DD` directory per UTC day, the standard lake
+  * layout); [[qPartitionPrune]] filters one literal day and must touch
+  * exactly one partition — QueriesPlanSpec pins `PartitionFilters` on
+  * the scan and the driver's DuckDB oracle checks the rows against the
+  * unpartitioned table.
+  */
+object Partitioned {
+
+  /** Per-sfDir location for the partitioned copy (hash-keyed so sf0.01
+    * verify and sf0.1 bench runs never read each other's layout).
+    */
+  private def layoutDir(d: String): String = {
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(d))
+    s"${System.getProperty("java.io.tmpdir")}/graft_events_by_day_$h"
+  }
+
+  /** Date-partitioned copy of events, written once per sf dir (reused on
+    * later calls — Bench invokes each query three times). The write is a
+    * one-shot setup cost, exactly like the ingest job that would
+    * maintain this layout in production; the read back is a partitioned
+    * scan whose `day` column comes from directory names, not file data.
+    */
+  def eventsByDay(s: SparkSession, d: String): DataFrame = {
+    val out = layoutDir(d)
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
+  /** One-day slice of the partitioned layout: the scan must prune to the
+    * single `day=2024-01-15` directory (29 of 30 partitions never
+    * touched — the property that turns a 100 TB scan into a 3 TB one).
+    */
+  val qPartitionPrune = Q(
+    "q_partition_prune",
+    (s, d) =>
+      eventsByDay(s, d)
+        .where(col("day") === lit(java.sql.Date.valueOf("2024-01-15")))
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .orderBy("event_id"),
+    // CAST(ts AS TIMESTAMP): micros, same floor as the engine's
+    // nanos→micros conversion (Tables.events)
+    Some("""SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+            WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+            ORDER BY event_id""")
+  )
+
+  val all: Seq[Q] = Seq(qPartitionPrune)
+}

@@ -45,6 +45,17 @@ class QueriesPlanSpec extends SparkSpec {
       "a broadcast build side here OOMs when events is the 100 TB fact")
   }
 
+  test("q_partition_prune: one-day filter reaches the scan as a PartitionFilter") {
+    val p = plan("q_partition_prune")
+    assert(p.contains("PartitionFilters: ["), "partitioned scan missing")
+    assert(p.replaceAll("\\s+", " ").contains("day#") && p.contains("2024-01-15"),
+      "day = 2024-01-15 must prune at the directory level, not post-scan")
+    // the data filter list must NOT carry the day predicate — pruning
+    // happens before any row is read
+    val dataFilters = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(!dataFilters.contains("day"), "day predicate leaked into data filters")
+  }
+
   test("q_range_join: bucket equi-key join, fact side never broadcast") {
     val p = plan("q_range_join")
     assert(p.contains("ShuffledHashJoin"), "band join must shuffle on the bucketed key")
