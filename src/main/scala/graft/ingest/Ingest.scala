@@ -66,11 +66,13 @@ object Ingest {
     * override — Spark's default would null them) and the literal `\N`
     * token is NULL (COPY `NULL '\N'`).
     *
-    * Caveat: an UNQUOTED empty field reads as NULL — Spark's univocity
-    * options cannot distinguish unquoted-empty from the null token at
-    * parser level. The real pp-complete.txt quotes every field, so this
-    * never fires on reference data; the DSv2 UrlCsvSource implements the
-    * same convention so both ingest paths agree.
+    * Caveat: an UNQUOTED empty field reads as NULL — Spark's builtin
+    * CSV options cannot distinguish unquoted-empty from the null token
+    * at parser level. The real pp-complete.txt quotes every field, so
+    * this never fires on reference data. The DSv2 UrlCsvSource DOES
+    * implement the exact reference semantics (unquoted empty → '', only
+    * `\N` → NULL — `main.py:208`), proven by q_url_source_unquoted; this
+    * builtin path's divergence on unquoted-empty is the known residual.
     */
   def readRaw(spark: SparkSession, path: String): DataFrame =
     spark.read

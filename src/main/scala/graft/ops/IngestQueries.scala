@@ -62,5 +62,42 @@ object IngestQueries {
     qIngestPp.oracle
   )
 
-  val all: Seq[Q] = Seq(qIngestPp, qIngestAutoDate, qUrlSource)
+  /** Mixed-quoting fixture (FIXTURES.md §F2b): unquoted empty fields,
+    * quoted empties, and bare `\N` tokens side by side. Only the DSv2
+    * source can represent the reference's exact §1.5 discipline here —
+    * unquoted empty loads as '' and `\N` is the only NULL
+    * (`main.py:208`); the builtin CSV path reads unquoted empty as NULL
+    * (parser limitation documented in Ingest.readRaw), which is why this
+    * query goes through UrlCsvSource and q_ingest_pp keeps the
+    * all-quoted fixture.
+    */
+  val unquotedFixturePath = "/root/repo/src/test/resources/pp_complete_unquoted.csv"
+
+  val qUrlSourceUnquoted = Q(
+    "q_url_source_unquoted",
+    (s, _) =>
+      Ingest
+        .typed(
+          s.read
+            .format(graft.sources.UrlCsvSource.Name)
+            .option("url", s"file://$unquotedFixturePath")
+            .load()
+        )
+        .orderBy("transaction_unique_id"),
+    Some {
+      val renames = PPComplete.columns.zipWithIndex.map {
+        case ("transaction_date", i) =>
+          f"CAST(strptime(column$i%02d, '%%Y-%%m-%%d %%H:%%M') AS TIMESTAMP) AS transaction_date"
+        case (name, i) => f"column$i%02d AS $name"
+      }
+      // DuckDB's read_csv with nullstr='\N' has the reference semantics
+      // natively: unquoted empty → '', \N → NULL (verified against
+      // pandas' keep_default_na=False behavior)
+      s"""SELECT ${renames.mkString(", ")}
+          FROM read_csv('$unquotedFixturePath', header=false, all_varchar=true, nullstr='\\N')
+          ORDER BY transaction_unique_id"""
+    }
+  )
+
+  val all: Seq[Q] = Seq(qIngestPp, qIngestAutoDate, qUrlSource, qUrlSourceUnquoted)
 }

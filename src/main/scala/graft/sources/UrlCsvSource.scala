@@ -108,11 +108,16 @@ final class UrlCsvReader(url: String, nCols: Int) extends PartitionReader[Intern
     val s = new CsvParserSettings
     s.setMaxColumns(nCols + 8)
     // Univocity's null/empty settings SUBSTITUTE values for missing
-    // fields (they do not recognize tokens). Convention shared with
-    // Ingest.readRaw: QUOTED empty → '' (setEmptyValue), UNQUOTED empty
-    // → null (univocity's native null, same as Spark's CSV path), and
-    // the \N token → null (recognized in get()).
+    // fields (they do not recognize tokens). Reference §1.5 semantics
+    // (`main.py:208`): QUOTED empty → '' (setEmptyValue), UNQUOTED
+    // empty → '' too (setNullValue — univocity's native null is the
+    // unquoted-empty field), and the bare token `\N` is the ONLY null
+    // (recognized in get()). This is exactly pandas
+    // `read_csv(dtype=str, keep_default_na=False, na_values=['\N'])`,
+    // and goes BEYOND the builtin-CSV ingest path, whose parser cannot
+    // express unquoted-empty ≠ null (documented in Ingest.readRaw).
     s.setEmptyValue("")
+    s.setNullValue("")
     // match Spark's CSV defaults: unquoted whitespace is significant
     s.setIgnoreLeadingWhitespaces(false)
     s.setIgnoreTrailingWhitespaces(false)
@@ -131,7 +136,10 @@ final class UrlCsvReader(url: String, nCols: Int) extends PartitionReader[Intern
     val vals = new Array[Any](nCols)
     var i = 0
     while (i < nCols) {
-      // §1.5: the literal token \N is the ONLY null; '' stays ''.
+      // §1.5: the literal token \N is the ONLY null; '' (quoted or
+      // unquoted — both arrive as "" via the parser settings) stays ''.
+      // row(i) == null survives only for short rows (missing trailing
+      // columns), which are genuinely absent → null.
       vals(i) =
         if (i >= row.length || row(i) == null || row(i) == "\\N") null
         else UTF8String.fromString(row(i))

@@ -24,7 +24,7 @@ class UrlCsvSourceSpec extends SparkSpec {
     assert(viaSource.toSeq == viaFile.toSeq)
   }
 
-  test("§1.5 semantics: quoted-empty '', bare \\N NULL, unquoted-empty NULL — both paths agree") {
+  test("§1.5 semantics: quoted/unquoted empty '', bare \\N the only NULL (DSv2 exact)") {
     val f = Files.createTempFile("urlcsv-", ".csv")
     // locality (col 11) is UNQUOTED empty; postcode/secondary quoted empty
     Files.writeString(
@@ -38,14 +38,19 @@ class UrlCsvSourceSpec extends SparkSpec {
       .option("url", s"file://$f")
       .load()
       .collect()
+    assert(viaSource.length == 1)
+    // the DSv2 source carries the reference's exact discipline
+    // (`main.py:208`): EVERY empty field is '', the bare token \N is
+    // the ONLY null
+    assert(viaSource(0).getAs[String]("postcode") == "")  // quoted empty → ''
+    assert(viaSource(0).getAs[String]("locality") == "")  // unquoted empty → ''
+    assert(viaSource(0).getAs[String]("ppd_cat") == null) // \N token → NULL
+    // builtin CSV path: unquoted-empty is indistinguishable from null at
+    // parser level — the documented residual divergence (Ingest.readRaw)
     val viaFile = Ingest.readRaw(spark, f.toString).collect()
-    for (rows <- Seq(viaSource, viaFile)) {
-      assert(rows.length == 1)
-      assert(rows(0).getAs[String]("postcode") == "")   // quoted empty → ''
-      assert(rows(0).getAs[String]("ppd_cat") == null)  // \N token → NULL
-      assert(rows(0).getAs[String]("locality") == null) // unquoted empty → NULL
-    }
-    assert(viaSource.toSeq == viaFile.toSeq)
+    assert(viaFile(0).getAs[String]("postcode") == "")
+    assert(viaFile(0).getAs[String]("locality") == null)
+    assert(viaFile(0).getAs[String]("ppd_cat") == null)
   }
 
   test("multiple urls become multiple partitions") {
