@@ -26,6 +26,20 @@ class AnnSpec extends SparkSpec {
     assert(lsh.count(exact) >= 3, s"lsh=$lsh exact=$exact")
   }
 
+  test("ivf recall curve: nondecreasing in nprobe, exact at nprobe=K") {
+    val exactTop5 = ids("q_knn_cosine").take(5).toSet
+    val recalls = Seq(1, 2, 4, 8).map { p =>
+      val got = Similarity.ivfSearch(spark, sf0001, p).collect().map(_.getLong(0)).toSet
+      p -> got.count(exactTop5).toDouble / exactTop5.size
+    }
+    // widening the probe set can only add candidates → recall is monotone
+    recalls.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra, s"recall dropped from nprobe=$pa ($ra) to nprobe=$pb ($rb)")
+    }
+    // probing all 8 clusters IS the brute-force search
+    assert(recalls.last._2 == 1.0, s"recalls=$recalls")
+  }
+
   test("q_ann_ivf: results are a correctly-reranked subset of the corpus") {
     val rows = graft.SparkEntry.queries("q_ann_ivf")(spark, sf0001).collect()
     assert(rows.length == 5)
