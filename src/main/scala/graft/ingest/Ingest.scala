@@ -181,22 +181,34 @@ object Ingest {
       // Observation (not raw observe + queryExecution.observedMetrics: the
       // write command runs its own QueryExecution, so the DataFrame's QE
       // would never see the metrics — Observation registers a listener).
-      val obs = org.apache.spark.sql.Observation("ingest_stats")
+      // Unique observation name per run: the listener below uses it to
+      // recognize THIS write's QueryExecution on the async bus — a
+      // late-delivered event from a previous query (e.g. the prior
+      // run's 1-row meta append in back-to-back runs) must not be
+      // captured in its place.
+      val obsName = s"ingest_stats_${java.util.UUID.randomUUID()}"
+      val obs = org.apache.spark.sql.Observation(obsName)
       val observed = data.observe(
         obs,
         max(col("transaction_date")).as("max_ts"),
         count(lit(1)).as("n_rows")
       )
       // Capture the write's QueryExecution for op-13 metric recovery
-      // (the listener bus is async — latch before reading).
+      // (the listener bus is async — latch before reading). Ownership
+      // check: the analyzed plan must carry this run's observation. The
+      // plan STRING is matched (CollectMetrics prints its name) because
+      // write commands hold their query as innerChildren, which tree
+      // traversal skips but toString prints.
+      def ownsObservation(q: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        scala.util.Try(q.analyzed.toString.contains(obsName)).getOrElse(false)
       val qeLatch = new java.util.concurrent.CountDownLatch(1)
       @volatile var writeQe: org.apache.spark.sql.execution.QueryExecution = null
       val qeListener = new org.apache.spark.sql.util.QueryExecutionListener {
         def onSuccess(f: String, q: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit = {
-          if (writeQe == null) { writeQe = q; qeLatch.countDown() }
+          if (writeQe == null && ownsObservation(q)) { writeQe = q; qeLatch.countDown() }
         }
         def onFailure(f: String, q: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit =
-          qeLatch.countDown()
+          ()
       }
       spark.listenerManager.register(qeListener)
       val pipelineUs =
@@ -231,7 +243,11 @@ object Ingest {
         // pipeline, from the engine's own metrics (ms granularity — can
         // legitimately be 0 for sub-ms pipelines). The convert share is
         // not separable from the read (whole-stage codegen), so it is
-        // reported fused here and 0 below, documented.
+        // reported fused here and 0 below, documented. NOTE: pipelineTime
+        // sums across concurrent tasks — on multi-split input this is
+        // AGGREGATE EXECUTOR TIME and can exceed the write's wall clock
+        // (upload_duration_us then clamps to 0); the reference's
+        // single-threaded run has no such distinction to preserve.
         read_duration_us = pipelineUs,
         datetime_convert_duration_us = 0L, // fused into read_duration_us
         write_duration_us = wrUs,

@@ -50,7 +50,10 @@ final case class JdbcSink(cfg: Config, table: String) extends Sink {
   * COPY per run (`main.py:194-200`) but partition-parallel.
   */
 trait CopyTarget extends Serializable {
-  /** Driver-side DDL/utility statement (TRUNCATE). */
+  /** DDL/utility statement (TRUNCATE / staging CREATE / promote txn) —
+    * issued from the driver for setup/promote and from executor tasks
+    * for their own staging tables.
+    */
   def execute(sql: String): Unit
 
   /** Stream CSV lines into `COPY ... FROM STDIN`; returns rows written. */
@@ -67,13 +70,19 @@ trait CopyTarget extends Serializable {
   *  - empty string → empty unquoted field (loads as '', §1.5 — only
   *    the bare token `\N` is NULL);
   *  - SQL NULL → `\N`;
-  *  - timestamps → `yyyy-MM-dd HH:mm:ss+00:00` (the §1.6 normalized
-  *    round-trip form pandas emits for tz-aware UTC datetimes);
+  *  - timestamps → `yyyy-MM-dd HH:mm:ss+00:00`, with a 6-digit
+  *    fractional part appended ONLY when the instant has sub-second
+  *    precision (`… HH:mm:ss.SSSSSS+00:00`) — exactly pandas' tz-aware
+  *    str form: whole seconds print bare, the metadata table's
+  *    millisecond process timestamps print `.123000`;
   *  - `\n` line terminator.
   */
 object CopyFormat {
   private val tsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss'+00:00'")
+    .withZone(java.time.ZoneOffset.UTC)
+  private val tsFmtMicros = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS'+00:00'")
     .withZone(java.time.ZoneOffset.UTC)
 
   private def quoteMinimal(s: String): String =
@@ -82,9 +91,11 @@ object CopyFormat {
     else s
 
   def field(v: Any): String = v match {
-    case null                    => "\\N"
-    case ts: java.sql.Timestamp  => tsFmt.format(ts.toInstant)
-    case other                   => quoteMinimal(other.toString)
+    case null                   => "\\N"
+    case ts: java.sql.Timestamp =>
+      val inst = ts.toInstant
+      if (inst.getNano == 0) tsFmt.format(inst) else tsFmtMicros.format(inst)
+    case other                  => quoteMinimal(other.toString)
   }
 
   def line(r: Row): String =
@@ -93,15 +104,27 @@ object CopyFormat {
   def lines(rows: Iterator[Row]): Iterator[String] = rows.map(line)
 }
 
-/** COPY-speed sink (ops 10-11 at real-Postgres parity): TRUNCATE on the
-  * driver, then one `COPY ... FROM STDIN` stream per partition with
-  * [[CopyFormat]] serialization — the reference's chunk loop
-  * (`main.py:194-251`) with partitions in place of 50k-row chunks.
+/** COPY-speed sink (ops 10-11 at real-Postgres parity): one
+  * `COPY ... FROM STDIN` stream per partition with [[CopyFormat]]
+  * serialization — the reference's chunk loop (`main.py:194-251`) with
+  * partitions in place of 50k-row chunks.
   *
-  * Transactionality differs by necessity: the reference runs TRUNCATE +
-  * every chunk in ONE transaction; partition-parallel COPYs are one
-  * transaction each. At scale the atomic equivalent is COPY into a
-  * staging table and swap (ALTER TABLE RENAME) on success.
+  * STAGE-AND-PROMOTE protocol (retry-safe, atomically visible):
+  *  1. driver creates + truncates one staging table per partition;
+  *  2. each task TRUNCATEs its own staging table and COPYs into it —
+  *     so a Spark TASK RETRY first wipes the failed attempt's partial
+  *     rows instead of duplicating them (the naive direct-COPY sink
+  *     silently double-loads on retry);
+  *  3. the driver promotes every staging table into the target in ONE
+  *     transaction (with the TRUNCATE inside it for overwrite — the
+  *     reference's own single-txn TRUNCATE+COPY atomicity,
+  *     `main.py:196-200`), then drops the staging tables.
+  *
+  * Residual caveat: SPECULATIVE duplicate attempts of one partition can
+  * interleave on the shared staging table — run COPY jobs with
+  * `spark.speculation=false` (the default). Fully speculation-proof
+  * staging needs attempt-keyed tables plus a commit-coordinator hook to
+  * reap losers.
   */
 final case class CopySink(
     qualifiedTable: String,
@@ -109,26 +132,58 @@ final case class CopySink(
     connect: () => CopyTarget
 ) extends Sink {
 
-  def copySql: String =
-    s"COPY $qualifiedTable (${columns.mkString(", ")}) " +
+  def copySql: String = copySqlFor(qualifiedTable)
+
+  def copySqlFor(table: String): String =
+    s"COPY $table (${columns.mkString(", ")}) " +
       "FROM STDIN WITH (FORMAT csv, NULL '\\N')"
 
-  def overwrite(df: DataFrame): Unit = {
-    val c = connect()
-    try c.execute(s"TRUNCATE TABLE $qualifiedTable")
-    finally c.close()
-    append(df)
-  }
+  private def stagingTable(pid: Int): String = s"${qualifiedTable}_stg_$pid"
 
-  def append(df: DataFrame): Unit = {
-    val sql = copySql
+  def overwrite(df: DataFrame): Unit = stagedLoad(df, truncateTarget = true)
+
+  def append(df: DataFrame): Unit = stagedLoad(df, truncateTarget = false)
+
+  private def stagedLoad(df: DataFrame, truncateTarget: Boolean): Unit = {
+    val colList = columns.mkString(", ")
+    // Written partition ids flow back through an accumulator (NOT via
+    // df.rdd.getNumPartitions on the driver: materializing the RDD view
+    // of an observed DataFrame silently detaches its Observation).
+    // Retried tasks may report a pid twice — deduped below.
+    val writtenPids =
+      df.sparkSession.sparkContext.collectionAccumulator[Int]("copy_staged_pids")
+
     val mk = connect // ship the factory, not a connection
+    val table = qualifiedTable
+    val cols = columns
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val t = s"${table}_stg_$pid"
         val c = mk()
-        try { c.copyIn(sql, CopyFormat.lines(it)); () }
-        finally c.close()
+        try {
+          c.execute(s"CREATE TABLE IF NOT EXISTS $t (LIKE $table)")
+          // retry idempotence: wipe any partial rows a failed attempt left
+          c.execute(s"TRUNCATE TABLE $t")
+          c.copyIn(
+            s"COPY $t (${cols.mkString(", ")}) FROM STDIN WITH (FORMAT csv, NULL '\\N')",
+            CopyFormat.lines(it)
+          )
+          writtenPids.add(pid)
+        } finally c.close()
       }
     }
+
+    import scala.jdk.CollectionConverters._
+    val staging = writtenPids.value.asScala.toSeq.distinct.sorted.map(stagingTable)
+    val promote = connect()
+    try {
+      promote.execute("BEGIN")
+      if (truncateTarget) promote.execute(s"TRUNCATE TABLE $qualifiedTable")
+      staging.foreach(t =>
+        promote.execute(s"INSERT INTO $qualifiedTable ($colList) SELECT $colList FROM $t"))
+      promote.execute("COMMIT")
+      staging.foreach(t => promote.execute(s"DROP TABLE $t"))
+    } finally promote.close()
   }
 }

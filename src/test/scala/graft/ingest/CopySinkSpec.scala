@@ -32,14 +32,38 @@ class CopySinkSpec extends SparkSpec {
         "FROM STDIN WITH (FORMAT csv, NULL '\\N')")
   }
 
-  test("overwrite = driver-side TRUNCATE then per-partition COPY") {
+  test("overwrite = stage-and-promote: COPY to staging, one promote txn with TRUNCATE inside") {
     FakeTarget.reset()
     import spark.implicits._
     val df = Seq(("x", "y", "z")).toDF("a", "b", "c").coalesce(1)
     sink().overwrite(df)
-    assert(FakeTarget.executed.toArray.toSeq ==
-      Seq("TRUNCATE TABLE land_registry_simple.pp_complete_data"))
+    val t = "land_registry_simple.pp_complete_data"
+    val ex = FakeTarget.executed.toArray.toSeq.map(_.toString)
+    // each task creates, then truncates (retry idempotence), its own
+    // staging table before the COPY
+    assert(ex.contains(s"CREATE TABLE IF NOT EXISTS ${t}_stg_0 (LIKE $t)"))
+    assert(ex.count(_ == s"TRUNCATE TABLE ${t}_stg_0") == 1)
+    // the COPY streams into STAGING, never directly into the target
+    assert(FakeTarget.payloads().map(_._1).forall(_.contains("_stg_")))
     assert(FakeTarget.payloads().map(_._2) == Seq("x,y,z\n"))
+    // promote: the reference's single-txn TRUNCATE+load atomicity
+    val begin = ex.indexOf("BEGIN")
+    val commit = ex.indexOf("COMMIT")
+    assert(begin >= 0 && commit > begin)
+    val inTxn = ex.slice(begin + 1, commit)
+    assert(inTxn.head == s"TRUNCATE TABLE $t")
+    assert(inTxn.tail == Seq(s"INSERT INTO $t (a, b, c) SELECT a, b, c FROM ${t}_stg_0"))
+    assert(ex.drop(commit + 1) == Seq(s"DROP TABLE ${t}_stg_0"))
+  }
+
+  test("append: no target TRUNCATE anywhere; promote txn only inserts") {
+    FakeTarget.reset()
+    import spark.implicits._
+    val df = Seq(("x", "y", "z")).toDF("a", "b", "c").coalesce(1)
+    sink().append(df)
+    val ex = FakeTarget.executed.toArray.toSeq.map(_.toString)
+    assert(!ex.contains("TRUNCATE TABLE land_registry_simple.pp_complete_data"))
+    assert(ex.contains("BEGIN") && ex.contains("COMMIT"))
   }
 
   test("serialization: '' vs \\N, QUOTE_MINIMAL, timestamp normalization") {
@@ -78,6 +102,18 @@ class CopySinkSpec extends SparkSpec {
       .coalesce(1)
     sink(cols = Seq("ts", "n")).append(df)
     assert(FakeTarget.payloads().map(_._2) == Seq("2024-02-01 02:58:00+00:00,7\n"))
+  }
+
+  test("sub-second timestamps serialize with pandas' 6-digit fractional form") {
+    FakeTarget.reset()
+    import spark.implicits._
+    // millisecond-precision instant — the RunMeta process timestamps'
+    // shape; pandas to_csv emits '.123000+00:00' for it
+    val df = Seq(new java.sql.Timestamp(1706756280123L))
+      .toDF("ts")
+      .coalesce(1)
+    sink(cols = Seq("ts")).append(df)
+    assert(FakeTarget.payloads().map(_._2) == Seq("2024-02-01 02:58:00.123000+00:00\n"))
   }
 
   test("one COPY channel per non-empty partition") {
