@@ -122,9 +122,11 @@ object Dedup {
     val sets = fanOut(documents(s, d)) // single-split scan: see Tables.fanOut
       .select(col("doc_id"), TextHash.shingleHashes(col("text"), SHINGLE_N).as("sh"))
       .where(size(col("sh")) > 0)
+    // sets carries one shingle ARRAY per doc — corpus-sized, never
+    // broadcastable at scale; shuffle-hash-build it on the doc-id key
     candidates
-      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
-      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")).hint("shuffle_hash"), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")).hint("shuffle_hash"), "b_id")
       .select(
         col("a_id"),
         col("b_id"),
@@ -151,7 +153,12 @@ object Dedup {
     */
   private[ops] def ngramPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
     val (exRaw, _) = exploded(s, d)
-    val ex = graft.ops.Skew.dropHotKeys(exRaw, Seq("shingle"), cap)
+    // Materialize the capped (doc_id, shingle) pairs ONCE: this frame
+    // feeds the self-join twice and the two size joins — without the
+    // checkpoint the scan→shingle→explode→df-filter pipeline plans FOUR
+    // times (4× map-side cost at 100 TB; same fix as the minhash
+    // signatures, and the same swap-for-a-real-checkpoint note).
+    val ex = graft.ops.Skew.dropHotKeys(exRaw, Seq("shingle"), cap).localCheckpoint()
     // per-doc set size in the filtered space (== array size when the cap
     // never fires)
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
@@ -166,9 +173,11 @@ object Dedup {
       .join(ex.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("shared"))
+    // sizes is one row per DOC — corpus-sized, never broadcastable at
+    // scale; hint it as the shuffle-hash build side
     shared
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")).hint("shuffle_hash"), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")).hint("shuffle_hash"), "b_id")
       .where(lit(3) * col("shared") >= col("na") + col("nb"))
       .select(
         col("a_id"),

@@ -283,10 +283,14 @@ object Similarity {
       .where(size(col("sh")) > 0)
       .withColumn("n", size(col("sh")))
     val dfs = w.groupBy("ft").agg(count(lit(1)).as("bdf"))
+    // Materialized ONCE (shingle arrays + block metadata): both explode
+    // sides of the self-join read the checkpointed rows instead of each
+    // re-running scan→shingle→df-join (see the minhash-signature note).
     val ww = w
       .join(broadcast(dfs), "ft")
       .withColumn("nsub", ceil(col("bdf") / lit(cap)).cast("int"))
       .withColumn("sub", pmod(xxhash64(col("doc_id")), col("nsub")).cast("int"))
+      .localCheckpoint()
     // Triangle coverage of unordered sub-block pairs (see
     // nearPairsBlocked): a covers (sub, kb ≥ sub), b covers
     // (ka ≤ sub, sub); each pair of docs in a bucket meets exactly once.
