@@ -143,35 +143,33 @@ object Dedup {
   /** n-gram Jaccard similarity join, exact in the df-filtered shingle
     * space: the hot-shingle cap is applied at SHINGLING time (the
     * standard stop-shingle removal — a shingle in more than `cap` docs
-    * carries no near-dup signal and floods its join bucket with O(f²)
-    * pairs), then the equi-join on the surviving shingles counts shared
-    * shingles per pair — no cross product anywhere, every join bucket
-    * ≤ cap rows, and sizes/counts/threshold are all computed in the SAME
-    * filtered space, so the Jaccard decision is self-consistent. With
-    * the default cap the filter never fires on the test corpus (max
-    * shingle df = 25 at sf0.1) — the all-pairs oracle is byte-identical.
+    * carries no near-dup signal and would contribute O(f²) candidate
+    * pairs), and sizes/counts/threshold are all computed in the SAME
+    * filtered space, so the Jaccard decision is self-consistent. The
+    * candidate machinery is a single memory-bounded bucket aggregation
+    * ([[BoundedBucket]]) — no cross product, no separate df pass, every
+    * bucket ≤ cap members. With the default cap the filter never fires
+    * on the test corpus (max shingle df = 25 at sf0.1) — the all-pairs
+    * oracle is byte-identical.
     */
   private[ops] def ngramPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
     val (exRaw, _) = exploded(s, d)
-    // Materialize the capped (doc_id, shingle) pairs ONCE: this frame
-    // feeds the self-join twice and the two size joins — without the
-    // checkpoint the scan→shingle→explode→df-filter pipeline plans FOUR
-    // times (4× map-side cost at 100 TB; same fix as the minhash
-    // signatures, and the same swap-for-a-real-checkpoint note).
-    val ex = graft.ops.Skew.dropHotKeys(exRaw, Seq("shingle"), cap).localCheckpoint()
+    // ONE shuffle does cap + candidates: group the exploded pairs by
+    // shingle into memory-bounded buckets (hot shingles drop inside the
+    // aggregation — see BoundedBucket; no df pass, no anti-join, no
+    // self-join), materialized once for the two consumers below.
+    val buckets = BoundedBucket.buckets(exRaw, Seq("shingle"), "doc_id", cap).localCheckpoint()
     // per-doc set size in the filtered space (== array size when the cap
-    // never fires)
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
-    // shuffle_hash, NOT broadcast: the exploded shingle set grows with
-    // the corpus — Spark's size estimate happily broadcasts it at test
-    // scale, which is exactly the plan that dies at 100 TB. A shuffle
-    // join on the shingle key is the scale-correct shape (and
-    // parallelizes the build side too).
-    val shared = ex
-      .as("x")
-      .hint("shuffle_hash")
-      .join(ex.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    // never fires): count each doc's kept shingle buckets
+    val sizes = buckets
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n"))
+    // shared-shingle counts per candidate pair, straight from the
+    // bucket pair stream (each shared shingle contributes one (a,b) row)
+    val shared = BoundedBucket
+      .pairs(buckets)
+      .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("shared"))
     // sizes is one row per DOC — corpus-sized, never broadcastable at
     // scale; hint it as the shuffle-hash build side
@@ -217,29 +215,17 @@ object Dedup {
       val bandStructs = (0 until LSH_BANDS).map { j =>
         struct(lit(j).as("band"), xxhash64(col(s"h${2 * j}"), col(s"h${2 * j + 1}")).as("key"))
       }
-      // Hot-bucket cap on the BAND key (the join key, where the blowup
-      // lives): a band bucket of f docs yields f²/2 candidates — f > cap
-      // happens for degenerate signature collisions or a dup cluster
-      // larger than cap (the latter belongs to exact dedup first; see
-      // HOT_BUCKET_CAP).
-      val banded = graft.ops.Skew.dropHotKeys(
-        sigs
-          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key")),
-        Seq("band", "key"),
-        cap
-      )
-      // shuffle_hash: banded signatures grow with the corpus (see
-      // q_dedup_ngram note) — never broadcast them.
-      val cands = banded
-        .as("x")
-        .hint("shuffle_hash")
-        .join(
-          banded.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id")
-        )
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      // Hot-bucket cap on the BAND key (where the blowup lives): a band
+      // bucket of f docs yields f²/2 candidates — f > cap happens for
+      // degenerate signature collisions or a dup cluster larger than cap
+      // (the latter belongs to exact dedup first; see HOT_BUCKET_CAP).
+      // One bounded bucket aggregation generates the capped candidates
+      // directly (see BoundedBucket — replaces the banded self-join).
+      val banded = sigs
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cands = BoundedBucket
+        .pairs(BoundedBucket.buckets(banded, Seq("band", "key"), "doc_id", cap))
         .distinct()
       verifyPairs(s, d, cands)
   }
@@ -277,25 +263,17 @@ object Dedup {
         ).as("bk")
       )
       // Same hot-bucket cap as the minhash band join: a 16-bit block key
-      // shared by f docs yields f²/2 Hamming checks.
-      val flat = graft.ops.Skew.dropHotKeys(
-        blocks.select(col("doc_id"), col("sig"), col("bk.blk").as("blk"), col("bk.key").as("key")),
-        Seq("blk", "key"),
-        cap
-      )
-      // shuffle_hash: per-doc block keys grow with the corpus — never
-      // broadcast (see q_dedup_ngram note).
-      val cands = flat
-        .as("x")
-        .hint("shuffle_hash")
-        .join(
-          flat.as("y"),
-          col("x.blk") === col("y.blk") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id")
-        )
-        .where(TextHash.hamming(col("x.sig"), col("y.sig")) <= 3)
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      // shared by f docs yields f²/2 Hamming checks. Bounded bucket
+      // aggregation generates capped candidates; the signatures join
+      // back (shuffle, corpus-sized) for the Hamming ≤ 3 gate.
+      val flat = blocks.select(col("doc_id"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+      val cands = BoundedBucket
+        .pairs(BoundedBucket.buckets(flat, Seq("blk", "key"), "doc_id", cap))
         .distinct()
+        .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")).hint("shuffle_hash"), "a_id")
+        .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")).hint("shuffle_hash"), "b_id")
+        .where(TextHash.hamming(col("sa"), col("sb")) <= 3)
+        .select("a_id", "b_id")
       verifyPairs(s, d, cands)
   }
 

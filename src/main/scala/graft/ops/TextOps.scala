@@ -174,6 +174,83 @@ object TextOps {
     Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")
   )
 
+  /** Deterministic train/val/test split assignment — the staple
+    * training-data operation: every row lands in a stable split that any
+    * re-run, any engine, and any subset of the corpus reproduces
+    * (re-shuffling data between runs silently corrupts eval sets). The
+    * bucket is a Knuth multiplicative hash on the id in EXACT integer
+    * arithmetic (no rand(), no engine hash function — DuckDB computes
+    * the identical value), 90/5/5 by bucket range. At 100 TB this is a
+    * pure per-row projection: no shuffle, no state, prunes to the id
+    * column.
+    */
+  val qSplitAssign = Q(
+    "q_split_assign",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).mod(lit(100L)).as("bucket")
+        )
+        .withColumn(
+          "split",
+          when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test")
+        )
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id""")
+  )
+
+  /** TF-IDF top-3 terms per document. Exactness discipline: idf is the
+    * LINEAR ratio N/df, not ln(N/df) — ln is not correctly-rounded by
+    * IEEE (unlike sqrt) so its bits can differ across engines; tf·N/df
+    * is one IEEE division on exact integers and ranks identically to
+    * tf·ln(N/df) within a document whenever df differs (monotone in
+    * 1/df for fixed tf — top-k by the linear form is the classic
+    * "tf-idf without the log damping" variant, documented).
+    * Shape at 100 TB: explode → two hash aggs (tf on (doc,term), df on
+    * term) → shuffle join on term → per-doc top-3 via WindowGroupLimit.
+    */
+  val qTfidf = Q(
+    "q_tfidf",
+    (s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val n = documents(s, d).count() // corpus size: one scalar, driver-held
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(df.hint("shuffle_hash"), "term") // df is vocab-sized but grows with the corpus
+        .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "term")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+            toks2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks2) GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, term, tf, df, round(CAST(tf * n AS DOUBLE) / df, 6) AS score
+            FROM (SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n,
+                         row_number() OVER (PARTITION BY tf.doc_id
+                                            ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC,
+                                                     tf.term ASC) AS rn
+                  FROM tf JOIN df ON tf.term = df.term, n) t
+            WHERE rn <= 3
+            ORDER BY doc_id, term""")
+  )
+
   val all: Seq[Q] =
-    Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId, qFingerprint)
+    Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
+      qFingerprint, qSplitAssign, qTfidf)
 }

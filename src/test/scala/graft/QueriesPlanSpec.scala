@@ -64,10 +64,21 @@ class QueriesPlanSpec extends SparkSpec {
       "broadcasting the exploded events fact dies at 100 TB")
   }
 
-  test("dedup candidate self-joins use shuffle joins, never broadcast") {
+  test("dedup candidates: bounded bucket agg, remaining joins shuffle, no corpus broadcast") {
     for (q <- Seq("q_dedup_ngram", "q_dedup_minhash", "q_dedup_simhash")) {
       val p = plan(q)
+      // candidate generation is ONE aggregation (BoundedBucket), not a
+      // band/shingle self-join. For ngram the aggregation runs inside
+      // the bucket checkpoint, so its visible plan starts at the
+      // checkpoint scan instead.
+      if (q == "q_dedup_ngram")
+        assert(p.contains("Scan ExistingRDD"), s"$q lost the bucket checkpoint")
+      else
+        assert(p.contains("ObjectHashAggregate"), s"$q lost the bounded bucket aggregation")
+      // size/signature/set joins stay shuffle joins — those frames are
+      // corpus-sized and must never be broadcast build sides
       assert(p.contains("ShuffledHashJoin"), s"$q lost its shuffle_hash hint")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     }
   }
 

@@ -56,6 +56,25 @@ class HotKeySpec extends SparkSpec {
     dir
   }
 
+  test("BoundedBucket: hot buckets dropped in-agg, cold buckets exact and sorted") {
+    import spark.implicits._
+    // key 7 is hot (50 members), keys 0-6 are cold
+    val rows = ((0 until 50).map(i => (7L, 1000L + i)) ++
+      (0 until 21).map(i => (i.toLong % 7, 100L + i))).toDF("key", "id")
+    val buckets = BoundedBucket.buckets(rows, Seq("key"), "id", cap = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(!buckets.contains(7L), "hot bucket must drop inside the aggregation")
+    assert(buckets.keySet == (0L until 7L).toSet)
+    assert(buckets(0L) == Seq(100L, 107L, 114L)) // exact, sorted
+    // pair stream: every i<j pair of each bucket exactly once
+    val pairs = BoundedBucket.pairs(
+      BoundedBucket.buckets(rows, Seq("key"), "id", cap = 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.length == 7 * 3) // 7 cold buckets × C(3,2)
+    assert(pairs.distinct.length == pairs.length)
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
   test("dropHotKeys bounds every surviving bucket at cap rows") {
     import spark.implicits._
     // key 7 is hot (50 rows), keys 0-6 are cold (≤ 8 rows)
