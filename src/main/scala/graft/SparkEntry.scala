@@ -19,7 +19,8 @@ object SparkEntry {
       Seq(AutoDateAgg.qAutoDateAgg, TopKAgg.qTopkPerKey,
         graft.streaming.Replay.qStreamWindow,
         graft.streaming.Replay.qStreamJoin,
-        graft.streaming.Replay.qStreamDedup)
+        graft.streaming.Replay.qStreamDedup,
+        graft.streaming.Replay.qSessions)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's own pipeline shape — ingest the pp-complete fixture,

@@ -324,6 +324,35 @@ object Replay {
       .select("user_id", "session_start", "session_end", "n_events")
   }
 
+  /** Declared query: batch lag-gap sessionization over events — the
+    * ground truth the streaming operator is spec-verified against, now
+    * oracled in its own right (lag + running sum + group-by are plain
+    * ANSI SQL). Gap decisions at millisecond precision on both engines
+    * (unix_millis / epoch_ms, both floor); emitted bounds keep micros.
+    */
+  val qSessions: graft.ops.Q = graft.ops.Q(
+    "q_sessions",
+    (s, d) =>
+      sessionizeBatch(graft.ops.Tables.events(s, d))
+        .orderBy("user_id", "session_start"),
+    Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+            l AS (SELECT user_id, event_id, ts,
+                         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+                  FROM e),
+            n AS (SELECT user_id, event_id, ts,
+                         CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM l),
+            sid AS (SELECT user_id, ts,
+                           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                    FROM n)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS INTEGER) AS n_events
+            FROM sid GROUP BY user_id, session_id
+            ORDER BY user_id, session_start""")
+  )
+
   /** Run sessionization over a directory of event files, streaming
     * emitted sessions straight to a parquet sink — the production wiring
     * (executor-parallel write, nothing accumulates on the driver) —

@@ -56,6 +56,16 @@ class QueriesPlanSpec extends SparkSpec {
     assert(!dataFilters.contains("day"), "day predicate leaked into data filters")
   }
 
+  test("q_join_bucketed: the join is exchange-free (bucket-local sort-merge)") {
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), "bucketed join must be a merge join")
+    assert(p.contains("Bucketed: true"), "scan is not reading bucketed output")
+    // only the final agg + sort may exchange; join inputs must not
+    // (unbucketed inputs would add two more)
+    val exchanges = p.linesIterator.count(l => l.contains("+- Exchange") || l.contains(":- Exchange"))
+    assert(exchanges <= 2, s"join inputs are shuffling ($exchanges exchanges)")
+  }
+
   test("q_range_join: bucket equi-key join, fact side never broadcast") {
     val p = plan("q_range_join")
     assert(p.contains("ShuffledHashJoin"), "band join must shuffle on the bucketed key")
