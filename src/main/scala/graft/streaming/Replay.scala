@@ -358,6 +358,26 @@ object Replay {
     * (executor-parallel write, nothing accumulates on the driver) —
     * then hand back the sink contents as a lazy Dataset.
     */
+  /** Declared query (rows-only — ∅): the custom stateful operator
+    * ([[sessionize]], flatMapGroupsWithState) replayed over the sf
+    * directory to a parquet sink. Without an end-of-stream sentinel the
+    * final watermark holds back each user's last open session fragment,
+    * so the emitted set is a strict subset of [[qSessions]] — not
+    * oracle-comparable (ReplaySpec proves exact batch equality when a
+    * sentinel closes the stream); the 30-day corpus still closes the
+    * overwhelming majority of sessions.
+    */
+  val qStreamSessions: graft.ops.Q = graft.ops.Q(
+    "q_stream_sessions",
+    (s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("replay-sess-out-").toString + "/sessions"
+      replaySessions(s, s"$d/events*.parquet", out)
+        .toDF()
+        .orderBy("user_id", "session_start")
+    },
+    None
+  )
+
   def replaySessions(spark: SparkSession, dir: String, outDir: String): Dataset[Session] = {
     import spark.implicits._
     val evts = readEvents(spark, dir).select("event_id", "ts", "user_id").as[Evt]

@@ -108,6 +108,15 @@ class HotKeySpec extends SparkSpec {
     assert(sh.subsetOf(Set((1000L, 1001L))))
   }
 
+  test("pairwise sub-blocking is exact for EVERY cap (property sweep)") {
+    val reference = Similarity.pairwiseNear(spark, sf0001, cap = 1 << 20).collect().toSeq
+    assert(reference.nonEmpty)
+    for (cap <- Seq(1, 2, 3, 7, 64)) {
+      val got = Similarity.pairwiseNear(spark, sf0001, cap).collect().toSeq
+      assert(got == reference, s"cap=$cap diverged from the unsplit join")
+    }
+  }
+
   test("pairwise sub-blocking is exact: tiny cap == no-split result") {
     // cap 4 ⇒ the 20-doc "the" bucket splits into 5 sub-blocks;
     // cap 2^20 ⇒ nsub = 1 everywhere (the plain blocked join)
