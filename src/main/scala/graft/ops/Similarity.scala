@@ -473,7 +473,31 @@ object Similarity {
             FROM documents ORDER BY doc_id""")
   )
 
+  /** The same brute-force kNN through the PURE SQL surface: the custom
+    * codegen expressions are registered as SQL functions by
+    * [[graft.GraftExtensions]] (`spark.sql.extensions`), so a SQL user
+    * reaches the identical whole-stage-codegen loop — same fold, same
+    * oracle as [[qKnnCosine]].
+    */
+  val qSqlKnn = Q(
+    "q_sql_knn",
+    (s, d) => {
+      embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .createOrReplaceTempView("emb_sql")
+      s.sql("""WITH q AS (SELECT v AS qv FROM emb_sql WHERE vec_id = 0)
+               SELECT vec_id,
+                      round(graft_dot(v, qv) /
+                            (sqrt(graft_dot(v, v)) * sqrt(graft_dot(qv, qv))), 6) AS cos_sim
+               FROM emb_sql, q
+               WHERE vec_id <> 0
+               ORDER BY cos_sim DESC, vec_id ASC
+               LIMIT 10""")
+    },
+    qKnnCosine.oracle
+  )
+
   val all: Seq[Q] =
-    Seq(qKnnCosine, qCosineNear, qCosineNearBlocked, qDedupEmbedding,
+    Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qDedupEmbedding,
       qAnnIvf, qAnnLsh, qPairwiseNear, qMultimodalJoin, qMultimodalMeta)
 }

@@ -1,0 +1,34 @@
+package graft
+
+/** The SQL function surface registered by [[GraftExtensions]]: native
+  * codegen expressions reachable from pure SQL (not interpreted UDFs).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("graft_dot / graft_sqdist evaluate from SQL") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+                graft_sqdist(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS s"""
+    ).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 8.0)
+  }
+
+  test("graft_shingle_hashes + graft_intersect_count compose in SQL") {
+    val r = spark.sql(
+      """SELECT graft_intersect_count(
+                  graft_shingle_hashes('a b c d', 3),
+                  graft_shingle_hashes('a b c e', 3)) AS shared,
+                size(graft_shingles('a b c d', 3)) AS n"""
+    ).head()
+    assert(r.getInt(0) == 1) // only "a b c" shared
+    assert(r.getInt(1) == 2) // "a b c", "b c d"
+  }
+
+  test("non-literal shingle width is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b c', 1 + 2)").head()
+    }
+    assert(e.getMessage.contains("integer literal") || e.getMessage.contains("graft_shingles"))
+  }
+}
