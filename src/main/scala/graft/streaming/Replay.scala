@@ -83,16 +83,38 @@ object Replay {
   def replayWindowedCounts(spark: SparkSession, dir: String, name: String = "replay_counts"): DataFrame = {
     spark.catalog.dropTempView(name) // release the previous run's sink
     val ckpt = java.nio.file.Files.createTempDirectory("replay-ckpt-")
-    val q = windowedCounts(readEvents(spark, dir)).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt.toString)
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = windowedCounts(readEvents(spark, dir)).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+    }
     graft.FsUtil.deleteRecursively(ckpt) // one-shot replay: no /tmp leak
     spark.table(name)
+  }
+
+  /** Stateful-stream state sizing for the REPLAY harness: the shuffle
+    * partition count in force when a streaming query first starts is
+    * BAKED INTO ITS CHECKPOINT as the state-store partition count, and
+    * every micro-batch pays per-partition store open/commit overhead —
+    * 32 stores for the replay's kilobytes of state is pure fixed cost
+    * (~3 s/query locally). A production deployment sizes this to its
+    * state volume at first start exactly the same way; 8 matches the
+    * replay corpus. Batch queries are untouched (the session value is
+    * restored after the replay completes).
+    */
+  private val ReplayStatePartitions = 8
+
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, ReplayStatePartitions.toString)
+    try body
+    finally spark.conf.set(key, prev)
   }
 
   /** Replay an append-mode stream to a TEMP PARQUET sink and hand back a
@@ -104,14 +126,16 @@ object Replay {
   def replayToParquet(stream: DataFrame, outDir: String): DataFrame = {
     val spark = stream.sparkSession
     val ckpt = java.nio.file.Files.createTempDirectory("replay-ckpt-")
-    val q = stream.writeStream
-      .format("parquet")
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt.toString)
-      .option("path", outDir)
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = stream.writeStream
+        .format("parquet")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
     graft.FsUtil.deleteRecursively(ckpt)
     // explicit schema: a zero-row replay leaves no data file to infer from
     spark.read.schema(stream.schema).parquet(outDir)
@@ -382,14 +406,16 @@ object Replay {
     import spark.implicits._
     val evts = readEvents(spark, dir).select("event_id", "ts", "user_id").as[Evt]
     val ckpt = java.nio.file.Files.createTempDirectory("sess-ckpt-")
-    val q = sessionize(evts).writeStream
-      .format("parquet")
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckpt.toString)
-      .option("path", outDir)
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = sessionize(evts).writeStream
+        .format("parquet")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .option("path", outDir)
+        .start()
+      q.awaitTermination()
+    }
     graft.FsUtil.deleteRecursively(ckpt)
     spark.read.parquet(outDir).as[Session]
   }
