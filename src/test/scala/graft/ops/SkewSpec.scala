@@ -23,6 +23,40 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the automatic complement)") {
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // shrink the skew thresholds so unit-test-sized skew triggers the
+      // same split a multi-GB hot partition would at production defaults
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1" // force the shuffle join
+    )
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying ~90% of the left side
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 =!= 0, 1L).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(100).select(col("id").as("rk"), lit("dim").as("tag"))
+      val joined = left.join(right, col("k") === col("rk"))
+      // collect() (not count()) so THIS Dataset's own adaptive plan
+      // executes and finalizes — count() builds a separate QueryExecution
+      assert(joined.collect().length == 180000 + 10) // hot key + ids 0,10,...,90
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("saltCol is deterministic and in range") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("x")
