@@ -124,19 +124,30 @@ object Replay {
     * set there — linear in the input for a join, dead at 100 TB).
     */
   def replayToParquet(stream: DataFrame, outDir: String): DataFrame = {
-    val spark = stream.sparkSession
     val ckpt = java.nio.file.Files.createTempDirectory("replay-ckpt-")
+    val out = replayToParquet(stream, outDir, ckpt.toString)
+    graft.FsUtil.deleteRecursively(ckpt)
+    out
+  }
+
+  /** Checkpoint-explicit variant: re-invoking with the SAME checkpoint
+    * after new files land RESUMES the stream — offsets and join/dedup
+    * state restore from the checkpoint, processed files are never
+    * re-read, and cross-restart matches emit exactly once (proven by
+    * ReplaySpec's restart test).
+    */
+  def replayToParquet(stream: DataFrame, outDir: String, ckptDir: String): DataFrame = {
+    val spark = stream.sparkSession
     withStatePartitions(spark) {
       val q = stream.writeStream
         .format("parquet")
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt.toString)
+        .option("checkpointLocation", ckptDir)
         .option("path", outDir)
         .start()
       q.awaitTermination()
     }
-    graft.FsUtil.deleteRecursively(ckpt)
     // explicit schema: a zero-row replay leaves no data file to infer from
     spark.read.schema(stream.schema).parquet(outDir)
   }

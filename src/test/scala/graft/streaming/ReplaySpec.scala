@@ -122,6 +122,47 @@ class ReplaySpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("restart from checkpoint: offsets + join state recover, exactly-once output") {
+    val src = sliceEvents(4, sentinel = false)
+    val live = Files.createTempDirectory("events-live-")
+    val out = Files.createTempDirectory("restart-out-").toString + "/rows"
+    val ckpt = Files.createTempDirectory("restart-ckpt-").toString
+    // deliver in two phases, preserving the chronological mtime order the
+    // maxFilesPerTrigger=1 source replays by
+    def deliver(names: String*): Unit = names.foreach { n =>
+      val dest = live.resolve(n)
+      Files.copy(Paths.get(src, n), dest, StandardCopyOption.REPLACE_EXISTING)
+      val idx = n.takeWhile(_.isDigit).toInt
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000000000000L + idx * 60000L))
+    }
+    deliver("00.parquet", "01.parquet")
+    val phase1 = Replay
+      .replayToParquet(Replay.rangeJoinStream(spark, live.toString), out, ckpt)
+      .count()
+    // "process crash": the query object is gone; only checkpoint + sink
+    // survive. New files land, the stream restarts from the checkpoint.
+    deliver("02.parquet", "03.parquet")
+    val resumed = Replay
+      .replayToParquet(Replay.rangeJoinStream(spark, live.toString), out, ckpt)
+      .select("user_id", "a_id", "b_id")
+      .orderBy("user_id", "a_id", "b_id")
+      .collect()
+    val e = batchEvents(live.toString)
+    val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+    val batch = a.join(
+        b,
+        col("user_id") === col("b_user") && col("a_id") < col("b_id") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") < col("a_ts") + expr("INTERVAL 60 SECONDS"))
+      .select("user_id", "a_id", "b_id")
+      .orderBy("user_id", "a_id", "b_id").collect()
+    assert(phase1 > 0 && phase1 < batch.length, "both phases must contribute matches")
+    // complete + exactly-once: missing rows would mean lost state/offsets,
+    // extras would mean reprocessed files
+    assert(resumed.toSeq == batch.toSeq)
+  }
+
   test("streaming dedup: key set == batch distinct, re-emission bounded") {
     val dir = sliceEvents(4, sentinel = false)
     val out = Replay.replayDedup(spark, dir).collect()
