@@ -15,7 +15,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_join_smj", "q_join_salted", "q_join_broadcast", "q_asof_join",
     "q_window_rank", "q_window_running", "q_topk_per_key",
     "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash",
-    "q_cosine_near", "q_pairwise_near", "q_text_stats", "q_top_terms"
+    "q_cosine_near", "q_pairwise_near", "q_text_stats", "q_top_terms",
+    // round-3 shuffle-heavy additions
+    "q_range_join", "q_sessions", "q_tfidf", "q_join_bucketed",
+    "q_cosine_near_blocked", "q_dedup_embedding"
   )
 
   shuffleSensitive.foreach { name =>
