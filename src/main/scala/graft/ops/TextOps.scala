@@ -158,7 +158,22 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "pred_lang")
     },
-    None // argmax-of-struct tiebreak is engine-specific; rows-only check
+    // The struct-least argmax IS ANSI-expressible: take the greatest
+    // score, then CASE through the languages in lexicographic order —
+    // the first hit is exactly least((-score, lang))'s tiebreak.
+    Some {
+      def profile(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      val scores = langProfiles.map { case (l, ws) =>
+        s"len(list_intersect(list_distinct(string_split(text,' ')), ${profile(ws)})) AS score_$l"
+      }
+      val gm = langProfiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")")
+      val arms = langProfiles.map(_._1).sorted.map(l => s"WHEN score_$l = gm THEN '$l'")
+      s"""WITH scored AS (SELECT lang, ${scores.mkString(", ")} FROM documents),
+          g AS (SELECT lang, $gm AS gm, * FROM scored),
+          pred AS (SELECT lang, CASE ${arms.mkString(" ")} END AS pred_lang FROM g)
+          SELECT lang, pred_lang, count(*) AS n_docs
+          FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
+    }
   )
 
   /** Document fingerprinting: md5 content fingerprint (oracle-able) —

@@ -152,10 +152,12 @@ object Replay {
     spark.read.schema(stream.schema).parquet(outDir)
   }
 
-  /** Declared query (rows-only check — E14 is not DuckDB-comparable):
-    * the windowed replay over the sf directory's events file, totally
-    * ordered. Exercises readStream → watermark → windowed agg → memory
-    * sink end-to-end inside the driver's Verify pass.
+  /** Declared query — ORACLED: a Complete-mode replay to exhaustion is
+    * trigger-invariant (event time drives every aggregate and the final
+    * table holds ALL windows), so the streamed result equals the batch
+    * tumbling-window aggregation, and a 1-hour epoch-aligned tumbling
+    * window start is exactly `date_trunc('hour', ts)` — the driver's t2
+    * hash-verifies the windowed streaming path like the join/dedup ones.
     */
   val qStreamWindow: graft.ops.Q = graft.ops.Q(
     "q_stream_window",
@@ -164,7 +166,12 @@ object Replay {
       // directory or glob for basePath inference.
       replayWindowedCounts(s, s"$d/events*.parquet", "replay_counts_q")
         .orderBy("window_start", "event_type"),
-    None
+    Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY window_start, event_type
+            ORDER BY window_start, event_type""")
   )
 
   /** Stream-stream RANGE JOIN (the streaming analogue of the batch
