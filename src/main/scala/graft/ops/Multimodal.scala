@@ -97,6 +97,14 @@ object Multimodal {
   /** Declared query (rows-only — the fake codec is not SQL semantics):
     * documents.text bytes stand in for media payloads.
     */
+  /** Oracle note (applies to all three mm queries): the fake codec is
+    * pure BYTE arithmetic, and the documents corpus is pure ASCII
+    * (verified: 0 non-ASCII docs at every SF), so DuckDB can reproduce
+    * it character-wise — `ord(char) == byte`, `octet_length == length`.
+    * A real codec would be rows-only again; the point here is that the
+    * PLUMBING (binary columns, per-partition batch loop, fan-out shapes)
+    * is hash-verified end-to-end, not just smoke-tested.
+    */
   val qMmDecode = Q(
     "q_mm_decode",
     (s, d) => {
@@ -105,7 +113,14 @@ object Multimodal {
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       extractFeatures(s, media).orderBy("doc_id")
     },
-    None
+    Some("""SELECT doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+                   CAST(16 + octet_length(CAST(text AS BLOB)) % 241 AS INTEGER) AS width,
+                   CAST(16 + (octet_length(CAST(text AS BLOB)) * 31) % 181 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(list_sum([ord(c) for c in string_split(text, '')]) AS DOUBLE)
+                     / octet_length(CAST(text AS BLOB)) AS mean_byte
+            FROM documents ORDER BY doc_id""")
   )
 
   final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, frame_sha: String)
@@ -138,7 +153,16 @@ object Multimodal {
         .toDF()
         .orderBy("doc_id", "frame_idx")
     },
-    None
+    // every-3rd 64-byte chunk: indices from range(); the last chunk may
+    // be short; sha256 over the chunk's (ASCII) bytes via substr
+    Some("""SELECT doc_id,
+                   CAST(idx AS INTEGER) AS frame_idx,
+                   CAST(least(64, octet_length(CAST(text AS BLOB)) - idx * 64) AS INTEGER) AS n_bytes,
+                   sha256(substr(text, CAST(idx * 64 + 1 AS INTEGER), 64)) AS frame_sha
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT), 3)) AS idx
+                  FROM documents)
+            ORDER BY doc_id, frame_idx""")
   )
 
   /** Resize: payload → 32×32 thumbnail bytes (stubbed scaler), carrying
@@ -161,7 +185,11 @@ object Multimodal {
         .toDF("doc_id", "orig_bytes", "thumb_bytes")
         .orderBy("doc_id")
     },
-    None
+    // the stub downsamples to at most 32*32 bytes
+    Some("""SELECT doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS orig_bytes,
+                   CAST(least(octet_length(CAST(text AS BLOB)), 1024) AS INTEGER) AS thumb_bytes
+            FROM documents ORDER BY doc_id""")
   )
 
   val all: Seq[Q] = Seq(qMmDecode, qMmFrames, qMmResize)
