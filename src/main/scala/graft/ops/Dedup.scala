@@ -286,5 +286,81 @@ object Dedup {
     None
   )
 
-  val all: Seq[Q] = Seq(qDedupExact, qDedupKey, qDedupNgram, qDedupMinhash, qDedupSimhash)
+  /** Distributed connected components by min-label propagation: each
+    * node starts labeled with its own id; every iteration each node
+    * takes the min of its own and its neighbors' labels, until no label
+    * changes. Converges in O(component diameter) rounds — near-dup
+    * clusters are shallow (pairs chain through shared content), so this
+    * is 2-4 rounds in practice; the driver loop per round is one
+    * aggregate + one join + a convergence count, with labels
+    * checkpointed per round (the standard iterative-algorithm shape —
+    * lineage would otherwise grow unboundedly). For web-scale graphs
+    * swap the step for large-star/small-star (same loop skeleton,
+    * O(log n) rounds).
+    */
+  private[ops] def connectedComponents(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    var moved = 1L
+    var rounds = 0
+    while (moved > 0 && rounds < 50) {
+      val neigh = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src"))
+        .agg(min("label").as("nl"))
+      val merged = labels
+        .join(neigh, labels("node") === neigh("src"), "left")
+        .select(
+          col("node"),
+          col("label"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("newl")
+        )
+      val next = merged.select(col("node"), col("newl").as("label")).localCheckpoint()
+      moved = merged.where(col("newl") < col("label")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Dedup CLUSTERS: the near-dup pair graph's connected components,
+    * every doc labeled with the smallest doc_id in its component
+    * (singletons label themselves) — the step that turns pairwise
+    * near-dup detection into actionable survivor groups. Oracled via a
+    * DuckDB RECURSIVE CTE computing the same reachability closure.
+    */
+  val qDedupCc = Q(
+    "q_dedup_cc",
+    (s, d) => {
+      val pairs = ngramPairs(s, d, HOT_BUCKET_CAP).select("a_id", "b_id")
+      val nodes = documents(s, d).select(col("doc_id").as("node"))
+      connectedComponents(pairs, nodes)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+             toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             sh AS (SELECT doc_id,
+                           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in range(1, len(w)-1)]) AS s
+                    FROM toks WHERE len(w) >= 3),
+             pairs AS (
+               SELECT a.doc_id AS a_id, b.doc_id AS b_id
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)),
+             edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                       UNION ALL SELECT b_id, a_id FROM pairs),
+             walk(node, label) AS (
+               SELECT doc_id, doc_id FROM documents
+               UNION
+               SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node)
+             SELECT node AS doc_id, min(label) AS cluster_id
+             FROM walk GROUP BY node ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] =
+    Seq(qDedupExact, qDedupKey, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupCc)
 }

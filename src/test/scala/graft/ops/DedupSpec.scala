@@ -37,6 +37,29 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"simhash recall $recall")
   }
 
+  test("connected components: chains merge, components stay separate, singletons self-label") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // component {1,5,9,12} as a chain, component {2,7}, singleton 3
+    val pairs = Seq((1L, 5L), (5L, 9L), (9L, 12L), (2L, 7L)).toDF("a_id", "b_id")
+    val nodes = Seq(1L, 2L, 3L, 5L, 7L, 9L, 12L).toDF("node")
+    val got = Dedup.connectedComponents(pairs, nodes)
+      .orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 5L -> 1L, 7L -> 2L, 9L -> 1L, 12L -> 1L))
+  }
+
+  test("q_dedup_cc: cluster ids are the min doc_id over the ngram pair graph") {
+    val pairs = SparkEntryPairs("q_dedup_ngram", spark, sf0001)
+    val cc = graft.SparkEntry.queries("q_dedup_cc")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every paired doc shares its cluster with its partner
+    pairs.foreach { case (a, b) => assert(cc(a) == cc(b), s"pair ($a,$b) split") }
+    // docs in no pair label themselves
+    val inPairs = pairs.flatMap { case (a, b) => Seq(a, b) }
+    cc.foreach { case (doc, cl) => if (!inPairs(doc)) assert(cl == doc) }
+  }
+
   test("exact dedup survivor rule: lowest doc_id kept, copies counted") {
     val docs = Tables.documents(spark, sf0001)
     val total = docs.count()
