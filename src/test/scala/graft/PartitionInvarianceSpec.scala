@@ -18,7 +18,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_cosine_near", "q_pairwise_near", "q_text_stats", "q_top_terms",
     // round-3 shuffle-heavy additions
     "q_range_join", "q_sessions", "q_tfidf", "q_join_bucketed",
-    "q_cosine_near_blocked", "q_dedup_embedding"
+    "q_cosine_near_blocked", "q_dedup_embedding", "q_dedup_cc"
   )
 
   shuffleSensitive.foreach { name =>
