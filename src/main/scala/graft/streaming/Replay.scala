@@ -400,24 +400,43 @@ object Replay {
     * (executor-parallel write, nothing accumulates on the driver) —
     * then hand back the sink contents as a lazy Dataset.
     */
-  /** Declared query (rows-only — ∅): the custom stateful operator
-    * ([[sessionize]], flatMapGroupsWithState) replayed over the sf
-    * directory to a parquet sink. Without an end-of-stream sentinel the
-    * final watermark holds back each user's last open session fragment,
-    * so the emitted set is a strict subset of [[qSessions]] — not
-    * oracle-comparable (ReplaySpec proves exact batch equality when a
-    * sentinel closes the stream); the 30-day corpus still closes the
-    * overwhelming majority of sessions.
+  /** Declared query — ORACLED: the custom stateful operator
+    * ([[sessionize]], flatMapGroupsWithState) replayed to a parquet
+    * sink, with an END-OF-STREAM SENTINEL event appended as a second
+    * file (user −1, year 2100): the sentinel advances the watermark past
+    * every real session's `last + gap`, so event-time timeouts flush ALL
+    * fragments and the emitted set (sentinel filtered back out) equals
+    * the batch lag-gap sessionization exactly — the driver's t2
+    * hash-verifies the stateful operator itself against [[qSessions]]'s
+    * SQL. The sentinel file is the streaming end-of-input marker any
+    * bounded replay of an unbounded operator needs; on a live stream
+    * there is no end, and open sessions correctly stay open.
     */
   val qStreamSessions: graft.ops.Q = graft.ops.Q(
     "q_stream_sessions",
     (s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("replay-sess-out-").toString + "/sessions"
-      replaySessions(s, s"$d/events*.parquet", out)
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import java.nio.file.attribute.FileTime
+      val live = Files.createTempDirectory("replay-sess-in-")
+      val src = Paths.get(s"$d/events.parquet")
+      Files.copy(src, live.resolve("00.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(live.resolve("00.parquet"), FileTime.fromMillis(1000000000000L))
+      // sentinel: one far-future event in the raw (nanos) schema
+      val sentinelNanos = 4102444800L * 1000000000L // 2100-01-01T00:00Z
+      val row = org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, "sentinel", 0.0, "{}")
+      val tmp = Files.createTempDirectory("sess-sentinel-")
+      s.createDataFrame(java.util.List.of(row), rawSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+      Files.move(part, live.resolve("01.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(live.resolve("01.parquet"), FileTime.fromMillis(1000000060000L))
+      val out = Files.createTempDirectory("replay-sess-out-").toString + "/sessions"
+      replaySessions(s, live.toString, out)
         .toDF()
+        .where(org.apache.spark.sql.functions.col("user_id") =!= -1L)
         .orderBy("user_id", "session_start")
     },
-    None
+    qSessions.oracle
   )
 
   def replaySessions(spark: SparkSession, dir: String, outDir: String): Dataset[Session] = {
