@@ -16,13 +16,18 @@ import graft.functions.TextHash
   * Scale shapes (the point of each variant at 100 TB):
   *  - exact: hash-groupBy, one shuffle on the full text (or better, on a
   *    fingerprint — see q_fingerprint).
-  *  - ngram: explode+equi-join on shingle = similarity join without a
-  *    cross product; shuffle volume = Σ shingles, hot shingles bounded
-  *    by a frequency cap in a real corpus.
+  *  - ngram: bounded bucket aggregation on shingle = similarity join
+  *    without a cross product; shuffle volume = Σ shingles, hot
+  *    shingles dropped inside the aggregation ([[BoundedBucket]], cap
+  *    on by default).
   *  - minhash: constant-size signature per doc (k hashes) + LSH banding
-  *    → candidate pairs ∝ true-positive density, not n².
-  *  - simhash: one 64-bit signature per doc + block-key join; candidates
-  *    within Hamming ≤ 3 guaranteed by 4×16-bit pigeonhole blocks.
+  *    → candidate pairs ∝ true-positive density, not n²; band buckets
+  *    capped the same way.
+  *  - simhash: one 64-bit signature per doc + capped block-key buckets;
+  *    candidates within Hamming ≤ 3 guaranteed by 4×16-bit pigeonhole
+  *    blocks.
+  *  - clusters: min-label-propagation connected components over the
+  *    pair graph (q_dedup_cc) turn pairs into survivor groups.
   */
 object Dedup {
   import Tables._
