@@ -352,12 +352,22 @@ object Similarity {
     * is not ANSI-SQL-expressible); AnnSpec asserts candidate recall and
     * internal consistency vs the brute-force baseline.
     */
+  /** The 16 seeded random hyperplanes, shared verbatim between the
+    * engine query and its oracle: "random" means fixed-at-build-time —
+    * the values are ordinary double literals both engines can evaluate,
+    * so even the LSH variant is hash-comparable (the sign decisions ride
+    * the same left-fold dot product the cosine oracles already prove
+    * bitwise-equal).
+    */
+  private val lshPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
   val qAnnLsh = Q(
     "q_ann_lsh",
     (s, d) => {
-      val rnd = new scala.util.Random(42)
-      val planes: Seq[Seq[Double]] =
-        Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+      val planes = lshPlanes
       val emb = Tables.fanOut(
         embeddings(s, d).select(
           col("vec_id"),
@@ -391,7 +401,27 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(5)
     },
-    None
+    Some {
+      val planeRows = lshPlanes.zipWithIndex.map { case (p, j) =>
+        s"(${1L << j}, [${p.mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          planes(w, p) AS (VALUES $planeRows),
+          sigs AS (SELECT e.vec_id,
+                          CAST(sum(CASE WHEN list_sum([e.v[i] * planes.p[i] for i in range(1, 65)]) >= 0.0
+                                        THEN planes.w ELSE 0 END) AS BIGINT) AS sig
+                   FROM e, planes GROUP BY e.vec_id),
+          bands AS (SELECT vec_id, b.b AS band, (sig >> (4 * b.b)) & 15 AS key
+                    FROM sigs, (VALUES (0), (1), (2), (3)) AS b(b)),
+          qb AS (SELECT band, key FROM bands WHERE vec_id = 0),
+          qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          cands AS (SELECT DISTINCT bands.vec_id FROM bands JOIN qb USING (band, key)
+                    WHERE bands.vec_id <> 0)
+          SELECT c.vec_id AS vec_id, round(${duckCos("e.v", "qv")}, 6) AS cos_sim
+          FROM cands c JOIN e ON c.vec_id = e.vec_id, qv
+          ORDER BY cos_sim DESC, c.vec_id ASC
+          LIMIT 5"""
+    }
   )
 
   /** Embedding-cosine near-duplicate DEDUP (the E10 mandate's fifth
