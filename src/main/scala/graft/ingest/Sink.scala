@@ -120,8 +120,16 @@ object CopyFormat {
   *     reference's own single-txn TRUNCATE+COPY atomicity,
   *     `main.py:196-200`), then drops the staging tables.
   *
+  * Staging tables are LOAD-SCOPED (`{table}_stg_{loadId}_{pid}`, a
+  * fresh loadId per stagedLoad call), so concurrent loads of the same
+  * target — overlapping append and overwrite, or a scheduler retry of a
+  * presumed-dead run — cannot truncate each other's staged partitions;
+  * task retries WITHIN a load share the name and stay idempotent. On
+  * any failure the staged tables are best-effort dropped (and the
+  * promote transaction rolled back), so aborted loads do not leak rows.
+  *
   * Residual caveat: SPECULATIVE duplicate attempts of one partition can
-  * interleave on the shared staging table — run COPY jobs with
+  * interleave on that partition's staging table — run COPY jobs with
   * `spark.speculation=false` (the default). Fully speculation-proof
   * staging needs attempt-keyed tables plus a commit-coordinator hook to
   * reap losers.
@@ -138,14 +146,14 @@ final case class CopySink(
     s"COPY $table (${columns.mkString(", ")}) " +
       "FROM STDIN WITH (FORMAT csv, NULL '\\N')"
 
-  private def stagingTable(pid: Int): String = s"${qualifiedTable}_stg_$pid"
-
   def overwrite(df: DataFrame): Unit = stagedLoad(df, truncateTarget = true)
 
   def append(df: DataFrame): Unit = stagedLoad(df, truncateTarget = false)
 
   private def stagedLoad(df: DataFrame, truncateTarget: Boolean): Unit = {
     val colList = columns.mkString(", ")
+    // load-scoped staging prefix: concurrent loads never share tables
+    val loadId = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     // Written partition ids flow back through an accumulator (NOT via
     // df.rdd.getNumPartitions on the driver: materializing the RDD view
     // of an observed DataFrame silently detaches its Observation).
@@ -156,34 +164,49 @@ final case class CopySink(
     val mk = connect // ship the factory, not a connection
     val table = qualifiedTable
     val cols = columns
-    df.foreachPartition { (it: Iterator[Row]) =>
-      if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val t = s"${table}_stg_$pid"
-        val c = mk()
-        try {
-          c.execute(s"CREATE TABLE IF NOT EXISTS $t (LIKE $table)")
-          // retry idempotence: wipe any partial rows a failed attempt left
-          c.execute(s"TRUNCATE TABLE $t")
-          c.copyIn(
-            s"COPY $t (${cols.mkString(", ")}) FROM STDIN WITH (FORMAT csv, NULL '\\N')",
-            CopyFormat.lines(it)
-          )
-          writtenPids.add(pid)
-        } finally c.close()
-      }
-    }
+    def stagingTable(pid: Int): String = s"${table}_stg_${loadId}_$pid"
 
     import scala.jdk.CollectionConverters._
-    val staging = writtenPids.value.asScala.toSeq.distinct.sorted.map(stagingTable)
-    val promote = connect()
+    def staged: Seq[String] = writtenPids.value.asScala.toSeq.distinct.sorted.map(stagingTable)
     try {
-      promote.execute("BEGIN")
-      if (truncateTarget) promote.execute(s"TRUNCATE TABLE $qualifiedTable")
-      staging.foreach(t =>
-        promote.execute(s"INSERT INTO $qualifiedTable ($colList) SELECT $colList FROM $t"))
-      promote.execute("COMMIT")
-      staging.foreach(t => promote.execute(s"DROP TABLE $t"))
-    } finally promote.close()
+      df.foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val t = s"${table}_stg_${loadId}_$pid"
+          val c = mk()
+          try {
+            c.execute(s"CREATE TABLE IF NOT EXISTS $t (LIKE $table)")
+            // retry idempotence: wipe any partial rows a failed ATTEMPT
+            // of this same load left behind
+            c.execute(s"TRUNCATE TABLE $t")
+            c.copyIn(
+              s"COPY $t (${cols.mkString(", ")}) FROM STDIN WITH (FORMAT csv, NULL '\\N')",
+              CopyFormat.lines(it)
+            )
+            writtenPids.add(pid)
+          } finally c.close()
+        }
+      }
+
+      val promote = connect()
+      try {
+        promote.execute("BEGIN")
+        try {
+          if (truncateTarget) promote.execute(s"TRUNCATE TABLE $qualifiedTable")
+          staged.foreach(t =>
+            promote.execute(s"INSERT INTO $qualifiedTable ($colList) SELECT $colList FROM $t"))
+          promote.execute("COMMIT")
+        } catch {
+          case e: Throwable =>
+            scala.util.Try(promote.execute("ROLLBACK"))
+            throw e
+        }
+      } finally promote.close()
+    } finally {
+      // success or failure: staged tables must not outlive the load
+      val cleanup = connect()
+      try staged.foreach(t => scala.util.Try(cleanup.execute(s"DROP TABLE IF EXISTS $t")))
+      finally cleanup.close()
+    }
   }
 }

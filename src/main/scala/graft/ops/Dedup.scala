@@ -311,11 +311,15 @@ object Dedup {
     var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
     var moved = 1L
     var rounds = 0
-    while (moved > 0 && rounds < 50) {
+    val maxRounds = 100
+    while (moved > 0 && rounds < maxRounds) {
       val neigh = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src"))
         .agg(min("label").as("nl"))
+      // checkpoint the MERGED frame once: both the convergence count and
+      // the next label set derive from it without re-running the round's
+      // join+aggregate
       val merged = labels
         .join(neigh, labels("node") === neigh("src"), "left")
         .select(
@@ -323,11 +327,16 @@ object Dedup {
           col("label"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("newl")
         )
-      val next = merged.select(col("node"), col("newl").as("label")).localCheckpoint()
+        .localCheckpoint()
       moved = merged.where(col("newl") < col("label")).count()
-      labels = next
+      labels = merged.select(col("node"), col("newl").as("label"))
       rounds += 1
     }
+    // fail LOUDLY rather than return a silently-wrong partition of a
+    // component (a >maxRounds-diameter chain needs the star-contraction
+    // variant, not more rounds of plain propagation)
+    require(moved == 0,
+      s"connectedComponents did not converge in $maxRounds rounds — component diameter exceeds the propagation budget")
     labels
   }
 

@@ -19,13 +19,29 @@ import org.apache.spark.sql.functions._
   */
 object Partitioned {
 
-  /** Per-sfDir location for the partitioned copy (hash-keyed so sf0.01
-    * verify and sf0.1 bench runs never read each other's layout).
+  /** Cache key for a derived layout: the SOURCE PATH plus the source
+    * file's size and mtime — regenerated testdata at the same path gets
+    * a fresh key, so a stale /tmp layout from a previous corpus can
+    * never serve (it would silently diverge from the oracle, which
+    * always reads the live file).
     */
-  private def layoutDir(d: String): String = {
-    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(d))
-    s"${System.getProperty("java.io.tmpdir")}/graft_events_by_day_$h"
+  private def sourceKey(paths: Seq[String]): String = {
+    val sig = paths.map { p =>
+      val f = java.nio.file.Paths.get(p)
+      val (sz, mt) =
+        if (java.nio.file.Files.exists(f))
+          (java.nio.file.Files.size(f), java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        else (0L, 0L)
+      s"$p:$sz:$mt"
+    }.mkString("|")
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
   }
+
+  /** Per-source location for the partitioned copy (content-keyed — see
+    * [[sourceKey]]; sf0.01 verify and sf0.1 bench never collide either).
+    */
+  private def layoutDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_events_by_day_${sourceKey(Seq(s"$d/events.parquet"))}"
 
   /** Date-partitioned copy of events, written once per sf dir (reused on
     * later calls — Bench invokes each query three times). The write is a
@@ -70,11 +86,19 @@ object Partitioned {
     * dir (the one-shot layout job), read back through the catalog.
     */
   private def bucketedDb(s: SparkSession, d: String): String = {
-    val db = "graft_bkt_" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(d))
+    // content-keyed like layoutDir: regenerated source tables get a new
+    // database, never a stale bucketed copy
+    val db = "graft_bkt_" + sourceKey(Seq(s"$d/lineitem.parquet", s"$d/orders.parquet"))
     if (!s.catalog.databaseExists(db)) {
       // a crashed previous run can leave the warehouse dir without the
-      // catalog entry — clear it before CREATE
-      graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(s"spark-warehouse/$db.db"))
+      // catalog entry — clear it before CREATE. Resolve the REAL
+      // warehouse root from the session conf (a cwd-relative path would
+      // miss it whenever cwd differs from the session's launch dir).
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val whPath =
+        if (wh.getScheme == "file") java.nio.file.Paths.get(wh)
+        else java.nio.file.Paths.get(s.conf.get("spark.sql.warehouse.dir"))
+      graft.FsUtil.deleteRecursively(whPath.resolve(s"$db.db"))
       s.sql(s"CREATE DATABASE $db")
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_extendedprice", "l_quantity")

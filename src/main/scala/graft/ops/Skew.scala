@@ -30,13 +30,18 @@ object Skew {
     * corpus.
     *
     * Scale shape: one aggregation on the SAME key the join shuffles on
-    * (the standard document-frequency pass), then a broadcast anti-join
-    * — the hot list is pigeonhole-bounded at N/cap keys, tiny by
-    * construction. Semantics: callers must treat the capped stream as
-    * CANDIDATE GENERATION ONLY and verify pairs against the full
-    * uncapped sets; a pair whose every shared key is hot is missed — the
-    * documented approximation (a pair sharing only ubiquitous shingles
-    * is not a near-duplicate in any meaningful corpus).
+    * (the standard document-frequency pass), then a SHUFFLE anti-join on
+    * that key. The hot list is pigeonhole-bounded at N/cap keys — small
+    * relative to the stream, but N/cap still grows linearly with the
+    * corpus (10^9 keys at 10^12 rows), so it must never be a broadcast
+    * build side; AQE is free to downgrade the exchange to a broadcast at
+    * runtime when the actual list is tiny. Semantics: callers must treat
+    * the capped stream as CANDIDATE GENERATION ONLY and verify pairs
+    * against the full uncapped sets; a pair whose every shared key is
+    * hot is missed — the documented approximation (a pair sharing only
+    * ubiquitous shingles is not a near-duplicate in any meaningful
+    * corpus). The fused single-shuffle form ([[BoundedBucket]]) is what
+    * the engine's own candidate generators use.
     */
   def dropHotKeys(rows: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     val hot = rows
@@ -44,7 +49,7 @@ object Skew {
       .agg(count(lit(1)).as("_df"))
       .where(col("_df") > cap)
       .drop("_df")
-    rows.join(broadcast(hot), keyCols, "left_anti")
+    rows.join(hot.hint("shuffle_hash"), keyCols, "left_anti")
   }
 
   /** Inner equi-join with the LEFT side salted and the RIGHT side

@@ -205,7 +205,13 @@ object TextOps {
       documents(s, d)
         .select(
           col("doc_id"),
-          pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).mod(lit(100L)).as("bucket")
+          // reduce mod the Mersenne prime 2^31−1 BEFORE the Knuth
+          // multiply: the product then tops out at ~5.7·10^18 < 2^63−1,
+          // so the arithmetic is exact for EVERY BIGINT id on every
+          // engine — doc_id·K directly would overflow (ANSI error) past
+          // doc_id ≈ 3.5·10^9, i.e. exactly at corpus scale
+          pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L), lit(4294967296L))
+            .mod(lit(100L)).as("bucket")
         )
         .withColumn(
           "split",
@@ -213,9 +219,9 @@ object TextOps {
         )
         .orderBy("doc_id"),
     Some("""SELECT doc_id,
-                   (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
-                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
-                        WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+                   (doc_id % 2147483647 * 2654435761) % 4294967296 % 100 AS bucket,
+                   CASE WHEN (doc_id % 2147483647 * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+                        WHEN (doc_id % 2147483647 * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents ORDER BY doc_id""")
   )

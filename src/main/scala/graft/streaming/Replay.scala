@@ -427,14 +427,23 @@ object Replay {
       val tmp = Files.createTempDirectory("sess-sentinel-")
       s.createDataFrame(java.util.List.of(row), rawSchema)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+      // CLOSE the directory stream (it holds an fd — see FsUtil's note)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
+        finally listing.close()
       Files.move(part, live.resolve("01.parquet"), StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(live.resolve("01.parquet"), FileTime.fromMillis(1000000060000L))
       val out = Files.createTempDirectory("replay-sess-out-").toString + "/sessions"
-      replaySessions(s, live.toString, out)
+      val sessions = replaySessions(s, live.toString, out)
         .toDF()
         .where(org.apache.spark.sql.functions.col("user_id") =!= -1L)
         .orderBy("user_id", "session_start")
+      // the replay has fully consumed its inputs; only `out` (lazily
+      // read) must survive — don't leave an events copy per run in /tmp
+      graft.FsUtil.deleteRecursively(live)
+      graft.FsUtil.deleteRecursively(tmp)
+      sessions
     },
     qSessions.oracle
   )

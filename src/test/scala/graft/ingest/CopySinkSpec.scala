@@ -40,9 +40,10 @@ class CopySinkSpec extends SparkSpec {
     val t = "land_registry_simple.pp_complete_data"
     val ex = FakeTarget.executed.toArray.toSeq.map(_.toString)
     // each task creates, then truncates (retry idempotence), its own
-    // staging table before the COPY
-    assert(ex.contains(s"CREATE TABLE IF NOT EXISTS ${t}_stg_0 (LIKE $t)"))
-    assert(ex.count(_ == s"TRUNCATE TABLE ${t}_stg_0") == 1)
+    // LOAD-SCOPED staging table before the COPY
+    val stg = s"${java.util.regex.Pattern.quote(t)}_stg_[0-9a-f]{12}_0"
+    assert(ex.exists(_.matches(s"CREATE TABLE IF NOT EXISTS $stg \\(LIKE ${java.util.regex.Pattern.quote(t)}\\)")))
+    assert(ex.count(_.matches(s"TRUNCATE TABLE $stg")) == 1)
     // the COPY streams into STAGING, never directly into the target
     assert(FakeTarget.payloads().map(_._1).forall(_.contains("_stg_")))
     assert(FakeTarget.payloads().map(_._2) == Seq("x,y,z\n"))
@@ -52,8 +53,10 @@ class CopySinkSpec extends SparkSpec {
     assert(begin >= 0 && commit > begin)
     val inTxn = ex.slice(begin + 1, commit)
     assert(inTxn.head == s"TRUNCATE TABLE $t")
-    assert(inTxn.tail == Seq(s"INSERT INTO $t (a, b, c) SELECT a, b, c FROM ${t}_stg_0"))
-    assert(ex.drop(commit + 1) == Seq(s"DROP TABLE ${t}_stg_0"))
+    assert(inTxn.length == 2 &&
+      inTxn(1).matches(s"INSERT INTO ${java.util.regex.Pattern.quote(t)} \\(a, b, c\\) SELECT a, b, c FROM $stg"))
+    // staged tables are dropped after the load, success or failure
+    assert(ex.drop(commit + 1).count(_.matches(s"DROP TABLE IF EXISTS $stg")) == 1)
   }
 
   test("append: no target TRUNCATE anywhere; promote txn only inserts") {
