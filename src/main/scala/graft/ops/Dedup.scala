@@ -291,17 +291,18 @@ object Dedup {
     None
   )
 
-  /** Distributed connected components by min-label propagation: each
-    * node starts labeled with its own id; every iteration each node
-    * takes the min of its own and its neighbors' labels, until no label
-    * changes. Converges in O(component diameter) rounds — near-dup
-    * clusters are shallow (pairs chain through shared content), so this
-    * is 2-4 rounds in practice; the driver loop per round is one
-    * aggregate + one join + a convergence count, with labels
-    * checkpointed per round (the standard iterative-algorithm shape —
-    * lineage would otherwise grow unboundedly). For web-scale graphs
-    * swap the step for large-star/small-star (same loop skeleton,
-    * O(log n) rounds).
+  /** Distributed connected components by min-label propagation WITH
+    * POINTER JUMPING: each round every node (1) takes the min of its
+    * own and its neighbors' labels, then (2) replaces its label with its
+    * label's label (path halving — labels always point at component
+    * members, so the indirection is safe and collapses chains
+    * geometrically). The combination converges in O(log diameter)
+    * rounds instead of O(diameter) — a 300-link near-dup chain closes
+    * in ~9 rounds, and the 64-round budget covers any graph a 64-bit id
+    * space can express. Per round: one aggregate + two joins + a
+    * convergence count, with the round's result checkpointed (the
+    * standard iterative-algorithm shape — lineage would otherwise grow
+    * unboundedly).
     */
   private[ops] def connectedComponents(pairs: DataFrame, nodes: DataFrame): DataFrame = {
     val edges = pairs
@@ -311,32 +312,43 @@ object Dedup {
     var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
     var moved = 1L
     var rounds = 0
-    val maxRounds = 100
+    val maxRounds = 64
     while (moved > 0 && rounds < maxRounds) {
       val neigh = edges
         .join(labels, edges("dst") === labels("node"))
         .groupBy(col("src"))
         .agg(min("label").as("nl"))
-      // checkpoint the MERGED frame once: both the convergence count and
-      // the next label set derive from it without re-running the round's
-      // join+aggregate
-      val merged = labels
+      // checkpointed: the jump below reads it twice (probe + lookup) —
+      // un-materialized it would re-run the propagation join both times
+      val propagated = labels
         .join(neigh, labels("node") === neigh("src"), "left")
         .select(
           col("node"),
           col("label"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("newl")
+          least(col("label"), coalesce(col("nl"), col("label"))).as("pl")
         )
         .localCheckpoint()
-      moved = merged.where(col("newl") < col("label")).count()
-      labels = merged.select(col("node"), col("newl").as("label"))
+      // pointer jump: label := label(label). Every label is a node id of
+      // the same component (invariant of both steps), so the lookup
+      // frame is `propagated` itself.
+      val jumped = propagated
+        .as("a")
+        .join(
+          propagated.select(col("node").as("jn"), col("pl").as("jl")).as("b"),
+          col("a.pl") === col("b.jn")
+        )
+        .select(col("a.node").as("node"), col("a.label").as("label"),
+          least(col("a.pl"), col("b.jl")).as("newl"))
+        .localCheckpoint()
+      moved = jumped.where(col("newl") < col("label")).count()
+      labels = jumped.select(col("node"), col("newl").as("label"))
       rounds += 1
     }
     // fail LOUDLY rather than return a silently-wrong partition of a
-    // component (a >maxRounds-diameter chain needs the star-contraction
-    // variant, not more rounds of plain propagation)
+    // component (unreachable under the O(log d) bound, but an invariant
+    // violation must never become a quietly-split cluster)
     require(moved == 0,
-      s"connectedComponents did not converge in $maxRounds rounds — component diameter exceeds the propagation budget")
+      s"connectedComponents did not converge in $maxRounds rounds")
     labels
   }
 

@@ -49,6 +49,16 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 5L -> 1L, 7L -> 2L, 9L -> 1L, 12L -> 1L))
   }
 
+  test("connected components: a 300-link chain converges (pointer jumping, O(log d) rounds)") {
+    import spark.implicits._
+    val n = 300
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a_id", "b_id")
+    val nodes = (0 until n).map(_.toLong).toDF("node")
+    val got = Dedup.connectedComponents(pairs, nodes).collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 0L), "every chain node must label to the min id")
+  }
+
   test("q_dedup_cc: cluster ids are the min doc_id over the ngram pair graph") {
     val pairs = SparkEntryPairs("q_dedup_ngram", spark, sf0001)
     val cc = graft.SparkEntry.queries("q_dedup_cc")(spark, sf0001)
