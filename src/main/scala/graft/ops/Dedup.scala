@@ -291,6 +291,42 @@ object Dedup {
     None
   )
 
+  /** CDC APPLY — the full add/change/DELETE semantics the reference's
+    * `record_op` column (A/C/D, `lib_db.py:39`) implies, which
+    * [[qDedupKey]]'s plain upsert cannot express: events are a change
+    * stream keyed by user, applied in (ts, event_id) order, and an
+    * entity whose LAST operation is a delete (here: event_type 'error')
+    * is ABSENT from the applied state; otherwise it carries its latest
+    * value plus the applied-change count. One window pass — the same
+    * shuffle as the upsert, the delete tombstone decided after ordering.
+    */
+  val qCdcApply = Q(
+    "q_cdc_apply",
+    (s, d) => {
+      val byKey = Window.partitionBy("user_id")
+      val w = byKey.orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_changes", count(lit(1)).over(byKey))
+        .where(col("rn") === 1 && col("event_type") =!= "error")
+        .select(
+          col("user_id"),
+          col("event_type").as("last_op"),
+          col("value").as("last_value"),
+          col("n_changes")
+        )
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, event_type AS last_op, value AS last_value, n_changes FROM (
+              SELECT user_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n_changes
+              FROM events) t
+            WHERE rn = 1 AND event_type <> 'error'
+            ORDER BY user_id""")
+  )
+
   /** Distributed connected components by min-label propagation WITH
     * POINTER JUMPING: each round every node (1) takes the min of its
     * own and its neighbors' labels, then (2) replaces its label with its
@@ -388,5 +424,5 @@ object Dedup {
   )
 
   val all: Seq[Q] =
-    Seq(qDedupExact, qDedupKey, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupCc)
+    Seq(qDedupExact, qDedupKey, qCdcApply, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupCc)
 }
