@@ -452,6 +452,38 @@ object Similarity {
              ORDER BY vec_id""")
   )
 
+  /** Embedding-space near-dup CLUSTERS: connected components over the
+    * blocked exact cosine pair graph — the vector-modality twin of
+    * [[graft.ops.Dedup.qDedupCc]] (same pointer-jumping CC, same
+    * recursive-CTE oracle shape), closing the detect→cluster loop for
+    * embeddings the way ngram pairs close it for text.
+    */
+  val qEmbeddingCc = Q(
+    "q_embedding_cc",
+    (s, d) => {
+      val pairs = nearPairsBlocked(s, d, 0.45).select("a_id", "b_id")
+      val nodes = embeddings(s, d).select(col("vec_id").as("node"))
+      graft.ops.Dedup
+        .connectedComponents(pairs, nodes)
+        .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             pairs AS (
+               SELECT a.vec_id AS a_id, b.vec_id AS b_id
+               FROM e a JOIN e b ON a.vec_id < b.vec_id
+               WHERE ${duckCos("a.v", "b.v")} >= 0.45),
+             edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                       UNION ALL SELECT b_id, a_id FROM pairs),
+             walk(node, label) AS (
+               SELECT vec_id, vec_id FROM embeddings
+               UNION
+               SELECT ed.src, w.label FROM edges ed JOIN walk w ON ed.dst = w.node)
+             SELECT node AS vec_id, min(label) AS cluster_id
+             FROM walk GROUP BY node ORDER BY vec_id""")
+  )
+
   /** Multimodal columns are first-class: text + array<float> + typed
     * metadata flow through join/filter/project with no custom type.
     */
@@ -529,5 +561,5 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qDedupEmbedding,
-      qAnnIvf, qAnnLsh, qPairwiseNear, qMultimodalJoin, qMultimodalMeta)
+      qEmbeddingCc, qAnnIvf, qAnnLsh, qPairwiseNear, qMultimodalJoin, qMultimodalMeta)
 }
