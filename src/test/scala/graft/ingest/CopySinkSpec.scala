@@ -119,6 +119,33 @@ class CopySinkSpec extends SparkSpec {
     assert(FakeTarget.payloads().map(_._2) == Seq("2024-02-01 02:58:00.123000+00:00\n"))
   }
 
+  test("promote failure rolls back and still drops the staged tables") {
+    FakeTarget.reset()
+    FakeTarget.failOnInsert = true
+    try {
+      import spark.implicits._
+      val df = Seq(("x", "y", "z")).toDF("a", "b", "c").coalesce(1)
+      intercept[RuntimeException] { sink().append(df) }
+      val ex = FakeTarget.executed.toArray.toSeq.map(_.toString)
+      assert(ex.contains("ROLLBACK"), "failed promote txn must roll back")
+      assert(!ex.contains("COMMIT"))
+      assert(ex.exists(_.startsWith("DROP TABLE IF EXISTS")),
+        "aborted load must not leak staged rows")
+    } finally FakeTarget.failOnInsert = false
+  }
+
+  test("concurrent loads use disjoint load-scoped staging tables") {
+    FakeTarget.reset()
+    import spark.implicits._
+    val df = Seq(("x", "y", "z")).toDF("a", "b", "c").coalesce(1)
+    sink().append(df)
+    sink().append(df)
+    val stagingNames = FakeTarget.payloads().map(_._1)
+      .map(sql => sql.split(" ")(1)) // COPY <table> (...
+    assert(stagingNames.distinct.size == 2,
+      s"two loads must stage into different tables: $stagingNames")
+  }
+
   test("one COPY channel per non-empty partition") {
     FakeTarget.reset()
     import spark.implicits._
@@ -155,7 +182,11 @@ object CopySinkSpec {
     * closures deserialize on (local-mode) executors.
     */
   final class FakeTarget extends CopyTarget {
-    def execute(sql: String): Unit = { FakeTarget.executed.add(sql); () }
+    def execute(sql: String): Unit = {
+      FakeTarget.executed.add(sql)
+      if (FakeTarget.failOnInsert && sql.startsWith("INSERT INTO"))
+        throw new RuntimeException("injected promote failure")
+    }
     def copyIn(sql: String, lines: Iterator[String]): Long = {
       val payload = lines.mkString
       FakeTarget.copied.add(sql -> payload)
@@ -167,7 +198,8 @@ object CopySinkSpec {
   object FakeTarget {
     val executed = new ConcurrentLinkedQueue[String]()
     val copied = new ConcurrentLinkedQueue[(String, String)]()
-    def reset(): Unit = { executed.clear(); copied.clear() }
+    @volatile var failOnInsert: Boolean = false
+    def reset(): Unit = { executed.clear(); copied.clear(); failOnInsert = false }
     def payloads(): Seq[(String, String)] = {
       import scala.jdk.CollectionConverters._
       copied.asScala.toSeq.sortBy(_._2)
