@@ -466,6 +466,37 @@ object Relational {
     None
   )
 
+  /** Exact interpolated quartiles — the correctness baseline the
+    * percentile_approx sketch is the 100 TB path FOR (exact percentile
+    * materializes each group's values; the sketch is mergeable constant
+    * memory). Oracled: both engines interpolate at rank p·(n−1) on the
+    * same doubles; round(6) absorbs sub-ulp formula-order noise.
+    */
+  val qQuantilesExact = Q(
+    "q_quantiles_exact",
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("q"),
+          count(lit(1)).as("cnt")
+        )
+        .select(
+          col("l_returnflag"),
+          round(element_at(col("q"), 1), 6).as("p25"),
+          round(element_at(col("q"), 2), 6).as("p50"),
+          round(element_at(col("q"), 3), 6).as("p75"),
+          col("cnt")
+        )
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   /** HLL sketch — the 100 TB path for distincts (constant memory per
     * group vs expand+shuffle for exact). No SQL oracle: DuckDB's HLL
     * differs; driver records a rows-only check (SURVEY §7.4).
@@ -794,7 +825,8 @@ object Relational {
     qFilter,
     qJoinBroadcast, qJoinSmj, qJoinSalted, qJoinMulti, qSemi, qAnti, qRangeJoin,
     qAsofJoin,
-    qAggHash, qAggDistinct, qRollup, qCube, qGroupingSets, qQuantiles, qApproxDistinct,
+    qAggHash, qAggDistinct, qRollup, qCube, qGroupingSets, qQuantiles, qQuantilesExact,
+    qApproxDistinct,
     qWindowRank, qWindowRunning, qWindowLag,
     qTopk,
     qUnion, qIntersect, qExcept,
