@@ -38,11 +38,15 @@ class QueriesPlanSpec extends SparkSpec {
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
   }
 
-  test("q_asof_join: sort-merge on the key, events never broadcast") {
+  test("q_asof_join: union-merge shape — no join node at all") {
     val p = plan("q_asof_join")
-    assert(p.contains("SortMergeJoin"), "as-of join must be a merge join")
+    // the bounded as-of is union + running window: any Join node means
+    // the per-key fan-out (probe × every earlier build row) is back
+    assert(!p.contains("Join"), "as-of regressed to a join (per-key fan-out)")
+    assert(p.contains("Window"), "running-window carry-forward missing")
+    assert(p.contains("Union"), "union-merge input missing")
     assert(!p.contains("BroadcastExchange"),
-      "a broadcast build side here OOMs when events is the 100 TB fact")
+      "nothing here may broadcast when events is the 100 TB fact")
   }
 
   test("q_partition_prune: one-day filter reaches the scan as a PartitionFilter") {

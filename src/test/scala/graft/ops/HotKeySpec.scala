@@ -117,6 +117,41 @@ class HotKeySpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: hot key stays linear — no join node, exact union-merge result") {
+    import spark.implicits._
+    // hot key 1: 2000 probes × 2000 builds — the naive join-then-rn=1
+    // form materializes ~2M intermediate rows in this ONE key's task;
+    // the union-merge shape touches exactly 4000.
+    val n = 2000
+    val hotProbes = (0 until n).map(i => (1L, i.toLong, i.toLong * 10 + 5))
+    val hotBuilds = (0 until n).map(j => (1L, j.toLong, j.toLong * 10))
+    // probe before any build -> null match (left semantics)
+    val early = Seq((2L, 9000L, 50L))
+    val lateBuild = Seq((2L, 9100L, 100L))
+    // equal-ts ties: two builds AT the probe instant -> `<=` admits them,
+    // max bkey wins (the naive form's ts DESC, key DESC tie-break)
+    val tieProbe = Seq((3L, 9500L, 300L))
+    val tieBuilds = Seq((3L, 9600L, 300L), (3L, 9601L, 300L))
+    val probe = (hotProbes ++ early ++ tieProbe)
+      .toDF("k", "probe_id", "sec")
+      .select(col("k"), col("probe_id"), timestamp_seconds(col("sec")).as("ts"))
+    val build = (hotBuilds ++ lateBuild ++ tieBuilds)
+      .toDF("k", "bkey", "sec")
+      .select(col("k"), col("bkey"), timestamp_seconds(col("sec")).as("bts"))
+
+    val out = Relational.asofJoin(probe, build)
+    assert(!out.queryExecution.executedPlan.toString.contains("Join"),
+      "bounded as-of must not plan a join")
+
+    val rows = out.collect()
+    assert(rows.length == n + 2, "exactly one output row per probe row")
+    val byId = rows.map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    // hot key: probe i (ts = 10i+5) matches build i (bts = 10i), all i
+    assert((0 until n).forall(i => byId(i.toLong).contains(i.toLong)))
+    assert(byId(9000L).isEmpty, "probe before any build must keep nulls")
+    assert(byId(9500L).contains(9601L), "equal-ts tie must pick the max build key")
+  }
+
   test("pairwise sub-blocking is exact: tiny cap == no-split result") {
     // cap 4 ⇒ the 20-doc "the" bucket splits into 5 sub-blocks;
     // cap 2^20 ⇒ nsub = 1 everywhere (the plain blocked join)
