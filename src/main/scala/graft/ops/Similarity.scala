@@ -168,51 +168,51 @@ object Similarity {
              ORDER BY a_id, b_id""")
   )
 
-  /** IVF-style ANN: vectors are assigned to the nearest of K=8 fixed
-    * centroids (vec_id < 8 — a deterministic stand-in for a trained
-    * codebook), the query probes only its own cluster, exact top-5
-    * inside it.
+  /** IVF-style ANN: vectors are assigned to the nearest of the K=8
+    * TRAINED centroids ([[IvfCodebook]] — deterministic k-means over
+    * the corpus, frozen as a literal that ships with the job), the
+    * query probes its nearest cluster(s), exact top-5 inside them.
     *
-    * Assignment is a pure per-row expression: the codebook is K vectors
-    * (driver-held by definition — a trained codebook ships with the job)
-    * inlined as literals, and argmin is `array_min` over (dist, cid)
-    * structs — struct ordering compares dist first, then cid, exactly
-    * the row_number (dist asc, cid asc) rule. No join, no window, no
+    * Assignment is a pure per-row expression: the codebook is K literal
+    * vectors, and argmin is `array_min` over (dist, cid) structs —
+    * struct ordering compares dist first, then cid, exactly the
+    * row_number (dist asc, cid asc) rule. No join, no window, no
     * shuffle in the assignment stage (the round-1 shape shuffled N×K
     * rows through a Window; VERDICT r1 item 8).
     */
   /** IVF search with a configurable probe width: the query probes its
     * `nprobe` NEAREST clusters (computed driver-side against the
-    * driver-held codebook — K distances, free) and reranks exactly
-    * inside the probed vectors. nprobe=1 is the declared oracled case;
-    * higher nprobe trades compared-vector count for recall, the real
-    * IVF recall knob (AnnSpec measures the curve). Compared vectors
-    * ≈ nprobe/K of the corpus — the knob survives any corpus size.
+    * literal codebook — K distances, free) and reranks exactly inside
+    * the probed vectors. nprobe=1 is the declared oracled case; higher
+    * nprobe trades compared-vector count for recall, the real IVF
+    * recall knob (AnnSpec measures the curve against both the trained
+    * and the old stand-in codebook). Compared vectors ≈ the probed
+    * clusters' share of the corpus — the knob survives any corpus size.
     */
-  private[ops] def ivfSearch(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+  private[ops] def ivfSearch(
+      s: SparkSession,
+      d: String,
+      nprobe: Int,
+      codebook: Array[Array[Double]] = IvfCodebook.centroids
+  ): DataFrame = {
     val emb = embeddings(s, d).select(
       col("vec_id"),
       col("embedding").cast("array<double>").as("v")
     )
-    val cents: Array[(Int, Seq[Double])] = emb
-      .where(col("vec_id") < 8)
-      .collect()
-      .map(r => (r.getAs[Number](0).intValue, r.getSeq[Double](1)))
-      .sortBy(_._1)
-    val best = array_min(array(cents.map { case (cid, cv) =>
-      struct(sqDist(col("v"), typedLit(cv)).as("dist"), lit(cid).as("cid"))
+    val best = array_min(array(codebook.zipWithIndex.map { case (cv, cid) =>
+      struct(sqDist(col("v"), typedLit(cv.toSeq)).as("dist"), lit(cid).as("cid"))
     }: _*))
     val assign = emb.select(col("vec_id"), col("v"), best.getField("cid").as("cid"))
     // 1-row fetch of the query vector (same driver-side step as
     // q_knn_cosine), then the probe list against the in-memory codebook
     val qv = emb.where(col("vec_id") === 0).select("v").head().getSeq[Double](0)
-    def sq(c: Seq[Double]): Double = {
+    def sq(c: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < c.length) { val dd = qv(i) - c(i); acc += dd * dd; i += 1 }
       acc
     }
-    val probe: Seq[Int] =
-      cents.map { case (cid, cv) => (sq(cv), cid) }.sortBy(identity).take(nprobe).map(_._2).toSeq
+    val probe: Seq[Int] = codebook.zipWithIndex
+      .map { case (cv, cid) => (sq(cv), cid) }.sortBy(identity).take(nprobe).map(_._2).toSeq
     assign
       .where(col("cid").isin(probe: _*) && col("vec_id") =!= 0)
       .select(col("vec_id"), round(cosine(col("v"), typedLit(qv)), 6).as("cos_sim"))
@@ -220,11 +220,21 @@ object Similarity {
       .limit(5)
   }
 
+  /** The trained codebook rendered as DuckDB VALUES rows — the SAME
+    * doubles the Spark expression inlines (IvfCodebook.quantize's %.6f
+    * strings parse to identical doubles in both engines).
+    */
+  private def duckCodebook: String =
+    IvfCodebook.centroids.zipWithIndex.map { case (cv, cid) =>
+      s"($cid, CAST([${cv.map("%.6f".formatLocal(java.util.Locale.ROOT, _)).mkString(",")}] AS DOUBLE[]))"
+    }.mkString(",\n               ")
+
   val qAnnIvf = Q(
     "q_ann_ivf",
     (s, d) => ivfSearch(s, d, nprobe = 1),
     Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+             c AS (SELECT * FROM (VALUES
+               $duckCodebook) t(cid, cv)),
              dists AS (
                SELECT e.vec_id, e.v, c.cid,
                       list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) for i in range(1,65)]) AS dist

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The IVF codebook trainer: deterministic, objective-improving, and
+  * the committed frozen literal IS its output on the training set.
+  */
+class KMeansSpec extends SparkSpec {
+
+  private def vecsAt(d: String): Array[Array[Double]] =
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy("vec_id")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  test("training is bit-deterministic") {
+    val vecs = vecsAt(sf0001)
+    val a = IvfCodebook.train(vecs)
+    val b = IvfCodebook.train(vecs)
+    assert(a.length == IvfCodebook.K)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+  }
+
+  test("trained codebook beats the vec_id<8 stand-in on the k-means objective") {
+    val vecs = vecsAt(sf0001)
+    val standIn = vecs.take(IvfCodebook.K)
+    val trained = IvfCodebook.quantize(IvfCodebook.train(vecs))
+    val before = IvfCodebook.inertia(vecs, standIn)
+    val after = IvfCodebook.inertia(vecs, trained)
+    assert(after < before * 0.8, s"inertia $before -> $after")
+  }
+
+  test("Lloyd rounds never increase the objective (monotone improvement)") {
+    val vecs = vecsAt(sf0001)
+    val inertias = (0 to 6 by 2).map(it =>
+      IvfCodebook.inertia(vecs, IvfCodebook.train(vecs, iters = it)))
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"objective rose across rounds: $inertias")
+    }
+  }
+
+  test("the frozen literal is exactly the trainer's output on sf0.01 (regression)") {
+    val vecs = vecsAt("/root/testdata/sf0.01")
+    val retrained = IvfCodebook.quantize(IvfCodebook.train(vecs))
+    assert(IvfCodebook.render(retrained) == IvfCodebook.render(IvfCodebook.centroids),
+      "IvfCodebook.FROZEN is stale — regenerate with TrainIvfCodebook")
+  }
+
+  test("quantize round-trips through render/parse unchanged") {
+    val c = IvfCodebook.centroids
+    assert(IvfCodebook.parse(IvfCodebook.render(c)).zip(c)
+      .forall { case (x, y) => x.sameElements(y) })
+  }
+}
