@@ -163,7 +163,7 @@ object Dedup {
     // shingle into memory-bounded buckets (hot shingles drop inside the
     // aggregation — see BoundedBucket; no df pass, no anti-join, no
     // self-join), materialized once for the two consumers below.
-    val buckets = BoundedBucket.buckets(exRaw, Seq("shingle"), "doc_id", cap).localCheckpoint()
+    val buckets = Materialize(BoundedBucket.buckets(exRaw, Seq("shingle"), "doc_id", cap))
     // per-doc set size in the filtered space (== array size when the cap
     // never fires): count each doc's kept shingle buckets
     val sizes = buckets
@@ -215,8 +215,8 @@ object Dedup {
       // corpus; in production this is a write to object storage
       // (localCheckpoint is executor-memory-resident, not
       // fault-tolerant — right for local, swap for a real checkpoint on
-      // a cluster).
-      val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).localCheckpoint()
+      // a cluster — [[Materialize]] is that switch).
+      val sigs = Materialize(ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*))
       val bandStructs = (0 until LSH_BANDS).map { j =>
         struct(lit(j).as("band"), xxhash64(col(s"h${2 * j}"), col(s"h${2 * j + 1}")).as("key"))
       }
@@ -250,11 +250,12 @@ object Dedup {
       val simhashUdaf = udaf(TextHash.SimHashAgg)
       // Materialized once before the block self-join — see the
       // q_dedup_minhash note (one 64-bit signature per doc).
-      val sigs = ex
-        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-        .groupBy("doc_id")
-        .agg(simhashUdaf(col("h")).as("sig"))
-        .localCheckpoint()
+      val sigs = Materialize(
+        ex
+          .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+          .groupBy("doc_id")
+          .agg(simhashUdaf(col("h")).as("sig"))
+      )
       val blocks = sigs.select(
         col("doc_id"),
         col("sig"),
@@ -341,11 +342,12 @@ object Dedup {
     * unboundedly).
     */
   private[ops] def connectedComponents(pairs: DataFrame, nodes: DataFrame): DataFrame = {
-    val edges = pairs
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint()
-    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    val edges = Materialize(
+      pairs
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    )
+    var labels = Materialize(nodes.select(col("node"), col("node").as("label")))
     var moved = 1L
     var rounds = 0
     val maxRounds = 64
@@ -356,26 +358,28 @@ object Dedup {
         .agg(min("label").as("nl"))
       // checkpointed: the jump below reads it twice (probe + lookup) —
       // un-materialized it would re-run the propagation join both times
-      val propagated = labels
-        .join(neigh, labels("node") === neigh("src"), "left")
-        .select(
-          col("node"),
-          col("label"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("pl")
-        )
-        .localCheckpoint()
+      val propagated = Materialize(
+        labels
+          .join(neigh, labels("node") === neigh("src"), "left")
+          .select(
+            col("node"),
+            col("label"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("pl")
+          )
+      )
       // pointer jump: label := label(label). Every label is a node id of
       // the same component (invariant of both steps), so the lookup
       // frame is `propagated` itself.
-      val jumped = propagated
-        .as("a")
-        .join(
-          propagated.select(col("node").as("jn"), col("pl").as("jl")).as("b"),
-          col("a.pl") === col("b.jn")
-        )
-        .select(col("a.node").as("node"), col("a.label").as("label"),
-          least(col("a.pl"), col("b.jl")).as("newl"))
-        .localCheckpoint()
+      val jumped = Materialize(
+        propagated
+          .as("a")
+          .join(
+            propagated.select(col("node").as("jn"), col("pl").as("jl")).as("b"),
+            col("a.pl") === col("b.jn")
+          )
+          .select(col("a.node").as("node"), col("a.label").as("label"),
+            least(col("a.pl"), col("b.jl")).as("newl"))
+      )
       moved = jumped.where(col("newl") < col("label")).count()
       labels = jumped.select(col("node"), col("newl").as("label"))
       rounds += 1

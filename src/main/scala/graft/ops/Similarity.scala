@@ -296,11 +296,12 @@ object Similarity {
     // Materialized ONCE (shingle arrays + block metadata): both explode
     // sides of the self-join read the checkpointed rows instead of each
     // re-running scan→shingle→df-join (see the minhash-signature note).
-    val ww = w
-      .join(broadcast(dfs), "ft")
-      .withColumn("nsub", ceil(col("bdf") / lit(cap)).cast("int"))
-      .withColumn("sub", pmod(xxhash64(col("doc_id")), col("nsub")).cast("int"))
-      .localCheckpoint()
+    val ww = Materialize(
+      w
+        .join(broadcast(dfs), "ft")
+        .withColumn("nsub", ceil(col("bdf") / lit(cap)).cast("int"))
+        .withColumn("sub", pmod(xxhash64(col("doc_id")), col("nsub")).cast("int"))
+    )
     // Triangle coverage of unordered sub-block pairs (see
     // nearPairsBlocked): a covers (sub, kb ≥ sub), b covers
     // (ka ≤ sub, sub); each pair of docs in a bucket meets exactly once.

@@ -245,11 +245,15 @@ object TextOps {
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = toks.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).as("df"))
-      val n = documents(s, d).count() // corpus size: one scalar, driver-held
+      // Corpus size N as a broadcast 1-row side, not an eager count():
+      // the whole query stays one lazy plan (no driver action at build
+      // time, no second scheduled job for a scalar).
+      val n = documents(s, d).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term").asc)
       tf.join(df.hint("shuffle_hash"), "term") // df is vocab-sized but grows with the corpus
-        .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"), round(col("score"), 6).as("score"))

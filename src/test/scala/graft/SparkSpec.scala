@@ -14,7 +14,9 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = Sessions.builder("local[4]", 4).getOrCreate()
+    // local[4,2]: 4 threads, maxFailures=2 — lets specs exercise REAL
+    // task retries (CopyRetryStormSpec); passing tasks behave identically
+    val s = Sessions.builder("local[4,2]", 4).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

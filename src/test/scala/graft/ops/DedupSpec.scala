@@ -70,6 +70,43 @@ class DedupSpec extends SparkSpec {
     cc.foreach { case (doc, cl) => if (!inPairs(doc)) assert(cl == doc) }
   }
 
+  test("connected components under reliable checkpoints: same labels, files on disk") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(Materialize.RELIABLE_CONF, "true")
+    try {
+      val pairs = Seq((1L, 5L), (5L, 9L), (2L, 7L)).toDF("a_id", "b_id")
+      val nodes = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("node")
+      val got = Dedup.connectedComponents(pairs, nodes)
+        .orderBy("node")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 5L -> 1L, 7L -> 2L, 9L -> 1L))
+      // the rounds actually persisted to the checkpoint dir (fault
+      // tolerance is real, not just a flag)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "reliable mode must write checkpoint files")
+    } finally {
+      spark.conf.unset(Materialize.RELIABLE_CONF)
+    }
+  }
+
+  test("reliable checkpoints without a checkpoint dir fail loudly") {
+    // a session with no checkpoint dir set must not silently fall back
+    val s2 = spark.newSession()
+    s2.conf.set(Materialize.RELIABLE_CONF, "true")
+    import s2.implicits._
+    val df = Seq(1L, 2L).toDF("x")
+    // newSession shares the SparkContext (and thus any checkpoint dir a
+    // sibling test set) — only assert when the context really has none
+    if (s2.sparkContext.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] { Materialize(df) }
+    } else {
+      assert(Materialize(df).count() == 2L)
+    }
+  }
+
   test("exact dedup survivor rule: lowest doc_id kept, copies counted") {
     val docs = Tables.documents(spark, sf0001)
     val total = docs.count()
