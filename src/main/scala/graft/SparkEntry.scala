@@ -15,7 +15,7 @@ object SparkEntry {
   /** All declared queries, by family (SURVEY §2.A ops + §2.C E1-E13). */
   private val declared: Seq[Q] =
     Relational.all ++ IngestQueries.all ++ Dedup.all ++ TextOps.all ++
-      Similarity.all ++ Multimodal.all ++ Partitioned.all ++
+      Similarity.all ++ Multimodal.all ++ Partitioned.all ++ Sampling.all ++
       Seq(AutoDateAgg.qAutoDateAgg, TopKAgg.qTopkPerKey,
         graft.streaming.Replay.qStreamWindow,
         graft.streaming.Replay.qStreamJoin,

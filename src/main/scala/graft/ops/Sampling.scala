@@ -1,0 +1,328 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling, corpus shuffling, reshaping, and layout-key
+  * operators — the data-prep surface a training pipeline needs BETWEEN
+  * the analytics (E1-E9) and the dedup/similarity families (E10-E13):
+  * carve out eval samples, rebalance the language mix, bound per-user
+  * contributions, fix the training order, audit skew, and lay data out
+  * for 2-D skipping. SURVEY §2.C family E16.
+  *
+  * Design rule shared by every operator here: NO `rand()` and NO
+  * engine-native hash function anywhere. Randomness is a Knuth
+  * multiplicative hash in EXACT integer arithmetic (the `q_split_assign`
+  * discipline, TextOps.scala) built from ONE code path ([[bucketSql]])
+  * that both the Spark plan (`expr`) and the DuckDB oracle parse as the
+  * same text — a sample that any engine, any re-run, and any subset of
+  * the corpus reproduces bit-for-bit. At 100 TB that property is what
+  * makes a sample auditable: membership is a pure function of the row's
+  * id, so a re-run (or a lawyer) can re-derive exactly why a row is in
+  * the eval set.
+  */
+object Sampling {
+  import Tables._
+
+  /** Exact-integer Knuth bucket in portable SQL text. Reduce mod the
+    * Mersenne prime 2^31−1 BEFORE the multiply so the product tops out
+    * at ~5.7e18 < 2^63−1 (exact for every BIGINT id on every engine —
+    * see the overflow note on TextOps.qSplitAssign). `salt` shifts the
+    * input stream so each operator draws an independent hash: the 10%
+    * sample must not be a subset of the "train" split.
+    * Precedence note: `%` and `*` share a level and associate left in
+    * both Spark SQL and DuckDB, so the unparenthesized chain is
+    * ((((c%p)+salt)%p)*K % 2^32) % mod.
+    */
+  def bucketSql(c: String, salt: Long, mod: Long): String =
+    s"($c % 2147483647 + $salt) % 2147483647 * 2654435761 % 4294967296 % $mod"
+
+  private def bucket(c: String, salt: Long, mod: Long): Column =
+    expr(bucketSql(c, salt, mod))
+
+  // ---------------------------------------------------------------------
+  // E16.1 uniform sample
+  // ---------------------------------------------------------------------
+
+  /** 10% deterministic uniform document sample. A pure per-row
+    * projection: no shuffle, no state, membership decided from `doc_id`
+    * alone, so at 100 TB the scan prunes to three columns and the
+    * filter runs map-side at full scan speed. Salt 9176 decorrelates
+    * from the q_split_assign stream (same id, different hash). */
+  val qSampleHash = Q(
+    "q_sample_hash",
+    (s, d) =>
+      documents(s, d)
+        .where(bucket("doc_id", 9176L, 1000L) < 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang, n_chars FROM documents
+             WHERE ${bucketSql("doc_id", 9176L, 1000L)} < 100
+             ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------------
+  // E16.2 stratified sample (training-mix rebalance)
+  // ---------------------------------------------------------------------
+
+  /** Per-language sampling rates — the training-mix rebalance: keep 10%
+    * of the dominant language (`en` is ~44% of the corpus) and 50% of
+    * everything else. Rates live in one CASE expression, so this stays
+    * a shuffle-free per-row projection like the uniform sample; with a
+    * large rate table the same shape becomes a broadcast join against
+    * the rate dimension. */
+  val qSampleStratified = Q(
+    "q_sample_stratified",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("rate", when(col("lang") === "en", 100L).otherwise(500L))
+        .where(bucket("doc_id", 40832L, 1000L) < col("rate"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang FROM documents
+             WHERE ${bucketSql("doc_id", 40832L, 1000L)}
+                   < CASE WHEN lang = 'en' THEN 100 ELSE 500 END
+             ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------------
+  // E16.3 bounded per-key sample (deterministic reservoir)
+  // ---------------------------------------------------------------------
+
+  /** At most 3 events per user, chosen by hash rank — the deterministic
+    * analogue of per-key reservoir sampling (caps any single user's
+    * contribution to a training set; hot keys contribute exactly k rows
+    * no matter how many they own). One hash shuffle on user_id; Spark
+    * plans the rn<=3 filter as WindowGroupLimit, which bounds each
+    * task's buffer at k rows per key — same bounded-memory shape as
+    * TopKAgg (E5), with the hash as the ranking. */
+  val qSamplePerKey = Q(
+    "q_sample_per_key",
+    (s, d) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(bucket("event_id", 5501L, 4294967296L).asc, col("event_id").asc)
+      events(s, d)
+        .select(col("user_id"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .orderBy("user_id", "event_id")
+    },
+    Some(s"""SELECT user_id, event_id, rn FROM (
+               SELECT user_id, event_id,
+                      CAST(row_number() OVER (
+                        PARTITION BY user_id
+                        ORDER BY ${bucketSql("event_id", 5501L, 4294967296L)} ASC,
+                                 event_id ASC) AS INTEGER) AS rn
+               FROM events) t
+             WHERE rn <= 3
+             ORDER BY user_id, event_id""")
+  )
+
+  // ---------------------------------------------------------------------
+  // E16.4 deterministic corpus shuffle (training order)
+  // ---------------------------------------------------------------------
+
+  /** The training-order shuffle: a reproducible global permutation of
+    * the corpus, fixed by hashing each id — not `rand()`, so every
+    * epoch, every re-run, and every engine derives the same order, and
+    * a resumed job can seek to "position after doc X" by recomputing
+    * X's key. Emits (shuffle_key, doc_id) sorted by key: at 100 TB a
+    * total-order sort is a range-partitioned Exchange + per-partition
+    * sort — Spark's native TeraSort shape — with NO global row_number
+    * (a single-partition window would serialize the corpus through one
+    * task). Writers consume partitions in key order. */
+  val qInterleave = Q(
+    "q_interleave",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          bucket("doc_id", 271828L, 4294967296L).as("shuffle_key"),
+          col("doc_id"))
+        .orderBy("shuffle_key", "doc_id"),
+    Some(s"""SELECT ${bucketSql("doc_id", 271828L, 4294967296L)} AS shuffle_key, doc_id
+             FROM documents ORDER BY shuffle_key, doc_id""")
+  )
+
+  // ---------------------------------------------------------------------
+  // E16.5 pivot / unpivot (reshape)
+  // ---------------------------------------------------------------------
+
+  private val splitCaseSql: String = {
+    val b = bucketSql("doc_id", 0L, 100L)
+    s"CASE WHEN $b < 90 THEN 'train' WHEN $b < 95 THEN 'val' ELSE 'test' END"
+  }
+
+  /** Split-mix audit as a pivot: languages × train/val/test counts —
+    * `groupBy(lang).pivot(split)`. The pivot is a plain hash aggregate
+    * over (lang, split) rewritten to per-column conditional aggregates,
+    * so it keeps partial aggregation (map-side combine) and the output
+    * is |langs| rows regardless of corpus size. Explicit value list
+    * (train/val/test) — never let pivot run the distinct-values job at
+    * 100 TB. Absent combinations surface as 0, not null (coalesce; the
+    * oracle's FILTER form is never-null to begin with). */
+  val qPivot = Q(
+    "q_pivot",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("split", expr(splitCaseSql))
+        .groupBy("lang")
+        .pivot("split", Seq("train", "val", "test"))
+        .agg(count(lit(1)))
+        .select(
+          col("lang"),
+          coalesce(col("train"), lit(0L)).as("train"),
+          coalesce(col("val"), lit(0L)).as("val"),
+          coalesce(col("test"), lit(0L)).as("test"))
+        .orderBy("lang"),
+    Some(s"""SELECT lang,
+                    count(*) FILTER (WHERE $splitCaseSql = 'train') AS train,
+                    count(*) FILTER (WHERE $splitCaseSql = 'val')   AS val,
+                    count(*) FILTER (WHERE $splitCaseSql = 'test')  AS test
+             FROM documents GROUP BY lang ORDER BY lang""")
+  )
+
+  /** The inverse reshape: melt per-document wide metrics into long
+    * (doc_id, metric, value) triples — the shape metric stores and
+    * feature pipelines ingest. `unpivot` is a Generator-style per-row
+    * fan-out (k output rows per input row, no shuffle); the final sort
+    * is the only Exchange. */
+  val qUnpivot = Q(
+    "q_unpivot",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+        .unpivot(
+          Array(col("doc_id")),
+          Array(col("n_chars"), col("ws_tokens")),
+          "metric",
+          "value")
+        .orderBy("doc_id", "metric"),
+    Some("""SELECT doc_id, 'n_chars' AS metric, n_chars AS value FROM documents
+            UNION ALL
+            SELECT doc_id, 'ws_tokens' AS metric,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS value FROM documents
+            ORDER BY doc_id, metric""")
+  )
+
+  // ---------------------------------------------------------------------
+  // E16.6 skew audit (heavy hitters)
+  // ---------------------------------------------------------------------
+
+  /** Exact heavy-hitter audit: users owning > 1.2× the mean event count
+    * — the skew report that decides where salting (q_join_salted) and
+    * per-key caps (q_sample_per_key) are needed. Two hash aggregates
+    * (per-user counts, then the 1-row corpus stats) + a broadcast of
+    * the 1-row side; the threshold compare is kept in EXACT integer
+    * cross-multiplied form (5·n·users > 6·total ⟺ n > 1.2·mean) — no
+    * mean, no division, no float, so the cut line is bit-identical on
+    * every engine. (The driver corpus is near-uniform: 1.2× already
+    * isolates its tail — 9 of 150 users at sf0.01 — where a production
+    * Zipf corpus would use 2-10×.) */
+  val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, d) => {
+      val counts = events(s, d).groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      val stats = counts.agg(
+        sum("n_events").as("total"),
+        count(lit(1)).as("users"))
+      counts
+        .crossJoin(broadcast(stats))
+        .where(col("n_events") * col("users") * 5 > col("total") * 6)
+        .select(col("user_id"), col("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""WITH counts AS (
+              SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+            stats AS (
+              SELECT sum(n_events) AS total, count(*) AS users FROM counts)
+            SELECT user_id, n_events FROM counts, stats
+            WHERE n_events * users * 5 > total * 6
+            ORDER BY user_id""")
+  )
+
+  // ---------------------------------------------------------------------
+  // E16.7 quantile bucketing (ntile)
+  // ---------------------------------------------------------------------
+
+  /** Spend quartiles per customer — `ntile` over a TOTAL order. The
+    * per-customer spend is an exact DECIMAL sum cast to double only at
+    * the end (one exact-to-IEEE conversion; partial-aggregation order
+    * can never change a bit), and the window orders by (spend DESC,
+    * custkey ASC) so ties cannot let two engines swap quartile
+    * boundaries. Scale note: a single global ntile IS a one-partition
+    * window — fine for |customers| per-group sizes, wrong for row-level
+    * data; the row-level alternative is the q_quantiles sketch (E3) +
+    * range bucketing. */
+  val qNtile = Q(
+    "q_ntile",
+    (s, d) => {
+      val spend = orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+      val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+      spend
+        .withColumn("quartile", ntile(4).over(w))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+                   CAST(ntile(4) OVER (
+                     ORDER BY CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) DESC,
+                              o_custkey ASC) AS INTEGER) AS quartile
+            FROM orders GROUP BY o_custkey
+            ORDER BY o_custkey""")
+  )
+
+  // ---------------------------------------------------------------------
+  // E16.8 Z-order layout key (2-D data skipping)
+  // ---------------------------------------------------------------------
+
+  /** Morton/Z-order bit interleave of two dimensions in portable
+    * integer arithmetic. Both the Spark Column and the DuckDB SQL are
+    * generated from THIS loop, so the 32 shift/mask terms cannot
+    * diverge between engines; `div` vs `//` is the only dialect
+    * difference (both exact integer division). */
+  def zorderSql(x: String, y: String, bits: Int, divOp: String): String =
+    (0 until bits)
+      .map { j =>
+        val pj = 1L << j
+        s"($x) $divOp $pj % 2 * ${1L << (2 * j)} + ($y) $divOp $pj % 2 * ${1L << (2 * j + 1)}"
+      }
+      .mkString("(", " + ", ")")
+
+  /** events laid out on a Z-order curve over (user bucket, minute of
+    * day) — the E15-adjacent LAYOUT op: sorting a 100 TB table by this
+    * key clusters rows that are close in BOTH dimensions into the same
+    * parquet row groups, so min/max stats prune 2-D range queries
+    * ("user range X AND time window Y") that a single-column sort can
+    * only prune on one side. 16 bits per dimension = 32 interleaved
+    * terms, all +/·/div/% on exact ints (codegen-friendly, no UDF).
+    * Emitting (zkey, event_id) in key order IS the layout: writers
+    * stream partitions straight to row groups. */
+  val qZorderKey = Q(
+    "q_zorder_key",
+    (s, d) => {
+      val minuteOfDay = "(hour(ts) * 60 + minute(ts))"
+      events(s, d)
+        .withColumn(
+          "zkey",
+          expr(zorderSql("user_id % 65536", minuteOfDay, 16, "div")))
+        .select(col("zkey"), col("event_id"))
+        .orderBy("zkey", "event_id")
+    },
+    Some {
+      val minuteOfDay = "(hour(ts) * 60 + minute(ts))"
+      s"""SELECT ${zorderSql("user_id % 65536", minuteOfDay, 16, "//")} AS zkey, event_id
+          FROM events ORDER BY zkey, event_id"""
+    }
+  )
+
+  val all: Seq[Q] =
+    Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave,
+      qPivot, qUnpivot, qHeavyHitters, qNtile, qZorderKey)
+}

@@ -123,6 +123,43 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("Exchange"))
   }
 
+  test("q_sample_hash: map-side hash filter, pruned scan, sort is the only exchange") {
+    val p = plan("q_sample_hash")
+    // membership is a per-row projection — any aggregate/window means a
+    // shuffle snuck into a filter
+    assert(!p.contains("HashAggregate") && !p.contains("Window"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      "sample must prune the scan to its 3 output columns (no text reads)")
+    val exchanges = p.linesIterator.count(l => l.contains("+- Exchange") || l.contains(":- Exchange"))
+    assert(exchanges == 1, s"only the final sort may exchange ($exchanges)")
+  }
+
+  test("q_sample_per_key: rank filter plans as WindowGroupLimit (bounded buffers)") {
+    val p = plan("q_sample_per_key")
+    assert(p.contains("WindowGroupLimit"),
+      "rn<=3 must push into the window operator (k-row buffers per key)")
+  }
+
+  test("q_interleave: total-order sort is range-partitioned, no global window") {
+    val p = plan("q_interleave")
+    assert(!p.contains("Window"), "a global row_number would serialize the corpus")
+    assert(p.contains("rangepartitioning"),
+      "training-order sort must be the distributed TeraSort shape")
+  }
+
+  test("q_pivot: conditional aggregate with partial agg, scan pruned to 2 columns") {
+    val p = plan("q_pivot")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "pivot lost map-side combine")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "pivot reads only (doc_id, lang)")
+  }
+
+  test("q_zorder_key: pure expression layout key (no join/agg/window before the sort)") {
+    val p = plan("q_zorder_key")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") && !p.contains("Window"))
+    assert(p.contains("rangepartitioning"), "layout emission is a range-partitioned sort")
+  }
+
   test("ingest plan is shuffle-free (scan -> cast, no Exchange)") {
     val p = graft.ingest.Ingest
       .typed(graft.ingest.Ingest.readRaw(spark, graft.ops.IngestQueries.fixturePath))
