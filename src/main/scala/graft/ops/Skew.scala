@@ -55,6 +55,16 @@ object Skew {
   /** Inner equi-join with the LEFT side salted and the RIGHT side
     * replicated `salts`×. Use when `left` is large with hot `leftKey`
     * values and `right` is small enough to replicate (dim-scale).
+    *
+    * Pinned to `shuffle_hash`: salting only means anything on a SHUFFLE
+    * join — it spreads one hot key's rows across S shuffle partitions.
+    * Left to itself AQE upgrades the replicated right side to a
+    * broadcast build (measured at sf1: a 1.2M-row single-threaded
+    * HashedRelation build, 25 s where the shuffle join takes 3), which
+    * is doubly wrong: the S× replication inflates the broadcast for no
+    * benefit, and a broadcast join never had a skew problem to salt
+    * away in the first place — if the right side fits in a broadcast,
+    * use a plain broadcast join and skip the salt entirely.
     */
   def saltedJoin(
       left: DataFrame,
@@ -66,7 +76,7 @@ object Skew {
   ): DataFrame = {
     val l = left.withColumn("_salt", saltCol(saltBy, salts))
     val r = right.withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
-    l.join(r, l(leftKey) === r(rightKey) && l("_salt") === r("_salt"))
+    l.join(r.hint("shuffle_hash"), l(leftKey) === r(rightKey) && l("_salt") === r("_salt"))
       .drop("_salt")
   }
 }

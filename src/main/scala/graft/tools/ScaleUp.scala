@@ -113,8 +113,16 @@ object ScaleUp {
       val tmp = out.resolve(s".stage_$name")
       graft.FsUtil.deleteRecursively(tmp)
       // single file named <table>.parquet, matching the driver layout
-      // (the streaming glob `events*.parquet` expects files, not dirs)
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // (the streaming glob `events*.parquet` expects files, not dirs) —
+      // but with 4 MB row groups, NOT the driver fixtures' single row
+      // group: a parquet reader parallelizes over row groups, so a
+      // single-group 6M-row lineitem serializes every scan into one
+      // task no matter the cluster size. Multi-group single files are
+      // what a real large table looks like; without this the sf1 bench
+      // measures single-threaded scans, not the engine.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 4L * 1024 * 1024)
+        .parquet(tmp.toString)
       val listing = java.nio.file.Files.list(tmp)
       val part =
         try

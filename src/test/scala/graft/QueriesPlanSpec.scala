@@ -70,6 +70,14 @@ class QueriesPlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"join inputs are shuffling ($exchanges exchanges)")
   }
 
+  test("q_join_salted: stays a shuffle join — broadcasting the replicated side defeats salting") {
+    val p = plan("q_join_salted")
+    assert(p.contains("ShuffledHashJoin"),
+      "salted join must shuffle on (key, salt); that IS the skew spread")
+    assert(!p.contains("BroadcastHashJoin"),
+      "AQE broadcast of the S×-replicated side: 25 s single-threaded build at sf1")
+  }
+
   test("q_range_join: bucket equi-key join, fact side never broadcast") {
     val p = plan("q_range_join")
     assert(p.contains("ShuffledHashJoin"), "band join must shuffle on the bucketed key")
