@@ -124,7 +124,18 @@ object Similarity {
     * cartesian (see qCosineNearBlocked's scaladoc).
     */
   private def nearPairsBlocked(s: SparkSession, d: String, threshold: Double): DataFrame = {
-    val B = 16 // blocks; at 100 TB pick B ≈ n / (rows that fit a task)
+    // Block count scales with the corpus so per-task pair work stays
+    // bounded at ~targetRows² dot products (seconds per task) no matter
+    // n: B = max(16, ⌈n/8192⌉). The count() is a parquet-metadata-only
+    // job (no row scan). Trade-off made explicit: replication shuffles
+    // n·B/2 rows — with B ∝ n that is n²/16384 vectors of shuffle,
+    // the unavoidable price of an EXACT all-pairs join whose compute is
+    // n²/2 regardless; larger targetRows cuts shuffle linearly at the
+    // cost of longer straggler tasks. Blocking partitions the identical
+    // pair set, so results are bit-identical for every B (the oracle
+    // pins this).
+    val n = embeddings(s, d).count()
+    val B = math.max(16L, (n + 8191) / 8192).toInt
     val emb = fanOut(
       embeddings(s, d).select(
         col("vec_id"),
