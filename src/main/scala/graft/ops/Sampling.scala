@@ -210,6 +210,57 @@ object Sampling {
   )
 
   // ---------------------------------------------------------------------
+  // E16.5b sequence packing (concat-then-chunk)
+  // ---------------------------------------------------------------------
+
+  /** Pack documents into fixed 2048-token training sequences — the
+    * GPT-style concat-then-chunk: lay the corpus out in its
+    * deterministic training order (the [[qInterleave]] hash), run a
+    * cumulative token count, and every doc's pack is the 2048-token
+    * chunk its FIRST token lands in. Distribution shape: packing is
+    * per-SHARD (8 hash shards; each shard concatenates only its own
+    * stream, `pack_id = shard · 2^40 + chunk`), because a single global
+    * running sum is a one-partition window — and per-shard packing is
+    * what a real pipeline does anyway: each writer task packs its own
+    * shard independently, no cross-worker coordination. One shuffle
+    * (the shard hash), bounded window state (running sum), exact
+    * integers end-to-end. */
+  val qPack = Q(
+    "q_pack",
+    (s, d) => {
+      val w = Window
+        .partitionBy("shard")
+        .orderBy("shuffle_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          bucket("doc_id", 7333L, 8L).as("shard"),
+          bucket("doc_id", 271828L, 4294967296L).as("shuffle_key"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("cum_toks", sum(col("toks")).over(w))
+        .withColumn(
+          "pack_id",
+          col("shard") * lit(1099511627776L) + expr("(cum_toks - toks) div 2048"))
+        .select(col("doc_id"), col("shard"), col("toks"), col("cum_toks"), col("pack_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, shard, toks, cum_toks,
+                    shard * 1099511627776 + (cum_toks - toks) // 2048 AS pack_id
+             FROM (
+               SELECT doc_id,
+                      ${bucketSql("doc_id", 7333L, 8L)} AS shard,
+                      ${bucketSql("doc_id", 271828L, 4294967296L)} AS shuffle_key,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                      CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+                        PARTITION BY ${bucketSql("doc_id", 7333L, 8L)}
+                        ORDER BY ${bucketSql("doc_id", 271828L, 4294967296L)}, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+               FROM documents) t
+             ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------------
   // E16.6 skew audit (heavy hitters)
   // ---------------------------------------------------------------------
 
@@ -324,5 +375,5 @@ object Sampling {
 
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave,
-      qPivot, qUnpivot, qHeavyHitters, qNtile, qZorderKey)
+      qPivot, qUnpivot, qPack, qHeavyHitters, qNtile, qZorderKey)
 }

@@ -12,7 +12,7 @@ class SamplingSpec extends SparkSpec {
 
   test("samples are deterministic: two independent runs yield identical rows") {
     for (q <- Seq(Sampling.qSampleHash, Sampling.qSampleStratified,
-        Sampling.qSamplePerKey, Sampling.qInterleave)) {
+        Sampling.qSamplePerKey, Sampling.qInterleave, Sampling.qPack)) {
       val a = q.fn(spark, sf0001).collect()
       val b = q.fn(spark, sf0001).collect()
       assert(a.sameElements(b), s"${q.name} not deterministic")
@@ -88,6 +88,28 @@ class SamplingSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001).count()
     assert(u.count() == 2 * docs)
     assert(u.groupBy("doc_id").count().where(col("count") =!= 2).count() == 0)
+  }
+
+  test("packing: per-shard prefix sums are exact and pack ids follow the chunk rule") {
+    val rows = Sampling.qPack.fn(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // every document is packed exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    for ((shard, docs) <- rows.groupBy(_._2)) {
+      // within a shard, ordering by cum_toks reconstructs the stream:
+      // each cum is the previous cum + own toks (an exact prefix sum)
+      val ordered = docs.sortBy(_._4)
+      var prev = 0L
+      for ((_, _, toks, cum, packId) <- ordered) {
+        assert(cum == prev + toks, s"shard $shard: prefix sum broken at cum=$cum")
+        prev = cum
+        assert(packId == shard * 1099511627776L + (cum - toks) / 2048,
+          s"pack rule violated: $packId")
+      }
+    }
+    // chunking actually splits the stream (sf0.001 corpus >> 2048 tokens)
+    assert(rows.map(_._5).distinct.length > 8, "every shard fit one pack — corpus too small?")
   }
 
   test("ntile: quartiles are balanced (sizes differ by at most 1)") {
