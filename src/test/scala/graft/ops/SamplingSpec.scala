@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * bounds, the per-key cap, Z-order bijectivity, and pivot/unpivot
   * round-trip integrity.
   */
+object SamplingSpec {
+  // executor-side marker (same-JVM local mode, the storm-spec pattern)
+  val injected = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class SamplingSpec extends SparkSpec {
 
   test("samples are deterministic: two independent runs yield identical rows") {
@@ -117,6 +122,30 @@ class SamplingSpec extends SparkSpec {
       .groupBy("quartile").count().collect().map(_.getLong(1))
     assert(sizes.length == 4)
     assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("sample membership survives a real task retry bit-for-bit (the no-rand() payoff)") {
+    // the REASON sampling is hash-based: a retried task recomputes the
+    // identical sample. rand()-based sampling re-draws on retry —
+    // silently corrupting eval-set membership. local[4,2] gives real
+    // retries (maxFailures=2), same pattern as CopyRetryStormSpec.
+    import spark.implicits._
+    val clean = Sampling.qSampleHash.fn(spark, sf0001)
+      .as[(Long, String, Long)].collect().sorted
+    SamplingSpec.injected.set(0)
+    val chaotic = Sampling.qSampleHash.fn(spark, sf0001)
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
+          SamplingSpec.injected.incrementAndGet()
+          throw new RuntimeException("injected chaos: die before emitting")
+        }
+        it
+      }
+      .collect().sorted
+    assert(SamplingSpec.injected.get() == 1, "chaos was never injected")
+    assert(chaotic.sameElements(clean), "retry changed sample membership")
   }
 
   test("z-order key is a bijective interleave (exact deinterleave round-trip)") {
