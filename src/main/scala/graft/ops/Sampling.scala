@@ -222,8 +222,12 @@ object Sampling {
     * stream, `pack_id = shard · 2^40 + chunk`), because a single global
     * running sum is a one-partition window — and per-shard packing is
     * what a real pipeline does anyway: each writer task packs its own
-    * shard independently, no cross-worker coordination. One shuffle
-    * (the shard hash), bounded window state (running sum), exact
+    * shard independently, no cross-worker coordination. The declared
+    * query fixes 8 shards (oracle determinism); at scale the shard
+    * count is corpus_tokens / writer-shard-size (thousands), keeping
+    * each shard's sequential scan — the irreducible cost of exact
+    * packing — at one writer's worth of data while the window state
+    * stays O(1) per shard. One shuffle (the shard hash), exact
     * integers end-to-end. */
   val qPack = Q(
     "q_pack",
