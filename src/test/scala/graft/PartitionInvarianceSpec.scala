@@ -18,7 +18,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_cosine_near", "q_pairwise_near", "q_text_stats", "q_top_terms",
     // round-3 shuffle-heavy additions
     "q_range_join", "q_sessions", "q_tfidf", "q_join_bucketed",
-    "q_cosine_near_blocked", "q_dedup_embedding", "q_dedup_cc"
+    "q_cosine_near_blocked", "q_dedup_embedding", "q_dedup_cc",
+    // round-4 E16: the shuffle-bearing members (samples are per-row
+    // projections — invariant by construction; these five shuffle)
+    "q_sample_per_key", "q_pack", "q_pivot", "q_ntile", "q_heavy_hitters"
   )
 
   shuffleSensitive.foreach { name =>
