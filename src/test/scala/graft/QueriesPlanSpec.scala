@@ -162,6 +162,16 @@ class QueriesPlanSpec extends SparkSpec {
       "pivot reads only (doc_id, lang)")
   }
 
+  test("q_pack: one scan, shard shuffle + final sort only") {
+    val p = plan("q_pack")
+    // one corpus scan (the old tfidf-style eager-N mistake would add one);
+    // count detail headers — the tree section repeats the node name
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    val exchanges = p.linesIterator.count(l => l.contains("+- Exchange") || l.contains(":- Exchange"))
+    assert(exchanges == 2, s"expected shard-window + final-sort exchanges, got $exchanges")
+    assert(p.contains("Window"), "per-shard running sum missing")
+  }
+
   test("q_zorder_key: pure expression layout key (no join/agg/window before the sort)") {
     val p = plan("q_zorder_key")
     assert(!p.contains("Join") && !p.contains("HashAggregate") && !p.contains("Window"))
