@@ -342,11 +342,12 @@ object Dedup {
     * unboundedly).
     */
   private[ops] def connectedComponents(pairs: DataFrame, nodes: DataFrame): DataFrame = {
-    val edges = Materialize(
-      pairs
-        .select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-    )
+    // materialize the DIRECTED pair set first, then mirror it: `pairs`
+    // is lazy, and union(pairs.select(a,b), pairs.select(b,a)) embeds
+    // the candidate-generation subtree twice — at sf1 that ran the
+    // 17 s blocked cosine cartesian two times before the first CC round
+    val p = Materialize(pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     var labels = Materialize(nodes.select(col("node"), col("node").as("label")))
     var moved = 1L
     var rounds = 0
