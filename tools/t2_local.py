@@ -28,6 +28,19 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    # ScaleUp outputs carry events.ts as raw epoch-nanos BIGINT (Spark
+    # cannot write TIMESTAMP(NANOS) back); mirror Tables.events's
+    # nanos->micros floor so the oracles see the same TIMESTAMP the
+    # driver fixtures expose natively.
+    ts_type = [
+        r for r in con.execute("DESCRIBE events").fetchall() if r[0] == "ts"
+    ][0][1]
+    if ts_type == "BIGINT":
+        con.execute("DROP VIEW events")
+        con.execute(
+            "CREATE VIEW events AS SELECT * REPLACE"
+            f" (make_timestamp(ts // 1000) AS ts) FROM '{sf_dir}/events.parquet'"
+        )
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
     for name, sql in sorted(oracle.items()):
