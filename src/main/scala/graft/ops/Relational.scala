@@ -21,18 +21,25 @@ object Relational {
     sum(c.cast(DecimalType(28, scale))).cast("double")
 
   // ---------------------------------------------------------------- E1
-  /** Filter/predicate — pushed to the parquet scan (PushedFilters). */
+  /** Filter/predicate — pushed to the parquet scan (PushedFilters).
+    * Sort covers ALL output columns: (l_orderkey, l_linenumber) is NOT
+    * unique in the driver corpus (118k duplicate key pairs at sf0.1),
+    * so the 2-column sort was only accidentally deterministic — the
+    * sf1 run caught Spark and DuckDB breaking those ties differently.
+    * Under an all-column sort any remaining ties are bit-identical
+    * rows, which the hash compare cannot distinguish by order.
+    */
   val qFilter = Q(
     "q_filter",
     (s, d) =>
       lineitem(s, d)
         .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
             FROM lineitem
             WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-            ORDER BY l_orderkey, l_linenumber""")
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount""")
   )
 
   // ---------------------------------------------------------------- E2
