@@ -428,6 +428,72 @@ object Dedup {
              FROM walk GROUP BY node ORDER BY doc_id""")
   )
 
+  /** Eval-set DECONTAMINATION — the E10 op that guards the metric, not
+    * the corpus: for every test-split document, count its 3-gram
+    * shingles that also occur anywhere in the train split (splits from
+    * the q_split_assign hash, thresholds 90/95). A test doc sharing
+    * even one shingle with training data is flagged. The shingle is 8
+    * words — long-n-gram overlap (production pipelines use ~13): at
+    * n=3 every test doc flags through common phrases, at n=8 only real
+    * near-duplicate leakage does (the corpus's planted near-dups that
+    * straddle the split boundary).
+    *
+    * Scale shape — and why this is CHEAPER than dedup: contamination is
+    * a SEMI join of test shingles against the distinct train-shingle
+    * set. No pair generation at all, so hot shingles cost one row each
+    * (no O(f²) bucket problem, no cap needed): one shuffle on the
+    * 8-byte shingle hash + one per-doc aggregate. The train set is
+    * corpus-sized — `shuffle_hash` pinned, never a broadcast side.
+    */
+  private val DECON_N = 8
+  /** `w[i] || ' ' || w[i+1] || … || w[i+DECON_N-1]` — generated so the
+    * oracle's shingle width can never drift from the engine's. */
+  private val deconShingleSql: String =
+    (0 until DECON_N).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+
+  val qDecontaminate = Q(
+    "q_decontaminate",
+    (s, d) => {
+      val bucket = expr(Sampling.bucketSql("doc_id", 0L, 100L)) // == split hash
+      val sh = fanOut(documents(s, d))
+        .select(col("doc_id"), bucket.as("bucket"),
+          TextHash.shingleHashes(col("text"), DECON_N).as("sh"))
+        .where(size(col("sh")) > 0)
+      val train = sh.where(col("bucket") < 90)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val hits = sh.where(col("bucket") >= 95)
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(train.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      sh.where(col("bucket") >= 95)
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+        .withColumn("contaminated", col("n_contaminated") > 0)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             sh AS (SELECT doc_id,
+                           list_distinct([$deconShingleSql
+                                          for i in range(1, len(w) - ${DECON_N - 2})]) AS s
+                    FROM toks WHERE len(w) >= $DECON_N),
+             b AS (SELECT doc_id, ${Sampling.bucketSql("doc_id", 0L, 100L)} AS bucket
+                   FROM documents),
+             train AS (SELECT DISTINCT unnest(s) AS shingle
+                       FROM sh JOIN b USING (doc_id) WHERE bucket < 90),
+             test AS (SELECT sh.doc_id, unnest(s) AS shingle
+                      FROM sh JOIN b USING (doc_id) WHERE bucket >= 95)
+             SELECT doc_id,
+                    count(*) AS n_shingles,
+                    count(*) FILTER (WHERE shingle IN (SELECT shingle FROM train))
+                      AS n_contaminated,
+                    count(*) FILTER (WHERE shingle IN (SELECT shingle FROM train)) > 0
+                      AS contaminated
+             FROM test GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] =
-    Seq(qDedupExact, qDedupKey, qCdcApply, qDedupNgram, qDedupMinhash, qDedupSimhash, qDedupCc)
+    Seq(qDedupExact, qDedupKey, qCdcApply, qDedupNgram, qDedupMinhash, qDedupSimhash,
+      qDedupCc, qDecontaminate)
 }
