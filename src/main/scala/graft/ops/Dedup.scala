@@ -467,7 +467,9 @@ object Dedup {
         .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
       sh.where(col("bucket") >= 95)
         .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
-        .join(hits, Seq("doc_id"), "left")
+        // hits is one row per test DOC — 5% of the corpus, which still
+        // grows with the corpus: shuffle join, never a broadcast side
+        .join(hits.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_shingles"),
           coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
         .withColumn("contaminated", col("n_contaminated") > 0)

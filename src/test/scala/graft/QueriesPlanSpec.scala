@@ -104,6 +104,16 @@ class QueriesPlanSpec extends SparkSpec {
     }
   }
 
+  test("q_decontaminate: a pair-free semi join — no bucket agg, no cartesian, no broadcast") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("LeftSemi"), "contamination check must be a semi join")
+    assert(!p.contains("ObjectHashAggregate"),
+      "no BoundedBucket machinery — a semi join needs no pair caps")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastHashJoin"),
+      "the train shingle set is corpus-sized — never a broadcast side")
+  }
+
   test("q_cosine_near_blocked: equi shuffle join on block pairs, no broadcast") {
     val p = plan("q_cosine_near_blocked")
     assert(p.contains("ShuffledHashJoin"), "block-pair join must shuffle")
