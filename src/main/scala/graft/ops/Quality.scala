@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Content-quality filters for training-data curation (SURVEY §2.C E12
+  * extensions): repetition rules, PII/log scrubbing, and the
+  * token-length histogram that drives sequence-length planning.
+  *
+  * All three are pure per-row projections or one hash aggregate — the
+  * shapes that run at full scan speed at 100 TB: no joins, no windows
+  * over row-level data, nothing driver-side. The repetition rules do
+  * O(d²) work per document in the n-gram counters, but d is the
+  * per-document token count (bounded, ~10² for web text) — per-row CPU,
+  * not a cross-row blowup; the corpus axis stays embarrassingly
+  * parallel.
+  */
+object Quality {
+  import Tables._
+
+  /** Repetition-based quality rules — the filters made standard by the
+    * Gopher corpus pipeline (Rae et al. 2021, "Scaling Language Models",
+    * §A.1.1): a document dominated by one repeated 2-gram, or whose
+    * 3-grams are mostly duplicates, is boilerplate/spam and is removed
+    * before training.
+    *
+    * Per document: `top2_frac` = fraction of tokens covered by the most
+    * frequent 2-gram (count × 2 / tokens); `dup3_frac` = fraction of
+    * 3-gram occurrences that are repeats of an earlier occurrence
+    * (total − distinct) / total. The flag thresholds (top2 > 1/5,
+    * dup3 > 3/10) are evaluated as EXACT integer cross-multiplications
+    * — no float ever decides membership (the Dedup.scala discipline);
+    * the emitted fractions are one IEEE division of exact ints each.
+    *
+    * Implementation: n-grams are built with array `transform` over the
+    * token array (codegen'd, no explode → no row fan-out, no shuffle);
+    * the most-frequent-gram count is a per-row `array_max` over
+    * per-distinct-gram `filter` counts. The whole query is one scan +
+    * per-row projection; the only Exchange is the output sort.
+    */
+  val qRepetition = Q(
+    "q_repetition",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn(
+          "g2",
+          // guard: sequence(0, -1) would DESCEND in Spark — never build
+          // it for docs under 2 tokens
+          expr("IF(size(w) < 2, array(), transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1])))"))
+        .withColumn(
+          "g3",
+          expr("IF(size(w) < 3, array(), transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))"))
+        .select(
+          col("doc_id"),
+          size(col("w")).as("n_toks"),
+          coalesce(
+            expr("array_max(transform(array_distinct(g2), g -> size(filter(g2, x -> x = g))))"),
+            lit(0)).as("top2_cnt"),
+          (size(col("g3")) - size(array_distinct(col("g3")))).as("dup3_cnt"),
+          size(col("g3")).as("n_g3"))
+        .select(
+          col("doc_id"),
+          col("n_toks"),
+          col("top2_cnt"),
+          ((col("top2_cnt") * 2).cast("double") / col("n_toks")).as("top2_frac"),
+          col("dup3_cnt"),
+          when(col("n_g3") === 0, lit(0.0))
+            .otherwise(col("dup3_cnt").cast("double") / col("n_g3")).as("dup3_frac"),
+          // Gopher-style removal decision, exact-integer form:
+          // top2_frac > 1/5  ⇔  10·top2_cnt > n_toks
+          // dup3_frac > 3/10 ⇔  10·dup3_cnt > 3·n_g3
+          (col("top2_cnt") * 10 > col("n_toks") ||
+            col("dup3_cnt") * 10 > col("n_g3") * 3).as("flagged"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            g AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_toks,
+                         CASE WHEN len(w) >= 2
+                              THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                              ELSE [] END AS g2,
+                         CASE WHEN len(w) >= 3
+                              THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]
+                              ELSE [] END AS g3
+                  FROM t),
+            c AS (SELECT doc_id, n_toks,
+                         CAST(coalesce(list_max(list_transform(list_distinct(g2),
+                                g -> len(list_filter(g2, x -> x = g)))), 0) AS INTEGER) AS top2_cnt,
+                         CAST(len(g3) - len(list_distinct(g3)) AS INTEGER) AS dup3_cnt,
+                         CAST(len(g3) AS INTEGER) AS n_g3
+                  FROM g)
+            SELECT doc_id, n_toks, top2_cnt,
+                   CAST(top2_cnt * 2 AS DOUBLE) / n_toks AS top2_frac,
+                   dup3_cnt,
+                   CASE WHEN n_g3 = 0 THEN 0.0
+                        ELSE CAST(dup3_cnt AS DOUBLE) / n_g3 END AS dup3_frac,
+                   (top2_cnt * 10 > n_toks OR dup3_cnt * 10 > 3 * n_g3) AS flagged
+            FROM c ORDER BY doc_id""")
+  )
+
+  /** PII / identifier scrubbing — the log-scrubbing pass a pipeline runs
+    * before training on telemetry-derived text: strip numeric
+    * identifiers and email-shaped tokens, and count what was removed
+    * (the redaction count is the audit trail). Applied to the event
+    * `props` payload; the email pattern is part of the standard scrub
+    * set and legitimately matches zero rows on this corpus.
+    *
+    * Pure per-row regexp projection (codegen'd `regexp_replace` /
+    * `regexp_extract_all`, no UDF): at 100 TB this runs map-side at
+    * scan speed and prunes to two columns. Patterns are kept to
+    * character classes + quantifiers — the regex subset Spark (Java
+    * regex) and DuckDB (RE2) interpret identically.
+    */
+  val qPiiRedact = Q(
+    "q_pii_redact",
+    (s, d) => {
+      val numPat = "[0-9]+"
+      val emailPat = "[a-z0-9._]+@[a-z0-9.-]+"
+      events(s, d)
+        .select(
+          col("event_id"),
+          size(expr(s"regexp_extract_all(props, '$numPat', 0)")).as("n_nums"),
+          size(expr(s"regexp_extract_all(props, '$emailPat', 0)")).as("n_emails"),
+          regexp_replace(
+            regexp_replace(col("props"), emailPat, "<EMAIL>"),
+            numPat, "<NUM>").as("redacted"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+                   CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_nums,
+                   CAST(len(regexp_extract_all(props, '[a-z0-9._]+@[a-z0-9.-]+')) AS INTEGER) AS n_emails,
+                   regexp_replace(regexp_replace(props, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                                  '[0-9]+', '<NUM>', 'g') AS redacted
+            FROM events ORDER BY event_id""")
+  )
+
+  /** Token-length histogram (16-token bins) — the distribution that
+    * sizes sequence packing (q_pack) and truncation budgets. One scan +
+    * one hash aggregate with map-side combine; output is |bins| rows
+    * regardless of corpus size. Bin id is exact integer division.
+    */
+  val qLengthHistogram = Q(
+    "q_length_histogram",
+    (s, d) =>
+      documents(s, d)
+        .select(expr("size(split(text, ' ')) div 16").as("bin"),
+          expr("size(split(text, ' '))").as("toks"))
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("toks")).as("min_toks"),
+          max(col("toks")).as("max_toks"))
+        .orderBy("bin"),
+    Some("""SELECT len(string_split(text, ' ')) // 16 AS bin,
+                   count(*) AS n_docs,
+                   CAST(min(len(string_split(text, ' '))) AS INTEGER) AS min_toks,
+                   CAST(max(len(string_split(text, ' '))) AS INTEGER) AS max_toks
+            FROM documents GROUP BY bin ORDER BY bin""")
+  )
+
+  val all: Seq[Q] = Seq(qRepetition, qPiiRedact, qLengthHistogram)
+}

@@ -114,6 +114,21 @@ class QueriesPlanSpec extends SparkSpec {
       "the train shingle set is corpus-sized — never a broadcast side")
   }
 
+  test("q_repetition / q_pii_redact: pure per-row projections — no shuffle but the output sort") {
+    for (q <- Seq("q_repetition", "q_pii_redact")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"), s"$q grew a shuffle — must stay map-side")
+      assert(!p.contains("Generate"), s"$q must not explode (array ops are per-row)")
+      assert(p.contains("rangepartitioning"), s"$q output sort missing")
+    }
+  }
+
+  test("q_length_histogram: partial aggregation before the one shuffle") {
+    val p = plan("q_length_histogram")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_count"), "map-side combine missing")
+  }
+
   test("q_cosine_near_blocked: equi shuffle join on block pairs, no broadcast") {
     val p = plan("q_cosine_near_blocked")
     assert(p.contains("ShuffledHashJoin"), "block-pair join must shuffle")
