@@ -377,7 +377,63 @@ object Sampling {
     }
   )
 
+  // ---------------------------------------------------------------------
+  // E16.9 contiguous global row numbering (two-pass, no global window)
+  // ---------------------------------------------------------------------
+
+  /** Contiguous global row numbers in corpus order — the id assignment a
+    * sharded dataset needs (example index files, resumable readers). The
+    * naive `row_number() OVER (ORDER BY doc_id)` funnels 100 TB through
+    * ONE task (a single-partition window); this is the scalable two-pass
+    * idiom instead:
+    *
+    *  1. range-partition by doc_id and sort within partitions — Spark's
+    *     TeraSort shape, fully parallel; `monotonically_increasing_id`
+    *     then encodes (partition, local position) as pid·2³³ + idx with
+    *     NO window and NO extra exchange;
+    *  2. count rows per partition (a |partitions|-row aggregate),
+    *     prefix-sum those counts into per-partition offsets (a window
+    *     over ≤ |partitions| rows — the qNtile small-side exception),
+    *     broadcast them back;  rownum = offset + idx + 1.
+    *
+    * The offsets side grows with the PARTITION count, not the corpus —
+    * broadcastable at any scale. Output is a pure function of doc_id
+    * (rank in doc_id order) — range boundaries and partition count can
+    * change without changing a single output row, which is what the
+    * oracle's one-partition `row_number()` checks.
+    */
+  private[graft] def globalRownum(
+      s: org.apache.spark.sql.SparkSession, d: String, parts: Int): DataFrame = {
+      val local = documents(s, d)
+        .select(col("doc_id"))
+        .repartitionByRange(parts, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .select(col("doc_id"), monotonically_increasing_id().as("mid"))
+        // mid = pid·2³³ + position-in-partition (exact integer split)
+        .select(
+          col("doc_id"),
+          expr("mid div 8589934592").as("pid"),
+          (col("mid") % lit(8589934592L)).as("idx"))
+      val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts
+        .withColumn("offset", coalesce(sum("cnt").over(w), lit(0L)))
+        .select("pid", "offset")
+      local
+        .join(broadcast(offsets), "pid")
+        .select(col("doc_id"), (col("offset") + col("idx") + 1).as("rownum"))
+        .orderBy("doc_id")
+  }
+
+  val qGlobalRownum = Q(
+    "q_global_rownum",
+    (s, d) => globalRownum(s, d, 32),
+    Some("""SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rownum
+            FROM documents ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave,
-      qPivot, qUnpivot, qPack, qHeavyHitters, qNtile, qZorderKey)
+      qPivot, qUnpivot, qPack, qHeavyHitters, qNtile, qZorderKey,
+      qGlobalRownum)
 }

@@ -21,8 +21,20 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_cosine_near_blocked", "q_dedup_embedding", "q_dedup_cc",
     // round-4 E16: the shuffle-bearing members (samples are per-row
     // projections — invariant by construction; these five shuffle)
-    "q_sample_per_key", "q_pack", "q_pivot", "q_ntile", "q_heavy_hitters"
+    "q_sample_per_key", "q_pack", "q_pivot", "q_ntile", "q_heavy_hitters",
+    // round-4 quality/numbering additions
+    "q_length_histogram", "q_global_rownum"
   )
+
+  test("q_global_rownum identical at range-partition counts 3 and 32") {
+    // the stronger claim: the RANGE partitioning itself (boundaries,
+    // count, skew) is an implementation detail — rownum is a pure
+    // function of doc_id rank, proven by varying the pass-1 fan-out
+    val a = graft.ops.Sampling.globalRownum(spark, sf0001, 3).collect()
+    val b = graft.ops.Sampling.globalRownum(spark, sf0001, 32).collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq,
+      "rownum depends on the range partition count")
+  }
 
   shuffleSensitive.foreach { name =>
     test(s"$name identical at shuffle.partitions 4 and 32") {

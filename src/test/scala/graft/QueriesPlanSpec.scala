@@ -129,6 +129,15 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "map-side combine missing")
   }
 
+  test("q_global_rownum: no global row_number window; offsets broadcast") {
+    val p = plan("q_global_rownum")
+    assert(!p.contains("row_number"),
+      "global row numbering regressed to a one-partition window")
+    assert(p.contains("monotonically_increasing_id"), "two-pass id encoding missing")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |partitions|-row offsets side must broadcast")
+  }
+
   test("q_cosine_near_blocked: equi shuffle join on block pairs, no broadcast") {
     val p = plan("q_cosine_near_blocked")
     assert(p.contains("ShuffledHashJoin"), "block-pair join must shuffle")
