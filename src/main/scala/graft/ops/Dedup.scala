@@ -495,7 +495,101 @@ object Dedup {
              FROM test GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** INCREMENTAL dedup — the shape that lets a 100 TB corpus absorb a
+    * daily batch: dedup the NEW documents (split-hash bucket ≥ 90, ~10%)
+    * against the EXISTING corpus (bucket < 90) and against earlier rows
+    * of the batch itself, without ever re-pairing corpus × corpus. A new
+    * doc is `dup_corpus` if a corpus doc has shingle-Jaccard ≥ 1/2 with
+    * it, else `dup_batch` if a lower-id batch doc does, else `kept` —
+    * the survivor rule that keeps the established corpus stable (an
+    * incoming duplicate never evicts the copy already in the corpus).
+    *
+    * Scale shape: candidates come from a shingle equi-join of the
+    * exploded BATCH stream against the exploded full stream — per-shingle
+    * work is df_all × df_batch, so total cost is proportional to the
+    * BATCH size, not the corpus pair count (the full re-dedup,
+    * q_dedup_ngram, is O(Σ df²) by comparison). Hot shingles are capped
+    * by the standard df pass ([[Skew.dropHotKeys]], same cap + same
+    * filtered-space discipline as ngramPairs — the cap never fires on
+    * this corpus, so the uncapped oracle is byte-identical). Every join
+    * is `shuffle_hash`-pinned: both streams are corpus-scale, never
+    * broadcast sides.
+    */
+  val qIncrementalDedup = Q(
+    "q_incremental_dedup",
+    (s, d) => {
+      val bucket = expr(Sampling.bucketSql("doc_id", 0L, 100L)) // == split hash
+      val sh = fanOut(documents(s, d))
+        .select(col("doc_id"), bucket.as("bucket"),
+          TextHash.shingleHashes(col("text"), SHINGLE_N).as("sh"))
+        .where(size(col("sh")) > 0)
+      val ex = Skew.dropHotKeys(
+        sh.select(col("doc_id"), col("bucket"), explode(col("sh")).as("shingle")),
+        Seq("shingle"), HOT_BUCKET_CAP)
+      // per-doc set sizes in the SAME capped shingle space (the
+      // ngramPairs self-consistency discipline)
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
+      val exAll = ex.select(
+        col("doc_id").as("a_id"), col("bucket").as("a_bucket"), col("shingle"))
+      val exNew = ex.where(col("bucket") >= 90)
+        .select(col("doc_id").as("b_id"), col("shingle"))
+      val shared = exAll.join(exNew.hint("shuffle_hash"), "shingle")
+        // corpus docs pair with every batch doc; batch docs only with
+        // LATER batch docs (the lowest-id-survivor rule within a batch)
+        .where(col("a_bucket") < 90 || col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id", "a_bucket")
+        .agg(count(lit(1)).as("shared"))
+      val verified = shared
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")).hint("shuffle_hash"), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")).hint("shuffle_hash"), "b_id")
+        .where(lit(3) * col("shared") >= col("na") + col("nb"))
+      val counts = verified.groupBy("b_id").agg(
+        sum(when(col("a_bucket") < 90, 1L).otherwise(0L)).as("n_dup_corpus"),
+        sum(when(col("a_bucket") >= 90, 1L).otherwise(0L)).as("n_dup_batch"))
+      documents(s, d).select(col("doc_id"), bucket.as("bucket"))
+        .where(col("bucket") >= 90)
+        // counts is one row per flagged BATCH doc — grows with the
+        // batch: shuffle join, never a broadcast side
+        .join(counts.withColumnRenamed("b_id", "doc_id").hint("shuffle_hash"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_corpus"), lit(0L)).as("n_dup_corpus"),
+          coalesce(col("n_dup_batch"), lit(0L)).as("n_dup_batch"))
+        .withColumn("status",
+          when(col("n_dup_corpus") > 0, "dup_corpus")
+            .when(col("n_dup_batch") > 0, "dup_batch")
+            .otherwise("kept"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             sh AS (SELECT doc_id,
+                           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                          for i in range(1, len(w)-1)]) AS s
+                    FROM toks WHERE len(w) >= 3),
+             bk AS (SELECT doc_id, ${Sampling.bucketSql("doc_id", 0L, 100L)} AS bucket
+                    FROM documents),
+             s2 AS (SELECT sh.doc_id, bucket, s FROM sh JOIN bk USING (doc_id)),
+             hits AS (
+               SELECT n.doc_id AS b_id,
+                      count(*) FILTER (WHERE a.bucket < 90) AS n_dup_corpus,
+                      count(*) FILTER (WHERE a.bucket >= 90) AS n_dup_batch
+               FROM s2 n JOIN s2 a
+                 ON n.bucket >= 90
+                AND (a.bucket < 90 OR a.doc_id < n.doc_id)
+                AND 3 * len(list_intersect(a.s, n.s)) >= len(a.s) + len(n.s)
+               GROUP BY n.doc_id)
+             SELECT bk.doc_id,
+                    coalesce(h.n_dup_corpus, 0) AS n_dup_corpus,
+                    coalesce(h.n_dup_batch, 0) AS n_dup_batch,
+                    CASE WHEN coalesce(h.n_dup_corpus, 0) > 0 THEN 'dup_corpus'
+                         WHEN coalesce(h.n_dup_batch, 0) > 0 THEN 'dup_batch'
+                         ELSE 'kept' END AS status
+             FROM bk LEFT JOIN hits h ON h.b_id = bk.doc_id
+             WHERE bk.bucket >= 90
+             ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qDedupExact, qDedupKey, qCdcApply, qDedupNgram, qDedupMinhash, qDedupSimhash,
-      qDedupCc, qDecontaminate)
+      qDedupCc, qDecontaminate, qIncrementalDedup)
 }

@@ -138,6 +138,14 @@ class QueriesPlanSpec extends SparkSpec {
       "the |partitions|-row offsets side must broadcast")
   }
 
+  test("q_incremental_dedup: all joins shuffled — every side is corpus-scale") {
+    val p = plan("q_incremental_dedup")
+    assert(p.contains("ShuffledHashJoin"), "candidate join must shuffle")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      "corpus/batch streams grow with the data — nothing here may broadcast")
+  }
+
   test("q_cosine_near_blocked: equi shuffle join on block pairs, no broadcast") {
     val p = plan("q_cosine_near_blocked")
     assert(p.contains("ShuffledHashJoin"), "block-pair join must shuffle")
