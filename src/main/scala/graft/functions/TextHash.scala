@@ -41,6 +41,14 @@ object TextHash {
       )
     )
 
+  /** Per-doc n-gram repetition stats `[total, top, distinct]` — one
+    * codegen counting pass (backs q_repetition; see [[WordGramStats]]).
+    */
+  def gramStats(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      WordGramStats(org.apache.spark.sql.graft.ColumnBridge.expression(text), n)
+    )
+
   /** MinHash signature column i: min over exploded shingles of a seeded
     * 64-bit hash. Seeding via an extra lit column re-keys xxhash64 —
     * k independent-enough permutation approximations.

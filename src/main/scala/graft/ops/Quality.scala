@@ -31,33 +31,25 @@ object Quality {
     * — no float ever decides membership (the Dedup.scala discipline);
     * the emitted fractions are one IEEE division of exact ints each.
     *
-    * Implementation: n-grams are built with array `transform` over the
-    * token array (codegen'd, no explode → no row fan-out, no shuffle);
-    * the most-frequent-gram count is a per-row `array_max` over
-    * per-distinct-gram `filter` counts. The whole query is one scan +
-    * per-row projection; the only Exchange is the output sort.
+    * Implementation: one native codegen counting pass per n
+    * ([[graft.functions.WordGramStats]] → `[total, top, distinct]`) —
+    * O(d) per document where the higher-order-function formulation was
+    * interpreted O(d²). No explode → no row fan-out, no shuffle; the
+    * whole query is one scan + per-row projection and the only Exchange
+    * is the output sort.
     */
   val qRepetition = Q(
     "q_repetition",
     (s, d) =>
       documents(s, d)
-        .withColumn("w", split(col("text"), " "))
-        .withColumn(
-          "g2",
-          // guard: sequence(0, -1) would DESCEND in Spark — never build
-          // it for docs under 2 tokens
-          expr("IF(size(w) < 2, array(), transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1])))"))
-        .withColumn(
-          "g3",
-          expr("IF(size(w) < 3, array(), transform(sequence(0, size(w)-3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))"))
+        .withColumn("s2", graft.functions.TextHash.gramStats(col("text"), 2))
+        .withColumn("s3", graft.functions.TextHash.gramStats(col("text"), 3))
         .select(
           col("doc_id"),
-          size(col("w")).as("n_toks"),
-          coalesce(
-            expr("array_max(transform(array_distinct(g2), g -> size(filter(g2, x -> x = g))))"),
-            lit(0)).as("top2_cnt"),
-          (size(col("g3")) - size(array_distinct(col("g3")))).as("dup3_cnt"),
-          size(col("g3")).as("n_g3"))
+          size(split(col("text"), " ")).as("n_toks"),
+          col("s2").getItem(1).as("top2_cnt"),
+          (col("s3").getItem(0) - col("s3").getItem(2)).as("dup3_cnt"),
+          col("s3").getItem(0).as("n_g3"))
         .select(
           col("doc_id"),
           col("n_toks"),

@@ -48,6 +48,34 @@ class FunctionsSpec extends AnyFunSuite {
       assert(got == naive(t, 3), s"mismatch for '$t'")
     }
   }
+
+  test("gramStats matches naive [total, top, distinct] counting") {
+    def naive(text: String, n: Int): Seq[Int] = {
+      val grams = text.split(" ", -1).toSeq.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) Seq(0, 0, 0)
+      else Seq(grams.size, grams.groupBy(identity).values.map(_.size).max,
+        grams.distinct.size)
+    }
+    for (
+      t <- Seq(
+        "a b c d e",
+        "a b a b a b", // tied + repeated grams
+        "one two",     // below n=3, exactly n=2
+        "one",         // below both
+        "",
+        "  double  spaces here ",
+        "x x x x x x x x" // one gram dominates
+      );
+      n <- Seq(2, 3)
+    ) {
+      val got = ShingleUtil
+        .gramStats(UTF8String.fromString(t), n)
+        .toIntArray()
+        .toSeq
+      assert(got == naive(t, n), s"mismatch for '$t' n=$n: $got")
+    }
+  }
 }
 
 /** Codegen expressions must equal their interpreted/naive references —
