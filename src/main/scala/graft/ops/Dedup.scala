@@ -504,12 +504,15 @@ object Dedup {
     * the survivor rule that keeps the established corpus stable (an
     * incoming duplicate never evicts the copy already in the corpus).
     *
-    * Scale shape: candidates come from a shingle equi-join of the
-    * exploded BATCH stream against the exploded full stream — per-shingle
-    * work is df_all × df_batch, so total cost is proportional to the
-    * BATCH size, not the corpus pair count (the full re-dedup,
-    * q_dedup_ngram, is O(Σ df²) by comparison). Hot shingles are capped
-    * by the standard df pass ([[Skew.dropHotKeys]], same cap + same
+    * Scale shape: the [[BoundedBucket]] discipline with an INCREMENTAL
+    * pair generator — ONE shuffle groups the exploded (shingle, doc)
+    * stream into capped buckets whose member ids carry a corpus/batch
+    * parity flag, and [[BoundedBucket.incrementalPairs]] emits only the
+    * pairs involving a batch doc (corpus member × any batch member, or
+    * earlier-batch × later-batch). Corpus × corpus pairs are NEVER
+    * generated, so per-bucket pair work is f·f_batch instead of f²/2 —
+    * the property that makes absorbing a daily batch proportional to the
+    * batch. Hot shingles drop inside the aggregation (same cap + same
     * filtered-space discipline as ngramPairs — the cap never fires on
     * this corpus, so the uncapped oracle is byte-identical). Every join
     * is `shuffle_hash`-pinned: both streams are corpus-scale, never
@@ -523,29 +526,34 @@ object Dedup {
         .select(col("doc_id"), bucket.as("bucket"),
           TextHash.shingleHashes(col("text"), SHINGLE_N).as("sh"))
         .where(size(col("sh")) > 0)
-      val ex = Skew.dropHotKeys(
-        sh.select(col("doc_id"), col("bucket"), explode(col("sh")).as("shingle")),
-        Seq("shingle"), HOT_BUCKET_CAP)
+      // parity-encoded id: doc_id·2 + isBatch — sorted-encoded order is
+      // sorted-id order, so the bucket arrays stay id-ordered
+      val ex = sh.select(
+        (col("doc_id") * 2 + when(col("bucket") >= 90, 1L).otherwise(0L)).as("enc"),
+        explode(col("sh")).as("shingle"))
+      val buckets = Materialize(
+        BoundedBucket.buckets(ex, Seq("shingle"), "enc", HOT_BUCKET_CAP))
       // per-doc set sizes in the SAME capped shingle space (the
       // ngramPairs self-consistency discipline)
-      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
-      val exAll = ex.select(
-        col("doc_id").as("a_id"), col("bucket").as("a_bucket"), col("shingle"))
-      val exNew = ex.where(col("bucket") >= 90)
-        .select(col("doc_id").as("b_id"), col("shingle"))
-      val shared = exAll.join(exNew.hint("shuffle_hash"), "shingle")
-        // corpus docs pair with every batch doc; batch docs only with
-        // LATER batch docs (the lowest-id-survivor rule within a batch)
-        .where(col("a_bucket") < 90 || col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id", "a_bucket")
+      val sizes = buckets
+        .select(explode(col("docs")).as("enc"))
+        .select(expr("enc div 2").as("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n"))
+      val shared = BoundedBucket.incrementalPairs(buckets)
+        .select(
+          expr("a_enc div 2").as("a_id"),
+          (col("a_enc") % 2).as("a_batch"),
+          expr("b_enc div 2").as("b_id"))
+        .groupBy("a_id", "b_id", "a_batch")
         .agg(count(lit(1)).as("shared"))
       val verified = shared
         .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")).hint("shuffle_hash"), "a_id")
         .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")).hint("shuffle_hash"), "b_id")
         .where(lit(3) * col("shared") >= col("na") + col("nb"))
       val counts = verified.groupBy("b_id").agg(
-        sum(when(col("a_bucket") < 90, 1L).otherwise(0L)).as("n_dup_corpus"),
-        sum(when(col("a_bucket") >= 90, 1L).otherwise(0L)).as("n_dup_batch"))
+        sum(when(col("a_batch") === 0, 1L).otherwise(0L)).as("n_dup_corpus"),
+        sum(when(col("a_batch") === 1, 1L).otherwise(0L)).as("n_dup_batch"))
       documents(s, d).select(col("doc_id"), bucket.as("bucket"))
         .where(col("bucket") >= 90)
         // counts is one row per flagged BATCH doc — grows with the
