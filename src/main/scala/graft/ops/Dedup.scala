@@ -597,7 +597,71 @@ object Dedup {
              ORDER BY doc_id""")
   )
 
+  /** Survivor SELECTION by quality — the policy layer on top of the
+    * cluster machinery: within each near-dup cluster keep the LONGEST
+    * document (ties → lowest id), not the lowest id. Production
+    * pipelines keep the highest-quality member (longest, best source,
+    * highest score); lowest-id is just the degenerate policy. Emits one
+    * row per cluster (singletons included): the cluster label, its
+    * survivor, the member count, and the survivor's length.
+    *
+    * Scale shape: [[connectedComponents]] (O(log d) rounds) + ONE hash
+    * shuffle joining labels to per-doc quality + a per-cluster top-1
+    * window (WindowGroupLimit bounds the buffer at 1 row per cluster).
+    * Swapping the policy is swapping the window's ORDER BY — the
+    * cluster machinery is unchanged.
+    */
+  val qDedupSurvivor = Q(
+    "q_dedup_survivor",
+    (s, d) => {
+      val pairs = ngramPairs(s, d, HOT_BUCKET_CAP).select("a_id", "b_id")
+      val nodes = documents(s, d).select(col("doc_id").as("node"))
+      val labeled = connectedComponents(pairs, nodes)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val quality = documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("n_chars_m"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars_m").desc, col("doc_id").asc)
+      labeled
+        .join(quality.hint("shuffle_hash"), "doc_id") // both corpus-sized
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members", count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+          col("n_members"), col("n_chars_m").as("survivor_chars"))
+        .orderBy("cluster_id")
+    },
+    Some("""WITH RECURSIVE
+            toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+            sh AS (SELECT doc_id,
+                          list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                         for i in range(1, len(w)-1)]) AS s
+                   FROM toks WHERE len(w) >= 3),
+            pairs AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE 3 * len(list_intersect(a.s, b.s)) >= len(a.s) + len(b.s)),
+            edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                      UNION ALL SELECT b_id, a_id FROM pairs),
+            walk(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node),
+            cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+                   FROM walk GROUP BY node),
+            j AS (SELECT cl.cluster_id, cl.doc_id,
+                         CAST(length(d.text) AS INTEGER) AS n_chars_m,
+                         count(*) OVER (PARTITION BY cl.cluster_id) AS n_members,
+                         row_number() OVER (PARTITION BY cl.cluster_id
+                                            ORDER BY length(d.text) DESC,
+                                                     cl.doc_id ASC) AS rn
+                  FROM cl JOIN documents d USING (doc_id))
+            SELECT cluster_id, doc_id AS survivor_id, n_members,
+                   n_chars_m AS survivor_chars
+            FROM j WHERE rn = 1 ORDER BY cluster_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qDedupExact, qDedupKey, qCdcApply, qDedupNgram, qDedupMinhash, qDedupSimhash,
-      qDedupCc, qDecontaminate, qIncrementalDedup)
+      qDedupCc, qDecontaminate, qIncrementalDedup, qDedupSurvivor)
 }

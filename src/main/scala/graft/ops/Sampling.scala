@@ -432,8 +432,49 @@ object Sampling {
             FROM documents ORDER BY doc_id""")
   )
 
+  // ---------------------------------------------------------------------
+  // E16.10 exact mixture rebalance (downsample to the smallest group)
+  // ---------------------------------------------------------------------
+
+  /** Balance the language mix by downsampling every language to the
+    * SMALLEST language's share — the mixture-rebalance where the rates
+    * are COMPUTED FROM THE DATA rather than declared (q_sample_stratified
+    * is the declared-rate form). Membership: keep a row iff
+    * `hash_bucket · n_lang < 10⁶ · min_n`, i.e. keep-rate min_n/n_lang
+    * — evaluated in exact cross-multiplied integers (bucket < 10⁶ and
+    * n_lang ≤ 10¹² keep the product < 2⁶³), so the kept set is a pure
+    * deterministic function of (doc_id, the lang histogram) on every
+    * engine.
+    *
+    * Scale shape: one |langs|-row aggregate + its 1-row min, both
+    * broadcast (they grow with the number of GROUPS, never the corpus),
+    * then a shuffle-free per-row filter at scan speed.
+    */
+  val qMixBalance = Q(
+    "q_mix_balance",
+    (s, d) => {
+      val c = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val m = c.agg(min(col("n_lang")).as("min_n"))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .join(broadcast(c), "lang")
+        .crossJoin(broadcast(m))
+        .where(bucket("doc_id", 777001L, 1000000L) * col("n_lang")
+          < col("min_n") * lit(1000000L))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+             m AS (SELECT min(n_lang) AS min_n FROM c)
+             SELECT d.doc_id, d.lang
+             FROM documents d JOIN c USING (lang), m
+             WHERE ${bucketSql("d.doc_id", 777001L, 1000000L)} * n_lang
+                   < 1000000 * min_n
+             ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave,
       qPivot, qUnpivot, qPack, qHeavyHitters, qNtile, qZorderKey,
-      qGlobalRownum)
+      qGlobalRownum, qMixBalance)
 }

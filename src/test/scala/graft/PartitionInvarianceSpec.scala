@@ -22,8 +22,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round-4 E16: the shuffle-bearing members (samples are per-row
     // projections — invariant by construction; these five shuffle)
     "q_sample_per_key", "q_pack", "q_pivot", "q_ntile", "q_heavy_hitters",
-    // round-4 quality/numbering/incremental additions
-    "q_length_histogram", "q_global_rownum", "q_incremental_dedup"
+    // round-4 quality/numbering/incremental/policy additions
+    "q_length_histogram", "q_global_rownum", "q_incremental_dedup",
+    "q_mix_balance", "q_dedup_survivor"
   )
 
   test("q_global_rownum identical at range-partition counts 3 and 32") {

@@ -146,6 +146,20 @@ class QueriesPlanSpec extends SparkSpec {
       "corpus/batch streams grow with the data — nothing here may broadcast")
   }
 
+  test("q_mix_balance: group-dim sides broadcast, fact side never shuffle-joined") {
+    val p = plan("q_mix_balance")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |langs|-row histogram must broadcast against the scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus side must not shuffle for a per-row membership filter")
+  }
+
+  test("q_dedup_survivor: corpus-sized quality join shuffled, never broadcast") {
+    val p = plan("q_dedup_survivor")
+    assert(p.contains("ShuffledHashJoin"), "labels⋈quality must shuffle")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q_cosine_near_blocked: equi shuffle join on block pairs, no broadcast") {
     val p = plan("q_cosine_near_blocked")
     assert(p.contains("ShuffledHashJoin"), "block-pair join must shuffle")
