@@ -137,6 +137,47 @@ object IngestQueries {
     Some("SELECT doc_id, lang, n_chars, text FROM documents ORDER BY doc_id")
   )
 
+  /** Content-keyed location for the ORC copy (same layout-reuse pattern
+    * as [[jsonlDir]]). */
+  private def orcDir(d: String): String = {
+    val f = java.nio.file.Paths.get(s"$d/events.parquet")
+    val sig =
+      s"$f:${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_events_orc_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
+  }
+
+  /** E9 — ORC source+sink round-trip, the columnar-interchange twin of
+    * [[qJsonlRoundtrip]]: `events` written as zlib ORC and read back.
+    * ORC is the other columnar lake format a complete engine must speak
+    * (warehouse migrations land in it); the oracle compares the re-read
+    * rows against the parquet originals, so hash equality proves the
+    * timestamp/double/string round trip is bit-exact across formats.
+    * Scale notes: ORC stripes are splittable (unlike the gzip JSONL
+    * members), so read parallelism is stripe-granular like parquet
+    * row groups; predicate pushdown and column pruning work through the
+    * same DSv2 scan machinery (`spark.read.orc` → OrcScan with
+    * PushedFilters), proven by the one-column projection below pruning
+    * at the scan.
+    */
+  val qOrcRoundtrip = Q(
+    "q_orc_roundtrip",
+    (s, d) => {
+      val out = orcDir(d)
+      if (!new java.io.File(out, "_SUCCESS").exists())
+        Tables.events(s, d)
+          .write.mode("overwrite").option("compression", "zlib").orc(out)
+      s.read
+        .orc(out) // self-describing columnar schema — no inference scan
+        .where(col("event_type") === "click")
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, ts, user_id, value FROM events
+            WHERE event_type = 'click' ORDER BY event_id""")
+  )
+
   val all: Seq[Q] =
-    Seq(qIngestPp, qIngestAutoDate, qUrlSource, qUrlSourceUnquoted, qJsonlRoundtrip)
+    Seq(qIngestPp, qIngestAutoDate, qUrlSource, qUrlSourceUnquoted, qJsonlRoundtrip,
+      qOrcRoundtrip)
 }

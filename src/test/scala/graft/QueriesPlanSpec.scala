@@ -146,6 +146,13 @@ class QueriesPlanSpec extends SparkSpec {
       "corpus/batch streams grow with the data — nothing here may broadcast")
   }
 
+  test("q_orc_roundtrip: filter pushed into the ORC scan, props column pruned") {
+    val p = plan("q_orc_roundtrip")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,click)"),
+      "event_type predicate must reach the ORC scan")
+    assert(!p.contains("props"), "unreferenced column read through the ORC scan")
+  }
+
   test("q_mix_balance: group-dim sides broadcast, fact side never shuffle-joined") {
     val p = plan("q_mix_balance")
     assert(p.contains("BroadcastHashJoin"),
