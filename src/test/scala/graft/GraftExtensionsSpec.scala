@@ -25,6 +25,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) == 2) // "a b c", "b c d"
   }
 
+  test("graft_gram_stats evaluates from SQL: [total, top, distinct]") {
+    val r = spark.sql(
+      "SELECT graft_gram_stats('a b a b a b', 2) AS s"
+    ).head().getSeq[Int](0)
+    assert(r == Seq(5, 3, 2)) // 5 bigrams, "a b"×3, 2 distinct
+  }
+
   test("non-literal shingle width is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingles('a b c', 1 + 2)").head()
