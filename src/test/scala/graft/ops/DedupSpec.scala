@@ -107,6 +107,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalPairs law: exactly {b new, a corpus or earlier-new}; corpus×corpus never emitted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one bucket per key; members parity-encoded (id*2 + isNew) across
+    // every new/corpus interleaving of up to 4 members
+    val rows = Seq(
+      // key, id, isNew
+      ("k1", 1L, 0), ("k1", 2L, 1), ("k1", 3L, 0), ("k1", 4L, 1),
+      ("k2", 5L, 1), ("k2", 6L, 1), ("k2", 7L, 1),
+      ("k3", 8L, 0), ("k3", 9L, 0),
+      ("k4", 10L, 1),
+      ("k5", 11L, 0), ("k5", 12L, 1)
+    )
+    val df = rows.toDF("key", "id", "isNew")
+      .select(col("key"), (col("id") * 2 + col("isNew")).as("enc"))
+    val buckets = BoundedBucket.buckets(df, Seq("key"), "enc", cap = 16)
+    val got = BoundedBucket.incrementalPairs(buckets)
+      .select(expr("a_enc div 2"), expr("b_enc div 2"))
+      .as[(Long, Long)].collect().toSet
+    val naive = (for {
+      (ka, a, an) <- rows; (kb, b, bn) <- rows
+      if ka == kb && bn == 1 && a != b && (an == 0 || a < b)
+    } yield (a, b)).toSet
+    assert(got == naive, s"pair law violated: got $got expected $naive")
+    // explicit non-emission: corpus×corpus
+    val corpus = rows.collect { case (_, id, 0) => id }.toSet
+    assert(!got.exists { case (a, b) => corpus(a) && corpus(b) })
+  }
+
   test("exact dedup survivor rule: lowest doc_id kept, copies counted") {
     val docs = Tables.documents(spark, sf0001)
     val total = docs.count()
