@@ -44,4 +44,53 @@ class MultimodalSpec extends SparkSpec {
     val thumbs = resizeThumbs(spark, media, 32, 32, codec = ConstCodec).collect()
     assert(thumbs.forall(_.getAs[Int]("thumb_bytes") == 1))
   }
+
+  /** A w×h P6 image whose pixel (x,y) is (r, x, y). */
+  private def ppm(w: Int, h: Int, r: Int): Array[Byte] = {
+    val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val raster = (0 until h).flatMap(y => (0 until w).flatMap(x =>
+      Seq(r.toByte, x.toByte, y.toByte))).toArray
+    head ++ raster
+  }
+
+  test("PpmCodec decodes real P6 headers and rasters") {
+    val img = ppm(4, 2, 100)
+    val d = PpmCodec.decode(img)
+    assert(d.width == 4 && d.height == 2 && d.channels == 3)
+    // mean over RASTER bytes only (header excluded): r=100, x∈0..3 ×2, y∈{0,1}×4
+    val raster = (0 until 2).flatMap(y => (0 until 4).flatMap(x => Seq(100, x, y)))
+    assert(d.meanByte == raster.sum.toDouble / raster.size)
+    intercept[IllegalArgumentException](PpmCodec.decode("JFIF garbage".getBytes))
+  }
+
+  test("PpmCodec resize is exact nearest-neighbor, re-encoded as P6") {
+    val small = PpmCodec.resize(ppm(4, 2, 100), 2, 1)
+    val d = PpmCodec.decode(small)
+    assert(d.width == 2 && d.height == 1)
+    // nearest-neighbor picks src pixels (0,0) and (2,0): bytes (100,0,0,100,2,0)
+    val start = small.length - 6
+    assert(small.slice(start, start + 6).toSeq ==
+      Seq[Byte](100, 0, 0, 100, 2, 0))
+  }
+
+  test("PpmCodec demuxes concatenated frames and drives the real operators") {
+    // a 3-frame "rawvideo" payload; every 2nd frame sampled → frames 0, 2
+    val vid = ppm(2, 2, 10) ++ ppm(2, 2, 20) ++ ppm(2, 2, 30)
+    val sampled = PpmCodec.frameSample(vid, frameBytes = 0, everyK = 2)
+    assert(sampled.map(_._1) == Seq(0, 2))
+    assert(sampled.forall { case (_, f) => PpmCodec.decode(f).width == 2 })
+
+    // end-to-end through the Spark operators with the REAL codec
+    import spark.implicits._
+    val mediaDf = Seq((1L, ppm(4, 2, 100)), (2L, vid))
+      .toDF("doc_id", "payload")
+    val feats = extractFeatures(spark, mediaDf.where(col("doc_id") === 1), PpmCodec).collect()
+    assert(feats.head.getAs[Int]("width") == 4 && feats.head.getAs[Int]("height") == 2)
+    val frames = sampleFrames(spark, mediaDf.where(col("doc_id") === 2),
+      frameBytes = 0, everyK = 2, codec = PpmCodec).collect()
+    assert(frames.length == 2)
+    val thumbs = resizeThumbs(spark, mediaDf.where(col("doc_id") === 1),
+      2, 1, codec = PpmCodec).collect()
+    assert(thumbs.head.getAs[Int]("thumb_bytes") == "P6\n2 1\n255\n".length + 6)
+  }
 }
