@@ -661,7 +661,109 @@ object Dedup {
             FROM j WHERE rn = 1 ORDER BY cluster_id""")
   )
 
+  /** EXACT SUBSTRING dedup — remove every token span of length ≥ K that
+    * duplicates an EARLIER occurrence anywhere in the corpus (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": their suffix-array ExactSubstr pass, §4.1). The earlier
+    * occurrence keeps its text; later copies lose the duplicated
+    * tokens. "Earlier" = smaller (doc_id, position) lexicographically —
+    * the deterministic keep-first policy.
+    *
+    * Equivalence that makes this Spark-shaped: a repeat of length
+    * ≥ K exists iff a length-K window repeats, and the union of
+    * duplicated K-windows covers exactly the duplicated spans — so
+    * suffix arrays are not needed; K-window hashing finds the identical
+    * span set. Per window only `(hash, doc_id, pos)` — 24 bytes —
+    * is shuffled; the gram text is hashed and dropped map-side
+    * (collision odds ~2⁻⁶⁴ per gram pair, deterministic either way).
+    *
+    * Scale shape: ONE hash aggregate computes each gram's first
+    * occurrence `min(struct(doc_id, pos))` with map-side partial
+    * combine (a hot gram never builds a window partition — contrast a
+    * row_number-over-gram formulation, which would put a 10⁶-occurrence
+    * boilerplate gram in one task's sort), then one join-back on the
+    * same 8-byte key marks non-first windows. Coverage explode is K×
+    * on MARKED windows only (duplicated text, not the corpus); the
+    * rebuild is one per-doc aggregate whose buffer is bounded by
+    * document length. Nothing driver-side, no window over row-level
+    * data, every shuffle keyed.
+    */
+  private val SPAN_K = 8
+
+  val qSubstringDedup = Q(
+    "q_substring_dedup",
+    (s, d) => {
+      val K = SPAN_K
+      val toks = fanOut(documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+      // one row per K-window: (h, doc_id, i) — the gram string dies here
+      val wins = toks
+        .where(col("n") >= K)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0), col("n") - K)).as("i"))
+        .select(col("doc_id"), col("i"),
+          xxhash64(array_join(slice(col("w"), col("i") + 1, lit(K)), " ")).as("h"))
+      val firstOcc = wins
+        .groupBy("h")
+        .agg(min(struct(col("doc_id"), col("i"))).as("first"))
+      val marked = wins
+        .join(firstOcc.hint("shuffle_hash"), Seq("h")) // both sides corpus-sized
+        .where(struct(col("doc_id"), col("i")) =!= col("first"))
+      val covered = marked
+        .select(col("doc_id"), explode(sequence(col("i"), col("i") + (K - 1))).as("pos"))
+        .distinct()
+      val tokens = toks.select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+      val kept = tokens.join(covered.hint("shuffle_hash"), Seq("doc_id", "pos"), "left_anti")
+      val cleaned = kept
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast("int").as("n_kept"),
+          array_join(
+            expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+            " ").as("cleaned"))
+      toks
+        .select(col("doc_id"), col("n"))
+        // left join keeps fully-removed docs; cleaned is corpus-sized —
+        // shuffle join, never a broadcast side
+        .join(cleaned.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n").as("n_toks"),
+          (col("n") - coalesce(col("n_kept"), lit(0))).as("n_removed"),
+          coalesce(col("cleaned"), lit("")).as("cleaned"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+             wins0 AS (SELECT doc_id, unnest(range(1, len(w) - ${SPAN_K - 2})) AS i1, w
+                       FROM toks),
+             wins AS (SELECT doc_id, CAST(i1 - 1 AS INTEGER) AS i,
+                             array_to_string(list_slice(w, i1, i1 + ${SPAN_K - 1}), ' ') AS g
+                      FROM wins0),
+             ranked AS (SELECT doc_id, i,
+                               row_number() OVER (PARTITION BY g
+                                                  ORDER BY doc_id, i) AS rn
+                        FROM wins),
+             marked AS (SELECT doc_id, i FROM ranked WHERE rn > 1),
+             cov0 AS (SELECT doc_id, i, unnest(range(0, $SPAN_K)) AS off FROM marked),
+             covered AS (SELECT DISTINCT doc_id, i + off AS pos FROM cov0),
+             tok0 AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p, w FROM toks),
+             tokens AS (SELECT doc_id, CAST(p - 1 AS INTEGER) AS pos, w[p] AS tok FROM tok0),
+             kept AS (SELECT t.doc_id, t.pos, t.tok
+                      FROM tokens t LEFT JOIN covered c
+                        ON t.doc_id = c.doc_id AND t.pos = c.pos
+                      WHERE c.doc_id IS NULL),
+             cleaned AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+                                string_agg(tok, ' ' ORDER BY pos) AS cleaned
+                         FROM kept GROUP BY doc_id)
+             SELECT t.doc_id, CAST(len(t.w) AS INTEGER) AS n_toks,
+                    CAST(len(t.w) - coalesce(c.n_kept, 0) AS INTEGER) AS n_removed,
+                    coalesce(c.cleaned, '') AS cleaned
+             FROM toks t LEFT JOIN cleaned c USING (doc_id)
+             ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qDedupExact, qDedupKey, qCdcApply, qDedupNgram, qDedupMinhash, qDedupSimhash,
-      qDedupCc, qDecontaminate, qIncrementalDedup, qDedupSurvivor)
+      qDedupCc, qDecontaminate, qIncrementalDedup, qDedupSurvivor, qSubstringDedup)
 }

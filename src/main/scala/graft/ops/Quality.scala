@@ -148,5 +148,69 @@ object Quality {
             FROM documents GROUP BY bin ORDER BY bin""")
   )
 
-  val all: Seq[Q] = Seq(qRepetition, qPiiRedact, qLengthHistogram)
+  /** Model-based quality scoring — the fastText-style linear classifier
+    * every production curation pipeline runs (CCNet / GPT-3 / LLaMA data
+    * work: a cheap linear model over bag-of-words features gates
+    * documents before the expensive stages). The model is TRAINED
+    * OFFLINE and FROZEN as literal (token, weight) rows that ship with
+    * the job — the standard serving pattern; what the engine provides is
+    * the inference dataflow.
+    *
+    * Exactness discipline: weights are integer MILLI-units summed as
+    * BIGINT — the score is an exact integer both engines agree on
+    * bit-for-bit, and the accept decision is an integer comparison. (A
+    * sigmoid would add nothing to the decision — it is monotone — and
+    * would put a transcendental in a hash-compared column.)
+    *
+    * Scale shape: explode tokens → BROADCAST join against the
+    * vocabulary (model-sized, corpus-independent — the one join in this
+    * engine that is always correctly a broadcast) → one hash aggregate
+    * with map-side combine → left join back to keep zero-hit docs. Runs
+    * at scan speed at 100 TB; no shuffle carries more than (doc_id,
+    * n_hits, w_sum) rows.
+    */
+  private[ops] val VOCAB: Seq[(String, Int)] = Seq(
+    "fast" -> 220, "vector" -> 180, "spark" -> 150, "query" -> 90,
+    "column" -> 60, "stream" -> 40,
+    "slow" -> -240, "dup" -> -400, "batch" -> -120, "a" -> -30)
+  private[ops] val BIAS_MILLI = -50L
+
+  val qQualityClassifier = Q(
+    "q_quality_classifier",
+    (s, d) => {
+      import s.implicits._
+      val vocab = VOCAB.toDF("tok", "w_milli")
+      val tokens = fanOut(documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val scores = tokens
+        .join(broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), sum("w_milli").as("w_sum"))
+      documents(s, d)
+        .select(col("doc_id"))
+        // scores is one row per hit doc — corpus-sized: shuffle join
+        .join(scores.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("w_sum"), lit(0L)) + BIAS_MILLI).as("score_milli"))
+        .withColumn("accept", col("score_milli") >= 0)
+        .orderBy("doc_id")
+    },
+    Some {
+      val rows = VOCAB.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+      s"""WITH vocab(tok, w_milli) AS (VALUES $rows),
+          t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          sc AS (SELECT doc_id, count(*) AS n_hits,
+                        CAST(sum(w_milli) AS BIGINT) AS w_sum
+                 FROM t JOIN vocab USING (tok) GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(sc.n_hits, 0) AS n_hits,
+                 CAST(coalesce(sc.w_sum, 0) + $BIAS_MILLI AS BIGINT) AS score_milli,
+                 coalesce(sc.w_sum, 0) + $BIAS_MILLI >= 0 AS accept
+          FROM documents d LEFT JOIN sc USING (doc_id)
+          ORDER BY d.doc_id"""
+    }
+  )
+
+  val all: Seq[Q] = Seq(qRepetition, qPiiRedact, qLengthHistogram, qQualityClassifier)
 }

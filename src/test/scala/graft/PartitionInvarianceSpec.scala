@@ -24,7 +24,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_sample_per_key", "q_pack", "q_pivot", "q_ntile", "q_heavy_hitters",
     // round-4 quality/numbering/incremental/policy additions
     "q_length_histogram", "q_global_rownum", "q_incremental_dedup",
-    "q_mix_balance", "q_dedup_survivor"
+    "q_mix_balance", "q_dedup_survivor",
+    // round-4 model/span curation ops (hash-agg + join-back shuffles)
+    "q_substring_dedup", "q_quality_classifier"
   )
 
   test("q_global_rownum identical at range-partition counts 3 and 32") {

@@ -167,6 +167,26 @@ class QueriesPlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q_substring_dedup: keyed shuffles only — no cartesian, corpus sides never broadcast") {
+    val p = plan("q_substring_dedup")
+    assert(p.contains("ShuffledHashJoin"), "gram join-back must shuffle on the hash key")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastHashJoin"),
+      "every side here grows with the corpus — nothing may broadcast")
+  }
+
+  test("q_quality_classifier: the vocab join is the one correct broadcast") {
+    val p = plan("q_quality_classifier")
+    assert(p.contains("BroadcastHashJoin Inner"), "model-sized vocab must broadcast")
+    // ...but the corpus-sized score join-back must not: the outer join
+    // shuffles (a broadcast LeftOuter here would ship every score row
+    // to every executor at 100 TB)
+    assert(p.contains("ShuffledHashJoin LeftOuter"),
+      "score join-back must shuffle; scores grow with the corpus")
+    // partial aggregation before the doc-key shuffle (map-side combine)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
   test("q_cosine_near_blocked: equi shuffle join on block pairs, no broadcast") {
     val p = plan("q_cosine_near_blocked")
     assert(p.contains("ShuffledHashJoin"), "block-pair join must shuffle")
