@@ -24,7 +24,11 @@ object Bench {
     // machinery) so per-query numbers are steady-state.
     exec("q_filter"); exec("q_dedup_exact")
 
+    // Optional comma-separated subset (profiling aid): bench only these.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Round-robin over the whole suite `runs` times (not back-to-back
     // repeats of one query) so a transient host stall hits at most one
     // sample of each query.

@@ -22,7 +22,8 @@ object SparkEntry {
         graft.streaming.Replay.qStreamJoin,
         graft.streaming.Replay.qStreamDedup,
         graft.streaming.Replay.qSessions,
-        graft.streaming.Replay.qStreamSessions)
+        graft.streaming.Replay.qStreamSessions,
+        graft.streaming.Replay.qStreamQuality)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's own pipeline shape — ingest the pp-complete fixture,

@@ -141,5 +141,72 @@ object Partitioned {
             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
-  val all: Seq[Q] = Seq(qPartitionPrune, qJoinBucketed)
+  /** Small-file input layout for [[qCompact]] (content-keyed, written
+    * once per sf dir): lineitem deliberately shattered into 64 tiny
+    * files — the debris a micro-batching ingest leaves behind, and the
+    * thing that kills scan throughput at 100 TB (every file is a task +
+    * a footer read + an object-store GET).
+    */
+  private[ops] def smallFilesDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lineitem_small_${sourceKey(Seq(s"$d/lineitem.parquet"))}"
+
+  /** Output location for the compacted copy (overwritten every run —
+    * the compaction IS the operator under test, unlike the cached input
+    * layout above). */
+  private[ops] def compactedDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lineitem_compacted_${sourceKey(Seq(s"$d/lineitem.parquet"))}"
+
+  /** Target compacted-file payload. 4 MiB here so the test corpora
+    * actually produce a multi-file range layout; a production lake sets
+    * `spark.graft.compact.targetBytes` to ~256 MiB. The file COUNT is
+    * derived from the input bytes, so the same code sizes a 100 TB
+    * table to ~400k files instead of a constant. */
+  val COMPACT_TARGET_BYTES_CONF = "spark.graft.compact.targetBytes"
+
+  /** E15 — small-file COMPACTION, the table-maintenance operator every
+    * lake runs nightly: rewrite a shattered layout (64 tiny files) into
+    * few size-targeted, range-clustered files. Output file count =
+    * ⌈input_bytes / targetBytes⌉ (data-derived, never a constant);
+    * `repartitionByRange(l_orderkey)` + `sortWithinPartitions` gives
+    * each output file a disjoint, sorted key range — so downstream
+    * scans get both fewer tasks AND min/max-pruned row groups (the
+    * q_zorder_key idea, applied at the file level). The oracle reads
+    * the compacted copy back and hash-compares against the original
+    * table: compaction must be byte-lossless. PartitionedSpec asserts
+    * the file-count collapse and the per-file disjoint key ranges.
+    */
+  val qCompact = Q(
+    "q_compact",
+    (s, d) => {
+      val small = smallFilesDir(d)
+      if (!new java.io.File(small, "_SUCCESS").exists())
+        Tables.lineitem(s, d).repartition(64)
+          .write.mode("overwrite").parquet(small)
+      val targetBytes = s.conf.getOption(COMPACT_TARGET_BYTES_CONF)
+        .map(_.toLong).getOrElse(4L << 20)
+      // Hadoop FS, not java.io: on a cluster this path is object storage
+      val smallPath = new org.apache.hadoop.fs.Path(small)
+      val fs = smallPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val inputBytes = fs.listStatus(smallPath)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+      val nFiles = math.max(1L, (inputBytes + targetBytes - 1) / targetBytes).toInt
+      val out = compactedDir(d)
+      s.read.parquet(small)
+        .repartitionByRange(nFiles, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        // TRUE total order: (orderkey, linenumber) is not unique in the
+        // synthetic lineitem (the q_filter lesson) — sort every column
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_returnflag = 'R'
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""")
+  )
+
+  val all: Seq[Q] = Seq(qPartitionPrune, qJoinBucketed, qCompact)
 }

@@ -169,11 +169,11 @@ object Quality {
     * at scan speed at 100 TB; no shuffle carries more than (doc_id,
     * n_hits, w_sum) rows.
     */
-  private[ops] val VOCAB: Seq[(String, Int)] = Seq(
+  private[graft] val VOCAB: Seq[(String, Int)] = Seq(
     "fast" -> 220, "vector" -> 180, "spark" -> 150, "query" -> 90,
     "column" -> 60, "stream" -> 40,
     "slow" -> -240, "dup" -> -400, "batch" -> -120, "a" -> -30)
-  private[ops] val BIAS_MILLI = -50L
+  private[graft] val BIAS_MILLI = -50L
 
   val qQualityClassifier = Q(
     "q_quality_classifier",

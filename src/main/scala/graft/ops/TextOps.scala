@@ -275,7 +275,87 @@ object TextOps {
             ORDER BY doc_id, term""")
   )
 
+  /** Language-model familiarity filter — the CCNet idea (Wenzek et al.
+    * 2020: rank documents by an n-gram LM's perplexity over the target
+    * corpus) in the exact-arithmetic form this engine's oracle
+    * discipline demands: instead of Σ ln p(w|prev) (transcendental →
+    * cross-engine bit drift, the qTfidf ln problem), score each doc by
+    * its bigrams' TRAIN-SPLIT frequency — `train_hits/n_bigrams` (avg
+    * familiarity, one IEEE division of exact BIGINTs) and `n_oov`
+    * (bigrams never seen in train — the rare-event mass that dominates
+    * perplexity). Ranks the same direction as low-perplexity for a
+    * fixed length; both engines agree bit-for-bit.
+    *
+    * The "model" is the train split's own bigram table (split by the
+    * q_split_assign hash, buckets < 90) — training and inference are
+    * the same job, the corpus-absorbs-a-batch idiom.
+    *
+    * Scale shape: bigram occurrences are hashed to 8 bytes map-side
+    * (the gram string never shuffles); the train table is ONE hash
+    * aggregate with map-side combine (a hot bigram — "of the" at
+    * 10⁹ occurrences — is one row after partial agg); scoring is one
+    * `shuffle_hash` left join on the hash + one per-doc aggregate.
+    * Nothing broadcasts, nothing is driver-side; both streams shuffle
+    * (h) then (doc_id) — the q_substring_dedup key discipline.
+    */
+  val qLmScore = Q(
+    "q_lm_score",
+    (s, d) => {
+      val bucket = expr(Sampling.bucketSql("doc_id", 0L, 100L))
+      val toks = Tables.fanOut(documents(s, d))
+        .select(col("doc_id"), bucket.as("bucket"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+      val bigrams = toks
+        .where(col("n") >= 2)
+        .select(col("doc_id"), col("bucket"), col("w"),
+          explode(sequence(lit(0), col("n") - 2)).as("i"))
+        .select(col("doc_id"), col("bucket"),
+          xxhash64(array_join(slice(col("w"), col("i") + 1, lit(2)), " ")).as("h"))
+      val trainCounts = bigrams.where(col("bucket") < 90)
+        .groupBy("h").agg(count(lit(1)).as("cnt"))
+      val scored = bigrams
+        .join(trainCounts.hint("shuffle_hash"), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          count(when(col("cnt").isNull, 1)).as("n_oov"),
+          sum(coalesce(col("cnt"), lit(0L))).as("train_hits"))
+      documents(s, d)
+        .select(col("doc_id"))
+        .join(scored.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          coalesce(col("train_hits"), lit(0L)).as("train_hits"))
+        .withColumn("familiarity",
+          when(col("n_bigrams") === 0, lit(0.0))
+            .otherwise(col("train_hits").cast("double") / col("n_bigrams")))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (SELECT doc_id,
+                               ${Sampling.bucketSql("doc_id", 0L, 100L)} AS bucket,
+                               string_split(text, ' ') AS w
+                        FROM documents),
+             bg0 AS (SELECT doc_id, bucket, unnest(range(1, len(w))) AS i, w FROM b),
+             bg AS (SELECT doc_id, bucket, w[i] || ' ' || w[i+1] AS g FROM bg0),
+             tc AS (SELECT g, count(*) AS cnt FROM bg WHERE bucket < 90 GROUP BY g),
+             sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+                           count(*) FILTER (WHERE tc.g IS NULL) AS n_oov,
+                           CAST(coalesce(sum(tc.cnt), 0) AS BIGINT) AS train_hits
+                    FROM bg LEFT JOIN tc ON bg.g = tc.g
+                    GROUP BY bg.doc_id)
+             SELECT d.doc_id,
+                    coalesce(sc.n_bigrams, 0) AS n_bigrams,
+                    coalesce(sc.n_oov, 0) AS n_oov,
+                    coalesce(sc.train_hits, 0) AS train_hits,
+                    CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN 0.0
+                         ELSE CAST(sc.train_hits AS DOUBLE) / sc.n_bigrams END AS familiarity
+             FROM documents d LEFT JOIN sc USING (doc_id)
+             ORDER BY d.doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
-      qFingerprint, qSplitAssign, qTfidf)
+      qFingerprint, qSplitAssign, qTfidf, qLmScore)
 }

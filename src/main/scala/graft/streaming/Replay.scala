@@ -448,6 +448,63 @@ object Replay {
     qSessions.oracle
   )
 
+  /** Physical schema of documents.parquet (declared up front — a
+    * streaming source cannot infer). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** In-flight QUALITY GATE (E12 × E14): the SAME frozen linear model
+    * as q_quality_classifier, applied inside a stream — but as a
+    * closed-form per-row expression (left fold of the token array
+    * against a literal weight map) instead of the batch
+    * explode→broadcast-join→aggregate. A stateless projection needs no
+    * shuffle, no state store, no watermark — so the result is
+    * trigger-invariant by construction and carries the batch oracle
+    * verbatim. The two formulations are the corpus/ingest split of one
+    * model: join form for bulk scoring (agg parallelism), expression
+    * form for gating documents as they arrive (zero state, scan speed).
+    * ReplaySpec asserts both produce the identical accepted set.
+    */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val entries = graft.ops.Quality.VOCAB
+      .flatMap { case (t, w) => Seq(lit(t), lit(w.toLong)) }
+    val weights = map(entries: _*)
+    docs
+      .withColumn("score_milli",
+        aggregate(split(col("text"), " "), lit(graft.ops.Quality.BIAS_MILLI),
+          (acc, tok) => acc + coalesce(element_at(weights, tok), lit(0L))))
+      .where(col("score_milli") >= 0)
+      .select(col("doc_id"), col("score_milli"))
+  }
+
+  val qStreamQuality: graft.ops.Q = graft.ops.Q(
+    "q_stream_quality",
+    (s, d) =>
+      replayToParquet(
+        qualityGate(
+          s.readStream.schema(docSchema).option("maxFilesPerTrigger", "1")
+            .parquet(s"$d/documents*.parquet")),
+        java.nio.file.Files.createTempDirectory("replay-quality-out-").toString
+      ).orderBy("doc_id"),
+    Some {
+      val rows = graft.ops.Quality.VOCAB
+        .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+      s"""WITH vocab(tok, w_milli) AS (VALUES $rows),
+          t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          sc AS (SELECT doc_id,
+                        CAST(coalesce(sum(w_milli), 0) + ${graft.ops.Quality.BIAS_MILLI}
+                             AS BIGINT) AS score_milli
+                 FROM t LEFT JOIN vocab USING (tok) GROUP BY doc_id)
+          SELECT doc_id, score_milli FROM sc
+          WHERE score_milli >= 0 ORDER BY doc_id"""
+    }
+  )
+
   def replaySessions(spark: SparkSession, dir: String, outDir: String): Dataset[Session] = {
     import spark.implicits._
     val evts = readEvents(spark, dir).select("event_id", "ts", "user_id").as[Evt]

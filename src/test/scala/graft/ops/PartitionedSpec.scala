@@ -37,4 +37,32 @@ class PartitionedSpec extends SparkSpec {
     val halved = Partitioned.qPartitionPrune.fn(spark, dir.toString).count()
     assert(halved < full, s"stale layout served: $halved rows vs $full before regeneration")
   }
+
+  test("q_compact: file count collapses and output files hold disjoint sorted key ranges") {
+    def parquetFiles(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles().toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    // force a multi-file compaction even on the tiny corpus
+    spark.conf.set(Partitioned.COMPACT_TARGET_BYTES_CONF, (64L << 10).toString)
+    try {
+      assert(Partitioned.qCompact.fn(spark, sf0001).count() > 0)
+      val before = parquetFiles(Partitioned.smallFilesDir(sf0001)).size
+      val afterFiles = parquetFiles(Partitioned.compactedDir(sf0001))
+      assert(before == 64, s"small-file input layout must be 64 files, was $before")
+      assert(afterFiles.size > 1, "target forced a multi-file layout")
+      assert(afterFiles.size < before / 4,
+        s"compaction must collapse the file count: $before -> ${afterFiles.size}")
+      // range clustering: per-file [min,max] of the range key do not overlap
+      val ranges = afterFiles.map { f =>
+        val df = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("l_orderkey"), max("l_orderkey")).head()
+        (df.getLong(0), df.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax <= bMin, s"file key ranges overlap: $ranges")
+        case _ =>
+      }
+    } finally spark.conf.unset(Partitioned.COMPACT_TARGET_BYTES_CONF)
+  }
 }

@@ -176,4 +176,16 @@ class ReplaySpec extends SparkSpec {
     val nEvents = batchEvents(dir).count()
     assert(keys.size < nEvents / 2, s"dedup emitted ${keys.size} of $nEvents events")
   }
+
+  test("streaming quality gate: expression-form model == batch classifier accepted set") {
+    import org.apache.spark.sql.functions.col
+    val streamed = graft.SparkEntry.queries("q_stream_quality")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.SparkEntry.queries("q_quality_classifier")(spark, sf0001)
+      .where(col("accept"))
+      .select("doc_id", "score_milli")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, "the two formulations of one model diverged")
+    assert(streamed.nonEmpty)
+  }
 }
