@@ -495,6 +495,64 @@ object Dedup {
              FROM test GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** SKETCH-based decontamination — the 100 TB front-end to
+    * [[qDecontaminate]]'s exact semi join, run in the PRODUCTION
+    * direction: clean the TRAINING corpus against the (small) eval
+    * split, not the other way round. A Bloom filter is built over the
+    * test split's 8-gram shingle hashes and shipped to the train-side
+    * scan as a broadcast; a train doc whose shingles hit the filter is
+    * quarantined. The error is ONE-SIDED — a Bloom miss proves
+    * non-membership — so a genuinely contaminated train doc can NEVER
+    * slip through (the superset law DedupSpec asserts against an
+    * independent driver-side exact recompute); false positives
+    * over-quarantine a bounded extra fraction. fpp is 10⁻⁴ because
+    * per-doc compounding is what matters: a doc with 50 shingles flags
+    * spuriously with p ≈ 1−(1−fpp)⁵⁰ ≈ 0.5% at 10⁻⁴ (vs ~39% at the
+    * textbook 1%).
+    *
+    * Scale shape vs the exact pass: the exact semi join shuffles the
+    * full train shingle stream on the shingle hash; this pass shuffles
+    * NOTHING corpus-sized — the eval sketch (MBs for real eval sets:
+    * n·⌈log₂(1/fpp)⌉·1.44 bits ≈ 2.8 MB per 10⁶ shingles at 10⁻⁴) is
+    * broadcast once, the train side is one scan + per-row probe + one
+    * per-doc aggregate. The two jobs on the EVAL side (count + sketch
+    * build) scan only the small split. The probe is a Scala UDF (the
+    * sketch type has no codegen expression surface) — interpreted, but
+    * per-row-constant and on the scan side of a pipeline with no other
+    * non-codegen operator. Declared rows-only (∅): sketch membership is
+    * engine-specific, not ANSI-SQL-expressible.
+    */
+  val qDecontaminateBloom = Q(
+    "q_decontaminate_bloom",
+    (s, d) => {
+      val bucket = expr(Sampling.bucketSql("doc_id", 0L, 100L))
+      val sh = fanOut(documents(s, d))
+        .select(col("doc_id"), bucket.as("bucket"),
+          TextHash.shingleHashes(col("text"), DECON_N).as("sh"))
+        .where(size(col("sh")) > 0)
+      val testShingles = sh.where(col("bucket") >= 95)
+        .select(explode(col("sh")).as("shingle"))
+      val nTest = testShingles.count() // eval-sized scan, not corpus-sized
+      val bf = testShingles.stat.bloomFilter("shingle", math.max(1000L, nTest), 1e-4)
+      val bfB = s.sparkContext.broadcast(bf)
+      val probe = udf((h: Long) => bfB.value.mightContainLong(h))
+      val train = sh.where(col("bucket") < 90)
+      val flagged = train
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .where(probe(col("shingle")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
+      train
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+        // flagged rows grow with the train corpus: shuffle join
+        .join(flagged.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+        .withColumn("contaminated", col("n_flagged") > 0)
+        .orderBy("doc_id")
+    },
+    None // ∅ sketch membership — superset law + fp bound in DedupSpec
+  )
+
   /** INCREMENTAL dedup — the shape that lets a 100 TB corpus absorb a
     * daily batch: dedup the NEW documents (split-hash bucket ≥ 90, ~10%)
     * against the EXISTING corpus (bucket < 90) and against earlier rows
@@ -765,5 +823,6 @@ object Dedup {
 
   val all: Seq[Q] =
     Seq(qDedupExact, qDedupKey, qCdcApply, qDedupNgram, qDedupMinhash, qDedupSimhash,
-      qDedupCc, qDecontaminate, qIncrementalDedup, qDedupSurvivor, qSubstringDedup)
+      qDedupCc, qDecontaminate, qDecontaminateBloom, qIncrementalDedup, qDedupSurvivor,
+      qSubstringDedup)
 }

@@ -136,6 +136,35 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b) => corpus(a) && corpus(b) })
   }
 
+  test("bloom decontamination: never misses a truly contaminated train doc; fp bounded") {
+    // sf0.01, not sf0.001: the planted near-dups that straddle the split
+    // boundary (the real contamination) only exist at the t2 scale
+    val sf001 = "/root/testdata/sf0.01"
+    // independent exact recompute, driver-side, on STRING shingles
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Long = (id % 2147483647L * 2654435761L) % 4294967296L % 100L
+    def shingles(text: String): Set[String] =
+      text.split(" ", -1).sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSet
+    val testSh = docs.filter(d => bucket(d._1) >= 95).flatMap(d => shingles(d._2)).toSet
+    val exactContaminated = docs
+      .filter(d => bucket(d._1) < 90 && shingles(d._2).nonEmpty)
+      .filter(d => shingles(d._2).exists(testSh))
+      .map(_._1).toSet
+    val got = graft.SparkEntry.queries("q_decontaminate_bloom")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    val flagged = got.collect { case (id, true) => id }.toSet
+    // one-sided error: every exact hit must be flagged
+    assert(exactContaminated.subsetOf(flagged),
+      s"bloom missed contaminated docs: ${exactContaminated -- flagged}")
+    assert(exactContaminated.nonEmpty, "corpus must plant real contamination")
+    // false positives bounded: fpp 1e-4 compounds to ~0.5% per 50-shingle
+    // doc — allow 2% of train docs as slack on the small corpus
+    val fp = flagged -- exactContaminated
+    assert(fp.size <= math.max(2, got.size / 50), s"fp docs: ${fp.size} of ${got.size}")
+  }
+
   test("exact dedup survivor rule: lowest doc_id kept, copies counted") {
     val docs = Tables.documents(spark, sf0001)
     val total = docs.count()
