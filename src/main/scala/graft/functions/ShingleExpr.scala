@@ -95,6 +95,49 @@ case class WordGramStats(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** The engine's UDTF surface: word shingles as a native Catalyst
+  * GENERATOR (table-valued function), registered as
+  * `graft_explode_shingles` — usable from pure SQL in a LATERAL VIEW
+  * (`... LATERAL VIEW graft_explode_shingles(text, 3) t AS shingle`).
+  * Same per-doc distinct-shingle semantics as [[WordShingles]].
+  *
+  * This completes the extension triad: scalar Expression
+  * ([[DotProduct]]), typed Aggregator (graft.ops.TopKAgg /
+  * AutoDateAgg), and Generator (this). A Generator is planned by
+  * GenerateExec, which codegens only the builtin CollectionGenerators —
+  * so the hot-path composition `explode(graft_shingles(text, n))`
+  * (whole-stage codegen throughout) remains the recommended form; this
+  * expression exists to prove the UDTF extension point end-to-end with
+  * identical semantics (GraftExtensionsSpec pins the equivalence).
+  */
+case class ExplodeWordShingles(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "graft_explode_shingles"
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("shingle", StringType, nullable = false) :: Nil)
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      val arr = ShingleUtil.shingles(t.asInstanceOf[UTF8String], n)
+      (0 until arr.numElements()).map(i =>
+        org.apache.spark.sql.catalyst.InternalRow(arr.getUTF8String(i)))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExplodeWordShingles =
+    copy(child = newChild)
+}
+
 object ShingleUtil {
   /** Static entry called from generated Java. */
   def shingles(text: UTF8String, n: Int): ArrayData = {

@@ -473,8 +473,51 @@ object Sampling {
              ORDER BY doc_id""")
   )
 
+  /** INCREMENTAL aggregate maintenance — the materialized-view idiom
+    * that lets per-key corpus statistics absorb a daily batch without
+    * re-scanning the corpus (the aggregation twin of
+    * q_incremental_dedup): keep the AGGREGATE STATE (per-key partial
+    * aggregates: count, sum, max), aggregate ONLY the new batch, and
+    * MERGE the two state tables. Works because these aggregates are
+    * commutative monoids — merge(state(A), state(B)) = state(A ∪ B) —
+    * the same algebra Spark's own partial/final aggregation exploits
+    * per-stage (SURVEY op-7), lifted to the pipeline level.
+    *
+    * The declared query COMPUTES via the state-merge path (state over
+    * split buckets < 90, batch over ≥ 90, union of the two |keys|-sized
+    * state tables re-aggregated), and the oracle is the full-corpus
+    * groupBy — equality IS the incremental-maintenance law, hash-checked
+    * at t2. Cost shape: O(batch) scan + a |keys|-row merge, never
+    * O(corpus); at 100 TB the state table is the only thing the nightly
+    * job reads back.
+    */
+  val qIncrementalAgg = Q(
+    "q_incremental_agg",
+    (s, d) => {
+      def state(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          max(col("n_chars")).as("max_chars"))
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      val corpusState = state(docs.where(bucket("doc_id", 0L, 100L) < 90))
+      val batchState = state(docs.where(bucket("doc_id", 0L, 100L) >= 90))
+      corpusState.union(batchState) // two |keys|-sized state tables
+        .groupBy("lang")
+        .agg(
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("total_chars")).as("total_chars"),
+          max(col("max_chars")).as("max_chars"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang ORDER BY lang""")
+  )
+
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave,
       qPivot, qUnpivot, qPack, qHeavyHitters, qNtile, qZorderKey,
-      qGlobalRownum, qMixBalance)
+      qGlobalRownum, qMixBalance, qIncrementalAgg)
 }

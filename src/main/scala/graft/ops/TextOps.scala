@@ -355,7 +355,35 @@ object TextOps {
              ORDER BY d.doc_id""")
   )
 
+  /** The UDTF surface exercised from pure SQL: top-10 corpus shingles
+    * by document frequency via `LATERAL VIEW graft_explode_shingles`
+    * (the custom Catalyst Generator [[graft.functions.ExplodeWordShingles]]
+    * registered by GraftExtensions) — a SQL user gets a table-valued
+    * function with the engine's exact shingle semantics. Deterministic
+    * top-10: (df DESC, shingle ASC) is a total order.
+    */
+  val qSqlShingles = Q(
+    "q_sql_shingles",
+    (s, d) => {
+      documents(s, d).createOrReplaceTempView("docs_sql")
+      s.sql("""SELECT shingle, count(*) AS n_docs
+               FROM docs_sql LATERAL VIEW graft_explode_shingles(text, 3) t AS shingle
+               GROUP BY shingle
+               ORDER BY n_docs DESC, shingle
+               LIMIT 10""")
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+            sh AS (SELECT doc_id,
+                          unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                                for i in range(1, len(w)-1)])) AS shingle
+                   FROM toks WHERE len(w) >= 3)
+            SELECT shingle, count(*) AS n_docs
+            FROM sh GROUP BY shingle
+            ORDER BY n_docs DESC, shingle
+            LIMIT 10""")
+  )
+
   val all: Seq[Q] =
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
-      qFingerprint, qSplitAssign, qTfidf, qLmScore)
+      qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles)
 }

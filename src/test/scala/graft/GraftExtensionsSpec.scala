@@ -32,6 +32,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r == Seq(5, 3, 2)) // 5 bigrams, "a b"×3, 2 distinct
   }
 
+  test("graft_explode_shingles (UDTF): LATERAL VIEW rows == explode(graft_shingles)") {
+    spark.sql("SELECT 'a b c d' AS text UNION ALL SELECT 'x y' UNION ALL SELECT 'p'")
+      .createOrReplaceTempView("udtf_probe")
+    val viaUdtf = spark.sql(
+      """SELECT text, shingle
+         FROM udtf_probe LATERAL VIEW graft_explode_shingles(text, 2) t AS shingle"""
+    ).collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val viaExplode = spark.sql(
+      """SELECT text, shingle
+         FROM udtf_probe LATERAL VIEW explode(graft_shingles(text, 2)) t AS shingle"""
+    ).collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(viaUdtf == viaExplode)
+    assert(viaUdtf == Seq(("a b c d", "a b"), ("a b c d", "b c"), ("a b c d", "c d"),
+      ("x y", "x y")).sorted, "sub-width docs generate zero rows, not nulls")
+  }
+
   test("non-literal shingle width is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_shingles('a b c', 1 + 2)").head()
