@@ -304,24 +304,69 @@ object Sampling {
   // E16.7 quantile bucketing (ntile)
   // ---------------------------------------------------------------------
 
-  /** Spend quartiles per customer — `ntile` over a TOTAL order. The
-    * per-customer spend is an exact DECIMAL sum cast to double only at
-    * the end (one exact-to-IEEE conversion; partial-aggregation order
-    * can never change a bit), and the window orders by (spend DESC,
-    * custkey ASC) so ties cannot let two engines swap quartile
-    * boundaries. Scale note: a single global ntile IS a one-partition
-    * window — fine for |customers| per-group sizes, wrong for row-level
-    * data; the row-level alternative is the q_quantiles sketch (E3) +
-    * range bucketing. */
+  /** Spend quartiles per customer — `ntile(4)` semantics over a TOTAL
+    * order, WITHOUT the one-partition global window (`ntile(n) OVER
+    * (ORDER BY …)` funnels every row through ONE task — r4's flagged
+    * scale-killer; |customers| grows linearly with the corpus). Two-pass
+    * shape instead, the `globalRownum` idiom on the ntile sort key:
+    *
+    *  1. exact global rank: range-partition by (spend DESC, custkey ASC)
+    *     — the total order; ties cannot let two engines swap boundaries —
+    *     sort within partitions (TeraSort shape, fully parallel), encode
+    *     (partition, local position) via `monotonically_increasing_id`,
+    *     prefix-sum the |partitions|-row count vector into broadcast
+    *     offsets; rank = offset + idx + 1, N rides the same broadcast.
+    *  2. closed-form tile from (rank, N) in exact integer arithmetic —
+    *     SQL ntile gives the first N mod n tiles ceil(N/n) rows and the
+    *     rest floor(N/n):  r ≤ rem·big  ⇒  ⌈r/big⌉,  else
+    *     rem + ⌈(r − rem·big)/small⌉. A per-row codegen projection — no
+    *     window touches data-scale rows.
+    *
+    * The per-customer spend is an exact DECIMAL sum cast to double only
+    * at the end (one exact-to-IEEE conversion; partial-aggregation order
+    * can never change a bit). Output is a pure function of (rank, N), so
+    * range-boundary sampling and partition count cannot change a row
+    * (PartitionInvarianceSpec sweeps this). */
   val qNtile = Q(
     "q_ntile",
     (s, d) => {
+      val parts = 32
       val spend = orders(s, d)
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
-      val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
-      spend
-        .withColumn("quartile", ntile(4).over(w))
+      val local = spend
+        .repartitionByRange(parts, col("spend").desc, col("o_custkey").asc)
+        .sortWithinPartitions(col("spend").desc, col("o_custkey").asc)
+        .select(col("o_custkey"), col("spend"), monotonically_increasing_id().as("mid"))
+        // mid = pid·2³³ + position-in-partition (exact integer split)
+        .select(
+          col("o_custkey"), col("spend"),
+          expr("mid div 8589934592").as("pid"),
+          (col("mid") % lit(8589934592L)).as("idx"))
+      val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // ≤|partitions| rows — the documented small-side window exception
+      val offsets = counts
+        .withColumn("offset", coalesce(sum("cnt").over(wOff), lit(0L)))
+        .withColumn("n_total", sum("cnt").over(wAll))
+        .select("pid", "offset", "n_total")
+      local
+        .join(broadcast(offsets), "pid")
+        .withColumn("rank", col("offset") + col("idx") + lit(1L))
+        // ntile(4) closed form: small = N div 4, rem = N mod 4,
+        // big = small + 1; first `rem` tiles take `big` rows each.
+        .withColumn("small", expr("n_total div 4"))
+        .withColumn("rem", col("n_total") % lit(4L))
+        .withColumn(
+          "quartile",
+          when(col("rank") <= col("rem") * (col("small") + lit(1L)),
+            expr("(rank - 1) div (small + 1) + 1"))
+            .otherwise(
+              col("rem") + expr("(rank - rem * (small + 1) - 1) div small") + lit(1L))
+            .cast("int"))
+        .select(col("o_custkey"), col("spend"), col("quartile"))
         .orderBy("o_custkey")
     },
     Some("""SELECT o_custkey,

@@ -138,6 +138,16 @@ class QueriesPlanSpec extends SparkSpec {
       "the |partitions|-row offsets side must broadcast")
   }
 
+  test("q_ntile: no data-scale window — two-pass rank + broadcast offsets") {
+    val p = plan("q_ntile")
+    // the r4 scale-killer: ntile(4) OVER (ORDER BY …) = one-partition window
+    assert(!p.contains("ntile"),
+      "q_ntile regressed to a one-partition global ntile window")
+    assert(p.contains("monotonically_increasing_id"), "two-pass id encoding missing")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |partitions|-row offsets side must broadcast")
+  }
+
   test("q_incremental_dedup: all joins shuffled — every side is corpus-scale") {
     val p = plan("q_incremental_dedup")
     assert(p.contains("ShuffledHashJoin"), "candidate join must shuffle")
