@@ -516,10 +516,13 @@ object Dedup {
     * n·⌈log₂(1/fpp)⌉·1.44 bits ≈ 2.8 MB per 10⁶ shingles at 10⁻⁴) is
     * broadcast once, the train side is one scan + per-row probe + one
     * per-doc aggregate. The two jobs on the EVAL side (count + sketch
-    * build) scan only the small split. The probe is a Scala UDF (the
-    * sketch type has no codegen expression surface) — interpreted, but
-    * per-row-constant and on the scan side of a pipeline with no other
-    * non-codegen operator. Declared rows-only (∅): sketch membership is
+    * build) scan only the small split, and the split's shingle stream is
+    * persisted across them — computed once, read back for the build. The
+    * probe is [[graft.functions.BloomProbe]] — Spark's native
+    * `BloomFilterMightContain` codegen expression, so the train-side
+    * projection stays one fused WholeStageCodegen span (a Scala UDF here
+    * broke codegen in exactly the stage this operator exists to keep at
+    * scan speed). Declared rows-only (∅): sketch membership is
     * engine-specific, not ANSI-SQL-expressible.
     */
   val qDecontaminateBloom = Q(
@@ -530,16 +533,21 @@ object Dedup {
         .select(col("doc_id"), bucket.as("bucket"),
           TextHash.shingleHashes(col("text"), DECON_N).as("sh"))
         .where(size(col("sh")) > 0)
+      // Persist the eval-split shingle stream across the two eager
+      // actions (count → sizes the sketch; bloomFilter → builds it):
+      // eval-sized, computed ONCE, read back for the build.
       val testShingles = sh.where(col("bucket") >= 95)
         .select(explode(col("sh")).as("shingle"))
-      val nTest = testShingles.count() // eval-sized scan, not corpus-sized
-      val bf = testShingles.stat.bloomFilter("shingle", math.max(1000L, nTest), 1e-4)
-      val bfB = s.sparkContext.broadcast(bf)
-      val probe = udf((h: Long) => bfB.value.mightContainLong(h))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bf =
+        try {
+          val nTest = testShingles.count() // eval-sized scan, not corpus-sized
+          testShingles.stat.bloomFilter("shingle", math.max(1000L, nTest), 1e-4)
+        } finally testShingles.unpersist(blocking = false)
       val train = sh.where(col("bucket") < 90)
       val flagged = train
         .select(col("doc_id"), explode(col("sh")).as("shingle"))
-        .where(probe(col("shingle")))
+        .where(graft.functions.BloomProbe.mightContain(bf, col("shingle")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_flagged"))
       train
         .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))

@@ -138,6 +138,14 @@ class QueriesPlanSpec extends SparkSpec {
       "the |partitions|-row offsets side must broadcast")
   }
 
+  test("q_decontaminate_bloom: codegen probe — no Scala UDF in the train scan") {
+    val p = plan("q_decontaminate_bloom")
+    assert(p.contains("might_contain"),
+      "native BloomFilterMightContain probe missing from the train-side projection")
+    assert(!p.contains("UDF"),
+      "Bloom probe regressed to an interpreted Scala UDF (breaks whole-stage codegen)")
+  }
+
   test("q_ntile: no data-scale window — two-pass rank + broadcast offsets") {
     val p = plan("q_ntile")
     // the r4 scale-killer: ntile(4) OVER (ORDER BY …) = one-partition window
