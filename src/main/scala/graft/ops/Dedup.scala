@@ -742,6 +742,15 @@ object Dedup {
     * span set. Per window only `(hash, doc_id, pos)` — 24 bytes —
     * is shuffled; the gram text is hashed and dropped map-side
     * (collision odds ~2⁻⁶⁴ per gram pair, deterministic either way).
+    * Birthday-bound caveat: over D distinct grams the collision
+    * probability is ≈ D²/2⁶⁵ — negligible at 10⁹ grams (~10⁻⁸) but
+    * ≈ 0.3% at the 10¹³ grams a 100 TB corpus carries, and a collision
+    * silently merges two distinct grams (over-deletion of one span).
+    * The production knob is widening the gram key to 128 bits (two
+    * xxhash64 seeds, or one xxhash64 + the gram's first/last token
+    * ids), which pushes the bound to D²/2¹²⁹ ≈ 10⁻¹³ at 10¹³ grams;
+    * kept 64-bit here so the Spark side and the exact-string DuckDB
+    * oracle stay comparable at test scale.
     *
     * Scale shape: ONE hash aggregate computes each gram's first
     * occurrence `min(struct(doc_id, pos))` with map-side partial

@@ -125,7 +125,7 @@ object IngestQueries {
     "q_jsonl_roundtrip",
     (s, d) => {
       val out = jsonlDir(d)
-      if (!new java.io.File(out, "_SUCCESS").exists())
+      if (!Partitioned.successExists(s, out))
         Tables.documents(s, d)
           .write.mode("overwrite").option("compression", "gzip").json(out)
       s.read
@@ -164,7 +164,7 @@ object IngestQueries {
     "q_orc_roundtrip",
     (s, d) => {
       val out = orcDir(d)
-      if (!new java.io.File(out, "_SUCCESS").exists())
+      if (!Partitioned.successExists(s, out))
         Tables.events(s, d)
           .write.mode("overwrite").option("compression", "zlib").orc(out)
       s.read

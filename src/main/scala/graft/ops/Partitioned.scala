@@ -37,6 +37,17 @@ object Partitioned {
     Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
   }
 
+  /** Cached-layout guard through the HADOOP FileSystem, not java.io —
+    * on any non-local deployment (the object-store layouts these
+    * queries model) a `java.io.File` check always misses, silently
+    * rewriting the layout on every invocation. Same FS resolution as
+    * the writes/listings it guards.
+    */
+  private[ops] def successExists(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Per-source location for the partitioned copy (content-keyed — see
     * [[sourceKey]]; sf0.01 verify and sf0.1 bench never collide either).
     */
@@ -51,7 +62,7 @@ object Partitioned {
     */
   def eventsByDay(s: SparkSession, d: String): DataFrame = {
     val out = layoutDir(d)
-    if (!new java.io.File(out, "_SUCCESS").exists()) {
+    if (!successExists(s, out)) {
       Tables.events(s, d)
         .withColumn("day", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("day").parquet(out)
@@ -179,7 +190,7 @@ object Partitioned {
     "q_compact",
     (s, d) => {
       val small = smallFilesDir(d)
-      if (!new java.io.File(small, "_SUCCESS").exists())
+      if (!successExists(s, small))
         Tables.lineitem(s, d).repartition(64)
           .write.mode("overwrite").parquet(small)
       val targetBytes = s.conf.getOption(COMPACT_TARGET_BYTES_CONF)

@@ -109,7 +109,12 @@ object Quality {
       events(s, d)
         .select(
           col("event_id"),
-          size(expr(s"regexp_extract_all(props, '$numPat', 0)")).as("n_nums"),
+          // n_nums counts on the EMAIL-REDACTED intermediate — the audit
+          // reflects what the <NUM> pass actually replaced; digit runs
+          // inside an email belong to n_emails, not double-counted here
+          size(expr(
+            s"regexp_extract_all(regexp_replace(props, '$emailPat', '<EMAIL>'), '$numPat', 0)"))
+            .as("n_nums"),
           size(expr(s"regexp_extract_all(props, '$emailPat', 0)")).as("n_emails"),
           regexp_replace(
             regexp_replace(col("props"), emailPat, "<EMAIL>"),
@@ -117,7 +122,9 @@ object Quality {
         .orderBy("event_id")
     },
     Some("""SELECT event_id,
-                   CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_nums,
+                   CAST(len(regexp_extract_all(
+                     regexp_replace(props, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                     '[0-9]+')) AS INTEGER) AS n_nums,
                    CAST(len(regexp_extract_all(props, '[a-z0-9._]+@[a-z0-9.-]+')) AS INTEGER) AS n_emails,
                    regexp_replace(regexp_replace(props, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
                                   '[0-9]+', '<NUM>', 'g') AS redacted
