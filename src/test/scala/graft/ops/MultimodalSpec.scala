@@ -93,4 +93,27 @@ class MultimodalSpec extends SparkSpec {
       2, 1, codec = PpmCodec).collect()
     assert(thumbs.head.getAs[Int]("thumb_bytes") == "P6\n2 1\n255\n".length + 6)
   }
+
+  test("q_mm_decode_ppm: real-codec decode matches a driver-side recompute") {
+    val got = Multimodal.qMmDecodePpm.fn(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("US-ASCII"))
+      .toMap
+    assert(got.length == docs.size && got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val text = docs(id)
+      val w = 8 + (id % 8).toInt
+      val h = 8 + ((id * 3) % 8).toInt
+      val n = w * h * 3
+      val expectMean =
+        (0 until n).map(i => text(i % text.length) & 0xff).sum.toDouble / n
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("channels") == 3)
+      assert(r.getAs[Int]("n_bytes") == s"P6\n$w $h\n255\n".length + n)
+      assert(r.getAs[Double]("mean_byte") == expectMean)
+    }
+  }
 }
