@@ -393,6 +393,37 @@ object Dedup {
     labels
   }
 
+  /** Plan-audit hook (PLANS.md): ONE pointer-jumping round of
+    * [[connectedComponents]] as a LAZY DataFrame — the per-round shape
+    * (neighbor-min aggregate, left propagation join, jump self-join)
+    * that repeats O(log d) times. The declared query's final plan hides
+    * it: every round is checkpointed through [[Materialize]], so the
+    * result's lineage is one scan of the last checkpoint. Edges feed
+    * from the REAL candidate generator (ngramPairs), mirrored exactly
+    * as the loop does.
+    */
+  private[graft] def ccRound(s: SparkSession, d: String): DataFrame = {
+    val p = ngramPairs(s, d, HOT_BUCKET_CAP)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    val labels = documents(s, d).select(col("doc_id").as("node"), col("doc_id").as("label"))
+    val neigh = edges
+      .join(labels, edges("dst") === labels("node"))
+      .groupBy(col("src"))
+      .agg(min("label").as("nl"))
+    val propagated = labels
+      .join(neigh, labels("node") === neigh("src"), "left")
+      .select(col("node"), col("label"),
+        least(col("label"), coalesce(col("nl"), col("label"))).as("pl"))
+    propagated
+      .as("a")
+      .join(
+        propagated.select(col("node").as("jn"), col("pl").as("jl")).as("b"),
+        col("a.pl") === col("b.jn"))
+      .select(col("a.node").as("node"), col("a.label").as("label"),
+        least(col("a.pl"), col("b.jl")).as("newl"))
+  }
+
   /** Dedup CLUSTERS: the near-dup pair graph's connected components,
     * every doc labeled with the smallest doc_id in its component
     * (singletons label themselves) — the step that turns pairwise

@@ -152,6 +152,34 @@ object Replay {
     spark.read.schema(stream.schema).parquet(outDir)
   }
 
+  /** Plan-audit hook (PLANS.md): replay `stream` to exhaustion against a
+    * throwaway parquet sink and return the FINAL micro-batch's executed
+    * physical plan. The stateful operators (StateStoreRestore/Save,
+    * StreamingSymmetricHashJoin, StreamingDeduplicateWithinWatermark)
+    * exist only in the per-batch IncrementalExecution — the declared
+    * queries return the sink read-back, whose plan is just a parquet
+    * scan, so this is the only way to put the streaming shape on audit.
+    */
+  def lastExecutionPlan(stream: DataFrame, outDir: String): String = {
+    val spark = stream.sparkSession
+    val ckpt = java.nio.file.Files.createTempDirectory("replay-ckpt-")
+    try withStatePartitions(spark) {
+      val q = stream.writeStream
+        .format("parquet")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .option("path", outDir)
+        .start()
+      q.awaitTermination()
+      q match {
+        case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+          w.streamingQuery.lastExecution
+            .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      }
+    } finally graft.FsUtil.deleteRecursively(ckpt)
+  }
+
   /** Declared query — ORACLED: a Complete-mode replay to exhaustion is
     * trigger-invariant (event time drives every aggregate and the final
     * table holds ALL windows), so the streamed result equals the batch
