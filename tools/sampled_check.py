@@ -1,0 +1,255 @@
+#!/usr/bin/env python3
+"""Sampled engine-independent verification for the oracle-infeasible
+queries (VERDICT r4 #5).
+
+Five declared queries have no DuckDB oracle at sf1 — the all-pairs /
+recursive-CTE SQL that verifies them at sf0.01 is infeasible on 10x
+data. This checker verifies their sf1 outputs WITHOUT the engine and
+WITHOUT all-pairs work, by re-deriving sampled claims from the raw
+parquet in plain Python:
+
+  q_dedup_ngram / q_dedup_minhash  - sampled claimed pairs: recompute
+      the 3-gram STRING shingle sets of both docs and check shared/na/nb
+      EXACTLY, plus the Jaccard >= 1/2 admission (the engine's 61-bit
+      rolling hashes must agree with string sets up to ~2^-61 collisions).
+  q_dedup_cc / q_embedding_cc      - sampled non-singleton clusters:
+      rebuild the induced edge set among the members (Jaccard >= 1/2 /
+      cosine >= 0.45), assert the induced graph is CONNECTED (a true
+      component's induced subgraph is connected) and the label is the
+      min member id; plus sampled CROSS-cluster pairs must have no edge
+      (separation).
+  q_dedup_embedding                - BOTH directions: a sampled survivor
+      has no lower-id neighbor at cos >= 0.45 (soundness), a sampled
+      eliminated vector has one (completeness).
+
+Usage: python3 tools/sampled_check.py <sfDir> <verifyOutDir> [samples] [seed]
+Exit 0 = every sampled claim verified.
+"""
+import random
+import sys
+
+import duckdb
+import numpy as np
+
+COS_T = 0.45
+EPS = 1e-9  # FP slack for cosine threshold comparisons only
+
+
+def shingles3(text):
+    w = text.split(" ")
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+def jaccard_ok(a, b):
+    """The engine's admission: 3*|A&B| >= |A|+|B| (Jaccard >= 1/2)."""
+    return 3 * len(a & b) >= len(a) + len(b)
+
+
+def texts_for(con, sf, ids):
+    if not ids:
+        return {}
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' WHERE doc_id IN ({','.join(map(str, ids))})"
+    ).fetchall()
+    return dict(rows)
+
+
+def connected(members, edges):
+    """Union-find connectivity of the induced subgraph."""
+    parent = {m: m for m in members}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    roots = {find(m) for m in members}
+    return len(roots) == 1
+
+
+def check_pairs(con, sf, out_dir, name, rng, n_samples, failures):
+    df = con.execute(f"SELECT a_id, b_id, shared, na, nb FROM '{out_dir}/{name}/*.parquet'").fetchall()
+    if not df:
+        failures.append(f"{name}: empty output")
+        return
+    sample = rng.sample(df, min(n_samples, len(df)))
+    ids = {r[0] for r in sample} | {r[1] for r in sample}
+    txt = texts_for(con, sf, ids)
+    bad = 0
+    for a_id, b_id, shared, na, nb in sample:
+        A, B = shingles3(txt[a_id]), shingles3(txt[b_id])
+        if (len(A), len(B), len(A & B)) != (na, nb, shared) or not jaccard_ok(A, B):
+            bad += 1
+            if bad <= 3:
+                failures.append(
+                    f"{name}: pair ({a_id},{b_id}) claimed shared={shared},na={na},nb={nb} "
+                    f"recomputed shared={len(A & B)},na={len(A)},nb={len(B)}"
+                )
+    print(f"{name}: {len(sample)} sampled pairs, {bad} mismatches ({len(df)} total pairs)")
+    if bad:
+        failures.append(f"{name}: {bad}/{len(sample)} sampled pairs failed recompute")
+
+
+def check_cc(con, sf, out_dir, name, edge_fn, id_col, rng, n_samples, failures,
+             max_cluster=500, big_connected_fn=None):
+    rows = con.execute(
+        f"SELECT {id_col}, cluster_id FROM '{out_dir}/{name}/*.parquet'"
+    ).fetchall()
+    clusters = {}
+    for node, label in rows:
+        clusters.setdefault(label, []).append(node)
+    multi = [(l, m) for l, m in clusters.items() if 1 < len(m) <= max_cluster]
+    big = [(l, m) for l, m in clusters.items() if len(m) > max_cluster]
+    if big and big_connected_fn is None:
+        print(f"{name}: skipped {len(big)} clusters larger than {max_cluster} (pairwise cost)")
+        big = []
+    if not multi and not big:
+        failures.append(f"{name}: no non-singleton clusters to sample")
+        return
+    sample = rng.sample(multi, min(n_samples, len(multi)))
+    bad = 0
+    for label, members in sample:
+        edges = edge_fn(members)
+        if not connected(members, edges):
+            bad += 1
+            failures.append(f"{name}: cluster {label} induced subgraph disconnected")
+        if min(members) != label:
+            bad += 1
+            failures.append(f"{name}: cluster label {label} is not the min member id {min(members)}")
+    # big clusters: frontier-BFS connectivity (vectorized) — where an
+    # over-merge bug would hide; verify EVERY one, not a sample
+    for label, members in big:
+        if not big_connected_fn(members):
+            bad += 1
+            failures.append(f"{name}: BIG cluster {label} ({len(members)} members) disconnected")
+        if min(members) != label:
+            bad += 1
+            failures.append(f"{name}: BIG cluster label {label} is not the min member id")
+    # separation: sampled cross-cluster pairs must NOT be edges
+    all_multi = multi + big
+    cross_bad = 0
+    cross_n = min(n_samples, len(all_multi) * (len(all_multi) - 1) // 2 or 1)
+    for _ in range(cross_n):
+        if len(all_multi) < 2:
+            break
+        (l1, c1), (l2, c2) = rng.sample(all_multi, 2)
+        a, b = rng.choice(c1), rng.choice(c2)
+        if edge_fn([a, b]):
+            cross_bad += 1
+            failures.append(f"{name}: cross-cluster edge ({a},{b}) - clusters should have merged")
+    print(
+        f"{name}: {len(sample)} sampled + {len(big)} big clusters (connectivity+label), "
+        f"{cross_n} cross-cluster pairs, {bad + cross_bad} failures "
+        f"({len(clusters)} clusters total)"
+    )
+
+
+def main(sf, out_dir, n_samples=100, seed=42):
+    rng = random.Random(seed)
+    con = duckdb.connect()
+    failures = []
+
+    # --- text pair queries -------------------------------------------------
+    for name in ("q_dedup_ngram", "q_dedup_minhash"):
+        check_pairs(con, sf, out_dir, name, rng, n_samples, failures)
+
+    # --- text CC -----------------------------------------------------------
+    def text_edges(members):
+        txt = texts_for(con, sf, set(members))
+        sh = {m: shingles3(txt[m]) for m in members}
+        ms = sorted(members)
+        return [
+            (a, b)
+            for i, a in enumerate(ms)
+            for b in ms[i + 1 :]
+            if jaccard_ok(sh[a], sh[b])
+        ]
+
+    check_cc(con, sf, out_dir, "q_dedup_cc", text_edges, "doc_id", rng, n_samples, failures)
+
+    # --- embedding queries -------------------------------------------------
+    emb_rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    vec_ids = np.array([r[0] for r in emb_rows], dtype=np.int64)
+    V = np.array([r[1] for r in emb_rows], dtype=np.float64)  # float->double, like the engine
+    norms = np.linalg.norm(V, axis=1)
+    idx_of = {int(v): i for i, v in enumerate(vec_ids)}
+
+    def cos_row(i):
+        return (V @ V[i]) / (norms * norms[i])
+
+    def emb_edges(members):
+        # vectorized submatrix: even the corpus's largest cluster is
+        # checkable (n^2 float64 cosines, ~250 MB at n=5000)
+        ms = sorted(members)
+        idx = np.array([idx_of[m] for m in ms])
+        S = V[idx]
+        C = (S @ S.T) / np.outer(norms[idx], norms[idx])
+        ii, jj = np.where(np.triu(C >= COS_T - EPS, k=1))
+        return [(ms[i], ms[j]) for i, j in zip(ii, jj)]
+
+    def emb_connected(members):
+        # chunked frontier BFS over on-the-fly cosine rows: O(rounds *
+        # chunk * n) memory, handles the corpus's giant cluster exactly
+        ms = sorted(members)
+        idx = np.array([idx_of[m] for m in ms])
+        S = V[idx] / norms[idx][:, None]
+        n = len(ms)
+        reached = np.zeros(n, dtype=bool)
+        reached[0] = True
+        frontier = np.array([0])
+        while frontier.size:
+            new = np.zeros(n, dtype=bool)
+            for k in range(0, frontier.size, 2048):
+                C = S[frontier[k : k + 2048]] @ S.T
+                new |= (C >= COS_T - EPS).any(axis=0)
+            new &= ~reached
+            reached |= new
+            frontier = np.where(new)[0]
+        return bool(reached.all())
+
+    check_cc(con, sf, out_dir, "q_embedding_cc", emb_edges, "vec_id", rng, n_samples,
+             failures, max_cluster=500, big_connected_fn=emb_connected)
+
+    # q_dedup_embedding: survivors, both directions
+    surv = {
+        r[0]
+        for r in con.execute(
+            f"SELECT vec_id FROM '{out_dir}/q_dedup_embedding/*.parquet'"
+        ).fetchall()
+    }
+    eliminated = [int(v) for v in vec_ids if int(v) not in surv]
+    s_bad = e_bad = 0
+    for v in rng.sample(sorted(surv), min(n_samples, len(surv))):
+        c = cos_row(idx_of[v])
+        lower = vec_ids < v
+        if np.any(c[lower] >= COS_T + EPS):  # clear violation only
+            s_bad += 1
+            failures.append(f"q_dedup_embedding: survivor {v} has a lower-id near-dup")
+    for v in rng.sample(eliminated, min(n_samples, len(eliminated))):
+        c = cos_row(idx_of[v])
+        lower = vec_ids < v
+        if not np.any(c[lower] >= COS_T - EPS):
+            e_bad += 1
+            failures.append(f"q_dedup_embedding: eliminated {v} has NO lower-id near-dup")
+    print(
+        f"q_dedup_embedding: {min(n_samples, len(surv))} survivors + "
+        f"{min(n_samples, len(eliminated))} eliminated sampled, {s_bad + e_bad} failures "
+        f"({len(surv)} survivors / {len(eliminated)} eliminated total)"
+    )
+
+    for f in failures:
+        print(f"FAIL {f}")
+    print(f"\nsampled check: {'PASS' if not failures else f'{len(failures)} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sf, out = sys.argv[1], sys.argv[2]
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 42
+    sys.exit(main(sf, out, n, seed))
