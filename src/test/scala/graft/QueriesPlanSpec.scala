@@ -279,6 +279,28 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("rangepartitioning"), "layout emission is a range-partitioned sort")
   }
 
+  test("tpch composites: pushdown, dim broadcast, top-k operator, no nested loop") {
+    val ship = plan("q_tpch_shipping")
+    assert(ship.contains("TakeOrderedAndProject"), "Q3 top-10 must be heap+merge, not global sort")
+    assert(ship.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter not pushed")
+    assert(ship.contains("LessThan(o_orderdate,"), "orderdate cutoff not pushed")
+    assert(!ship.contains("NestedLoop"))
+
+    val market = plan("q_tpch_market")
+    assert(market.contains("BroadcastHashJoin"), "nation/region dims must broadcast")
+    assert(market.contains("EqualTo(r_name,ASIA)"), "region filter not pushed")
+    // the ASIA prune must land scan-side on BOTH dim copies (customer
+    // and supplier pre-filter) — filter-first star shape
+    assert("EqualTo\\(r_name,ASIA\\)".r.findAllIn(market).size >= 2,
+      "dimension filter-first pruning lost on one side")
+    assert(!market.contains("NestedLoop"), "6-way join degenerated to a cartesian")
+
+    val ret = plan("q_tpch_returns")
+    assert(ret.contains("TakeOrderedAndProject"))
+    assert(ret.contains("EqualTo(l_returnflag,R)"), "returnflag filter not pushed")
+    assert(!ret.contains("NestedLoop"))
+  }
+
   test("ingest plan is shuffle-free (scan -> cast, no Exchange)") {
     val p = graft.ingest.Ingest
       .typed(graft.ingest.Ingest.readRaw(spark, graft.ops.IngestQueries.fixturePath))
