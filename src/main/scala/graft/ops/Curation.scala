@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+
+/** E17 — the end-to-end CURATION PIPELINE: the composition a
+  * pre-training data team actually ships, declared as ONE query so the
+  * inter-stage contracts (what dedup sees after the quality gate, what
+  * decontamination sees after dedup) are themselves hash-verified.
+  *
+  * Stages, in the order production pipelines run them:
+  *   1. quality gate     — per-row token/stopword thresholds
+  *                         (q_quality_score's heuristics), shuffle-free;
+  *   2. exact dedup      — lowest-id survivor per content
+  *                         (q_dedup_exact's rule): one hash-agg shuffle;
+  *   3. split assignment — q_split_assign's exact-integer Knuth hash,
+  *                         per-row, shuffle-free;
+  *   4. decontamination  — drop TRAIN docs sharing any 8-gram shingle
+  *                         with the TEST split (the production direction
+  *                         of q_decontaminate: guard the training
+  *                         corpus, not just the metric): one shingle
+  *                         shuffle + two doc-keyed joins.
+  *
+  * Scale notes: stage 2 groups on full `text` here to stay
+  * char-faithful to the DuckDB oracle; at 100 TB the group key is the
+  * 128-bit content hash (q_dedup_exact documents the same trade). The
+  * deduped+split relation feeds THREE consumers (test-shingle set,
+  * train-shingle probe, final output), so it is materialized once via
+  * [[Materialize]] instead of recomputing the scan+agg per consumer —
+  * on a cluster that is one executor-memory (or reliable-checkpoint)
+  * materialization of the post-dedup survivors. Decontamination is
+  * doc-pair-free: a semi join against the distinct test shingles, then
+  * an anti join of train docs against the contaminated-id set, both
+  * `shuffle_hash` (the test split is corpus-proportional — never
+  * assume it broadcasts).
+  */
+object Curation {
+  import Tables._
+
+  private val N = 8 // decontamination shingle width (words)
+  private val MIN_TOKENS = 12L
+  private val MIN_STOPWORDS = 1L
+
+  /** Stopword membership shared with q_quality_score. */
+  private def stopCount = size(
+    filter(split(col("text"), " "),
+      t => t === "the" || t === "a" || t === "of" || t === "and")
+  ).cast("long")
+
+  /** 8-word shingle text `w[i] || ' ' || … || w[i+7]`, generated so the
+    * oracle's width can never drift from the engine's `N`. */
+  private val shingleSql: String =
+    (0 until N).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+
+  val qCurationPipeline = Q(
+    "q_curation_pipeline",
+    (s, d) => {
+      // 1. quality gate — per-row, pushes nothing past the scan it needs
+      val gated = fanOut(documents(s, d))
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          stopCount.as("n_stop"))
+        .where(col("n_tokens") >= MIN_TOKENS && col("n_stop") >= MIN_STOPWORDS)
+      // 2. exact dedup — lowest-id survivor carries its (identical) stats
+      val deduped = gated.groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"), max(col("n_tokens")).as("n_tokens"))
+      // 3. split assignment — exact-integer hash, per-row projection
+      val assigned = Materialize(
+        deduped
+          .withColumn("bucket", expr(Sampling.bucketSql("doc_id", 0L, 100L)))
+          .withColumn("split",
+            when(col("bucket") < 90, "train")
+              .when(col("bucket") < 95, "val")
+              .otherwise("test")))
+      // 4. decontaminate train against the test split's shingles
+      val sh = assigned
+        .select(col("doc_id"), col("split"),
+          TextHash.shingleHashes(col("text"), N).as("sh"))
+        .where(size(col("sh")) > 0)
+      val testShingles = sh.where(col("split") === "test")
+        .select(explode(col("sh")).as("shingle")).distinct()
+      val contaminated = sh.where(col("split") === "train")
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .join(testShingles.hint("shuffle_hash"), Seq("shingle"), "left_semi")
+        .select("doc_id").distinct()
+      val cleanTrain = assigned.where(col("split") === "train")
+        .join(contaminated.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      assigned.where(col("split") =!= "train")
+        .unionByName(cleanTrain)
+        .select("doc_id", "split", "n_tokens")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH gated AS (
+               SELECT doc_id, text,
+                      CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+               FROM documents
+               WHERE len(string_split(text,' ')) >= $MIN_TOKENS
+                 AND len(list_filter(string_split(text,' '),
+                         t -> t IN ('the','a','of','and'))) >= $MIN_STOPWORDS),
+             deduped AS (
+               SELECT text, min(doc_id) AS doc_id, max(n_tokens) AS n_tokens
+               FROM gated GROUP BY text),
+             assigned AS (
+               SELECT doc_id, text, n_tokens,
+                      CASE WHEN ${Sampling.bucketSql("doc_id", 0L, 100L)} < 90 THEN 'train'
+                           WHEN ${Sampling.bucketSql("doc_id", 0L, 100L)} < 95 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM deduped),
+             toks AS (SELECT doc_id, split, string_split(text,' ') AS w FROM assigned),
+             sh AS (SELECT doc_id, split,
+                           list_distinct([$shingleSql
+                                          for i in range(1, len(w) - ${N - 2})]) AS s
+                    FROM toks WHERE len(w) >= $N),
+             test_sh AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE split = 'test'),
+             contam AS (SELECT DISTINCT doc_id
+                        FROM (SELECT doc_id, unnest(s) AS shingle FROM sh
+                              WHERE split = 'train') t
+                        WHERE shingle IN (SELECT shingle FROM test_sh))
+             SELECT doc_id, split, n_tokens FROM assigned
+             WHERE split <> 'train' OR doc_id NOT IN (SELECT doc_id FROM contam)
+             ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(qCurationPipeline)
+}

@@ -301,6 +301,17 @@ class QueriesPlanSpec extends SparkSpec {
     assert(!ret.contains("NestedLoop"))
   }
 
+  test("q_curation_pipeline: decon joins stay shuffled, no nested loop") {
+    val p = plan("q_curation_pipeline")
+    // the test-shingle set and the contaminated-id set are
+    // corpus-proportional: a BroadcastExchange here OOMs at 100 TB
+    assert(!p.contains("BroadcastExchange"), "decon side must not broadcast")
+    assert(!p.contains("NestedLoop"))
+    // dedup survivors feed three consumers off ONE materialization
+    assert(p.contains("Scan ExistingRDD") || p.contains("TableCacheQueryStage") ||
+      p.contains("InMemoryTableScan"), "post-dedup materialization missing")
+  }
+
   test("ingest plan is shuffle-free (scan -> cast, no Exchange)") {
     val p = graft.ingest.Ingest
       .typed(graft.ingest.Ingest.readRaw(spark, graft.ops.IngestQueries.fixturePath))

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Every stage of q_curation_pipeline must BITE on a corpus crafted to
+  * exercise it (the driver corpus has no exact duplicates, so stage 2
+  * is only oracle-verified as a pass-through there):
+  *   gate drops short/stopword-free docs, dedup keeps the lowest-id
+  *   copy, split assignment follows the Knuth hash, and a train doc
+  *   sharing an 8-gram with a test doc is decontaminated away.
+  */
+class CurationSpec extends SparkSpec {
+
+  test("all four pipeline stages fire on the crafted corpus") {
+    import spark.implicits._
+    // split buckets (Knuth hash): 11 -> test, 22 -> val, others train
+    val p = "alpha beta gamma delta epsilon zeta eta theta" // shared 8-gram
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over lazy dogs while rain falls softly today",
+      2L -> "a calm river flows past the old mill near quiet village homes",
+      3L -> s"we flag $p and more items", // train, contaminated by 11
+      4L -> "too short of text", // gate: < 12 tokens
+      5L -> "a calm river flows past the old mill near quiet village homes", // dup of 2
+      6L -> "twelve unique tokens without stop words appear here in this line now", // gate: no stopword
+      11L -> s"records show $p of interest here", // test split
+      22L -> "validation documents carry a steady flow of simple words for testing purposes" // val
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = graft.SparkEntry.queries("q_curation_pipeline")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+    assert(got == Seq(
+      (1L, "train", 13L), // unique, clean
+      (2L, "train", 12L), // dedup survivor (lowest id of {2,5})
+      (11L, "test", 13L), // test doc is never dropped by decontamination
+      (22L, "val", 12L)
+    ), s"pipeline output was $got")
+  }
+}
