@@ -219,5 +219,103 @@ object Partitioned {
             ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""")
   )
 
-  val all: Seq[Q] = Seq(qPartitionPrune, qJoinBucketed, qCompact)
+  // -------------------------------------------------------------- E15.4
+  // Manifest-based FILE SKIPPING — the data-skipping layer a lake format
+  // (Delta/Iceberg/Hudi) puts between the catalog and the scan: a
+  // per-file stats manifest consulted at plan time so a selective
+  // predicate reads only the files whose [min,max] intersect it.
+  // Directory partitioning (qPartitionPrune) prunes on ONE coarse
+  // column; the manifest prunes on any clustered column at FILE
+  // granularity without moving data into directories.
+
+  private[ops] def eventsClusteredDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_events_clustered_${sourceKey(Seq(s"$d/events.parquet"))}"
+
+  private[ops] def manifestDir(layout: String): String = s"$layout/_graft_manifest"
+
+  /** ts-range-clustered events copy (16 files, disjoint ts ranges) plus
+    * its stats manifest: one row per data file with min/max ts, row
+    * count, and null count. The manifest is built from the written
+    * files themselves (group by `input_file_name`), so it can never
+    * disagree with the data; it is file-count-sized — at 100 TB that is
+    * ~400k rows of metadata, which is exactly what Delta checkpoints /
+    * Iceberg manifest files hold. Written once per sf dir (guarded like
+    * every cached layout here).
+    */
+  def eventsClustered(s: SparkSession, d: String): String = {
+    val out = eventsClusteredDir(d)
+    // guard on the MANIFEST's _SUCCESS — it is written last, so a crash
+    // between the data write and the stats build can never leave a
+    // guard-passing layout with no (or stale) manifest
+    if (!successExists(s, manifestDir(out))) {
+      Tables.events(s, d)
+        .repartitionByRange(16, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(input_file_name().as("file"))
+        .agg(
+          min(col("ts")).as("ts_min"),
+          max(col("ts")).as("ts_max"),
+          count(lit(1)).as("n_rows"),
+          count(when(col("ts").isNull, 1)).as("n_null_ts"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(manifestDir(out))
+    }
+    out
+  }
+
+  /** Plan-time file pruning: keep a data file iff its [ts_min, ts_max]
+    * intersects [lo, hi) — or it holds null ts rows and the predicate
+    * is not null-rejecting (ours is, so all-null files drop too). The
+    * manifest collect is DRIVER-side by design: it is metadata planning
+    * over file-count rows, the same driver-side step Delta/Iceberg run;
+    * the DATA never moves. Returns the pruned scan plus (selected,
+    * total) file counts for the skipping assertions.
+    */
+  def manifestSkipScan(
+      s: SparkSession,
+      layout: String,
+      lo: java.sql.Timestamp,
+      hi: java.sql.Timestamp
+  ): (DataFrame, Int, Int) = {
+    val manifest = s.read.parquet(manifestDir(layout)).collect()
+    val selected = manifest.iterator.filter { r =>
+      val mn = r.getAs[java.sql.Timestamp]("ts_min")
+      val mx = r.getAs[java.sql.Timestamp]("ts_max")
+      mn != null && mx != null && !mx.before(lo) && mn.before(hi)
+    }.map(_.getAs[String]("file")).toSeq
+    val base =
+      if (selected.isEmpty)
+        s.read.parquet(layout).limit(0) // schema-preserving empty relation
+      else s.read.parquet(selected: _*)
+    // residual predicate stays on the pruned scan: skipping is an
+    // optimization, never a correctness dependency
+    (base.where(col("ts") >= lit(lo) && col("ts") < lit(hi)),
+      selected.length, manifest.length)
+  }
+
+  /** Two-day slice through the manifest-pruned scan — same rows as the
+    * full-table filter (the oracle), reading ~2/30ths of the files.
+    * PartitionedSpec asserts the skip ratio and skipping SOUNDNESS (the
+    * complement files hold zero qualifying rows).
+    */
+  val qManifestSkip = Q(
+    "q_manifest_skip",
+    (s, d) => {
+      val layout = eventsClustered(s, d)
+      val (scan, _, _) = manifestSkipScan(s, layout,
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-12 00:00:00"))
+      scan.select("event_id", "user_id", "event_type", "value", "ts")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+            WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+              AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-12 00:00:00'
+            ORDER BY event_id""")
+  )
+
+  val all: Seq[Q] = Seq(qPartitionPrune, qJoinBucketed, qCompact, qManifestSkip)
 }

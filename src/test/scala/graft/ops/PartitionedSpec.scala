@@ -65,4 +65,44 @@ class PartitionedSpec extends SparkSpec {
       }
     } finally spark.conf.unset(Partitioned.COMPACT_TARGET_BYTES_CONF)
   }
+
+  test("q_manifest_skip: prunes most files, and skipping is SOUND") {
+    import org.apache.spark.sql.functions.col
+    val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-12 00:00:00")
+    val layout = Partitioned.eventsClustered(spark, sf0001)
+    val (scan, nSel, nTotal) = Partitioned.manifestSkipScan(spark, layout, lo, hi)
+    assert(nTotal == 16, s"clustered layout must be 16 files, was $nTotal")
+    // 2 days of a ~30-day range over 16 ts-disjoint files -> at most a
+    // third of the files can intersect the window
+    assert(nSel <= nTotal / 3, s"manifest pruned only $nTotal -> $nSel files")
+    assert(nSel >= 1, "window must hit at least one file")
+
+    // result equality vs the un-pruned filter over the same layout
+    val full = spark.read.parquet(layout)
+      .where(col("ts") >= lo && col("ts") < hi)
+    assert(scan.count() == full.count())
+    assert(scan.exceptAll(full).isEmpty && full.exceptAll(scan).isEmpty,
+      "pruned scan diverged from the full-scan filter")
+
+    // SOUNDNESS: the files the manifest skipped contain ZERO qualifying
+    // rows — if this ever fails the manifest stats lie about the data
+    val all = spark.read.parquet(manifestPathOf(layout)).collect()
+      .map(_.getAs[String]("file")).toSet
+    val selected = all.filter { f =>
+      val r = spark.read.parquet(manifestPathOf(layout))
+        .where(col("file") === f).head()
+      val mn = r.getAs[java.sql.Timestamp]("ts_min")
+      val mx = r.getAs[java.sql.Timestamp]("ts_max")
+      mn != null && mx != null && !mx.before(lo) && mn.before(hi)
+    }
+    val skipped = (all -- selected).toSeq
+    assert(skipped.nonEmpty)
+    val leaked = spark.read.parquet(skipped: _*)
+      .where(col("ts") >= lo && col("ts") < hi).count()
+    assert(leaked == 0, s"skipped files held $leaked qualifying rows")
+  }
+
+  private def manifestPathOf(layout: String): String =
+    Partitioned.manifestDir(layout)
 }
