@@ -533,6 +533,65 @@ object Replay {
     }
   )
 
+  /** Streaming INCREMENTAL DEDUP (E10 × E14) — exact corpus dedup as a
+    * dedup-on-ingest operator: state is the set of content keys ever
+    * admitted, a document is emitted iff its content was never seen,
+    * and the ESTABLISHED copy survives a later lower-id arrival (the
+    * same survivor rule as batch q_incremental_dedup — the corpus copy
+    * wins, because downstream shards already reference it). Within one
+    * micro-batch the lowest id is kept, matching batch q_dedup_exact.
+    *
+    * Unlike [[dedupStream]] (watermark-bounded, keys re-admit after
+    * eviction), corpus dedup state must NEVER expire — the seen-set IS
+    * the corpus index. NoTimeout + no watermark makes that explicit.
+    * State cost is one entry per DISTINCT content: with the RocksDB
+    * state store provider and this key that is the content string; at
+    * 100 TB the group key becomes the 128-bit content hash (16-byte
+    * state keys, ~collision-free — q_dedup_exact documents the same
+    * trade) and the store shards across executors with the shuffle.
+    */
+  def dedupIngest(docs: Dataset[(Long, String)]): Dataset[Long] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, Long](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { (_: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
+        if (state.exists) Iterator.empty // established copy survives
+        else {
+          val keep = it.map(_._1).min // within-batch: lowest id
+          state.update(keep)
+          Iterator.single(keep)
+        }
+      }
+  }
+
+  /** ORACLED because the driver corpus is a single documents.parquet —
+    * one micro-batch, where the within-batch rule IS batch
+    * q_dedup_exact's min-id survivor for any arrival order. The
+    * cross-batch law with real bite (established copy beats a
+    * later-arriving LOWER id; state + offsets survive a checkpoint
+    * restart) is proven in ReplaySpec on a two-phase crafted corpus.
+    */
+  val qStreamIncrementalDedup: graft.ops.Q = graft.ops.Q(
+    "q_stream_incremental_dedup",
+    (s, d) => {
+      import s.implicits._
+      val docs = s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$d/documents*.parquet")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+      replayToParquet(
+        dedupIngest(docs).toDF("doc_id"),
+        java.nio.file.Files.createTempDirectory("replay-increvdedup-out-").toString
+      ).orderBy("doc_id")
+    },
+    Some("""SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY text ORDER BY doc_id""")
+  )
+
   def replaySessions(spark: SparkSession, dir: String, outDir: String): Dataset[Session] = {
     import spark.implicits._
     val evts = readEvents(spark, dir).select("event_id", "ts", "user_id").as[Evt]

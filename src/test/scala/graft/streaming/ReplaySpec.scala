@@ -188,4 +188,35 @@ class ReplaySpec extends SparkSpec {
     assert(streamed == batch, "the two formulations of one model diverged")
     assert(streamed.nonEmpty)
   }
+
+  test("dedup-on-ingest: established copy survives, state survives restart") {
+    import spark.implicits._
+    val live = Files.createTempDirectory("docs-live-")
+    val out = Files.createTempDirectory("increvdedup-out-").toString + "/rows"
+    val ckpt = Files.createTempDirectory("increvdedup-ckpt-").toString
+    def deliver(name: String, idx: Int, docs: Seq[(Long, String)]): Unit = {
+      val dest = live.resolve(name).toString
+      docs.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(dest)
+      Files.setLastModifiedTime(Paths.get(dest),
+        FileTime.fromMillis(1000000000000L + idx * 60000L))
+    }
+    def replay(): Seq[Long] = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$live/*.parquet")
+        .as[(Long, String)]
+      Replay.replayToParquet(Replay.dedupIngest(docs).toDF("doc_id"), out, ckpt)
+        .collect().map(_.getLong(0)).toSeq.sorted
+    }
+    // phase 1: within-batch rule — lowest id per content
+    deliver("00.parquet", 0, Seq(1L -> "AAA", 2L -> "AAA", 3L -> "BBB"))
+    assert(replay() == Seq(1L, 3L))
+    // phase 2 ("process crash" between): doc 0 re-delivers content AAA
+    // with a LOWER id — the established copy (1) must survive, which is
+    // only possible if the seen-state recovered from the checkpoint
+    deliver("01.parquet", 1, Seq(0L -> "AAA", 4L -> "CCC", 5L -> "CCC"))
+    assert(replay() == Seq(1L, 3L, 4L),
+      "cross-restart dedup state lost, or survivor rule wrong")
+  }
 }
