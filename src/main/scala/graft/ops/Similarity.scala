@@ -263,6 +263,128 @@ object Similarity {
              LIMIT 5""")
   )
 
+  /** IVF-PQ ANN (Jégou et al. 2011): the coarse IVF probe composed with
+    * PRODUCT-QUANTIZATION candidate scoring — the memory-bound half of
+    * the 100 TB ANN story. Each vector's 64 dims quantize to M=8
+    * four-bit codes against the trained [[PqCodebook]] (4 bytes/vector:
+    * the index that keeps ten billion embeddings in executor RAM);
+    * candidates inside the probed coarse cluster are ranked by ADC
+    * (asymmetric distance computation — the query stays exact, only the
+    * corpus side is quantized): approx(v) = Σ_m lut_m[code_m(v)], where
+    * lut_m[c] = ⟨q_m, book_m[c]⟩ is a 16-entry table computed ONCE
+    * driver-side per query. The top-R ADC candidates get an exact
+    * cosine rerank.
+    *
+    * Every stage is a per-row expression (code assignment is the same
+    * struct-argmin as the coarse IVF — no join, no shuffle); the ADC
+    * sum is a FIXED-ORDER m=0..7 chain of exact table lookups, and the
+    * oracle reproduces it with an m-ordered `list_sum` over identical
+    * doubles — so even the approximate scores are bitwise comparable
+    * and the whole IVF-PQ path is hash-oracled. AnnSpec measures PQ
+    * recall against the exact in-cluster top-5.
+    */
+  private[ops] def pqSearch(s: SparkSession, d: String, rerankR: Int = 20): DataFrame = {
+    import PqCodebook.{M, SubDim}
+    val books = PqCodebook.books
+    val emb = embeddings(s, d).select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("v")
+    )
+    val coarse = array_min(array(IvfCodebook.centroids.zipWithIndex.map {
+      case (cv, cid) =>
+        struct(sqDist(col("v"), typedLit(cv.toSeq)).as("dist"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+    def code(m: Int): Column = {
+      val sv = slice(col("v"), m * SubDim + 1, SubDim)
+      array_min(array(books(m).zipWithIndex.map { case (cv, c) =>
+        struct(sqDist(sv, typedLit(cv.toSeq)).as("dist"), lit(c).as("c"))
+      }: _*)).getField("c")
+    }
+    // query vector, probe cluster, and the M×16 ADC tables: driver-side,
+    // K + M·Kpq·SubDim flops — free, and shipped as literals
+    val qv = emb.where(col("vec_id") === 0).select("v").head().getSeq[Double](0).toArray
+    def sqd(c: Array[Double], off: Int): Double = {
+      var a = 0.0; var i = 0
+      while (i < c.length) { val dd = qv(off + i) - c(i); a += dd * dd; i += 1 }
+      a
+    }
+    val probeCid = IvfCodebook.centroids.zipWithIndex
+      .map { case (cv, cid) => (sqd(cv, 0), cid) }.min._2
+    val lut: Array[Array[Double]] = Array.tabulate(M) { m =>
+      books(m).map { cv =>
+        var a = 0.0; var i = 0
+        while (i < SubDim) { a += qv(m * SubDim + i) * cv(i); i += 1 }
+        a
+      }
+    }
+    val approx = (0 until M)
+      .map(m => element_at(typedLit(lut(m).toSeq), code(m) + 1))
+      .reduceLeft(_ + _) // fixed-order chain == the oracle's m-ordered list_sum
+    emb
+      .where(coarse === probeCid && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v"), approx.as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(rerankR)
+      .select(col("vec_id"), round(cosine(col("v"), typedLit(qv.toSeq)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  /** The PQ books as DuckDB VALUES rows — the same %.6f doubles the
+    * Spark expressions inline (the [[IvfCodebook.quantize]] contract).
+    */
+  private def duckPqBooks: String =
+    (for {
+      m <- 0 until PqCodebook.M
+      (cv, c) <- PqCodebook.books(m).zipWithIndex
+    } yield s"($m, $c, CAST([${cv.map("%.6f".formatLocal(java.util.Locale.ROOT, _)).mkString(",")}] AS DOUBLE[]))")
+      .mkString(",\n               ")
+
+  val qAnnPq = Q(
+    "q_ann_pq",
+    (s, d) => pqSearch(s, d),
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             c AS (SELECT * FROM (VALUES
+               $duckCodebook) t(cid, cv)),
+             cd AS (
+               SELECT e.vec_id, e.v, c.cid,
+                      list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) for i in range(1,65)]) AS dist
+               FROM e, c),
+             assign AS (
+               SELECT vec_id, v, cid FROM (
+                 SELECT vec_id, v, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+                 FROM cd) t WHERE rn = 1),
+             qc AS (SELECT cid AS qcid, v AS qv FROM assign WHERE vec_id = 0),
+             pq AS (SELECT * FROM (VALUES
+               $duckPqBooks) t(m, c, bv)),
+             cdist AS (
+               SELECT a.vec_id, a.v, p.m, p.c, p.bv,
+                      list_sum([(a.v[p.m*8+i]-p.bv[i])*(a.v[p.m*8+i]-p.bv[i])
+                                for i in range(1,9)]) AS dist
+               FROM assign a, qc, pq p
+               WHERE a.cid = qc.qcid AND a.vec_id <> 0),
+             codes AS (
+               SELECT vec_id, v, m, bv FROM (
+                 SELECT vec_id, v, m, bv,
+                        row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, c ASC) AS rn
+                 FROM cdist) t WHERE rn = 1),
+             lut AS (
+               SELECT co.vec_id, co.m,
+                      list_sum([qc.qv[co.m*8+i] * co.bv[i] for i in range(1,9)]) AS term
+               FROM codes co, qc),
+             adc AS (
+               SELECT vec_id, list_sum(list(term ORDER BY m)) AS adc
+               FROM lut GROUP BY vec_id),
+             cand AS (
+               SELECT a.vec_id, e.v FROM adc a JOIN e USING (vec_id)
+               ORDER BY a.adc DESC, a.vec_id ASC LIMIT 20)
+             SELECT cand.vec_id, round(${duckCos("cand.v", "qv")}, 6) AS cos_sim
+             FROM cand, qc
+             ORDER BY cos_sim DESC, vec_id ASC
+             LIMIT 5""")
+  )
+
   /** Near-duplicate doc pairs by length+prefix BLOCKING then shingle
     * Jaccard (E11's second representative query). Candidates = pairs
     * sharing the first token whose shingle-set sizes satisfy the J≥1/2
@@ -583,5 +705,6 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qDedupEmbedding,
-      qEmbeddingCc, qAnnIvf, qAnnLsh, qPairwiseNear, qMultimodalJoin, qMultimodalMeta)
+      qEmbeddingCc, qAnnIvf, qAnnPq, qAnnLsh, qPairwiseNear, qMultimodalJoin,
+      qMultimodalMeta)
 }

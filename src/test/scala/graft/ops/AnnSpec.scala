@@ -26,6 +26,20 @@ class AnnSpec extends SparkSpec {
     assert(lsh.count(exact) >= 3, s"lsh=$lsh exact=$exact")
   }
 
+  test("q_ann_pq: ADC candidates + exact rerank agree with exact in-cluster search") {
+    val rows = graft.SparkEntry.queries("q_ann_pq")(spark, sf0001).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getLong(0) != 0L))
+    val sims = rows.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse, "rerank must emit true cosines, ordered")
+    // recall vs the exact search over the SAME probed cluster (= the
+    // nprobe=1 IVF result): quantization only affects which 20 of the
+    // cluster reach the rerank, so PQ must recover most of the top-5
+    val exactInCluster = ids("q_ann_ivf").take(5).toSet
+    val pq = rows.map(_.getLong(0))
+    assert(pq.count(exactInCluster) >= 3, s"pq=${pq.toSeq} exact=$exactInCluster")
+  }
+
   test("ivf recall curve: nondecreasing in nprobe, exact at nprobe=K") {
     val exactTop5 = ids("q_knn_cosine").take(5).toSet
     val recalls = Seq(1, 2, 4, 8).map { p =>

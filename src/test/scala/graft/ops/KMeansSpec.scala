@@ -48,6 +48,27 @@ class KMeansSpec extends SparkSpec {
       "IvfCodebook.FROZEN is stale — regenerate with TrainIvfCodebook")
   }
 
+  test("the frozen PQ books are exactly the trainer's output on sf0.01 (regression)") {
+    val vecs = vecsAt("/root/testdata/sf0.01")
+    val retrained = PqCodebook.train(vecs)
+    assert(PqCodebook.render(retrained) == PqCodebook.render(PqCodebook.books),
+      "PqCodebook.FROZEN is stale — regenerate with TrainPqCodebook")
+    assert(PqCodebook.books.length == PqCodebook.M &&
+      PqCodebook.books.forall(b => b.length == PqCodebook.Kpq &&
+        b.forall(_.length == PqCodebook.SubDim)))
+  }
+
+  test("per-subspace PQ training beats the first-Kpq stand-in on quantization error") {
+    val vecs = vecsAt("/root/testdata/sf0.01")
+    val trained = PqCodebook.train(vecs)
+    val (before, after) = (0 until PqCodebook.M).map { m =>
+      val sliced = vecs.map(_.slice(m * PqCodebook.SubDim, (m + 1) * PqCodebook.SubDim))
+      (IvfCodebook.inertia(sliced, sliced.take(PqCodebook.Kpq)),
+        IvfCodebook.inertia(sliced, trained(m)))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(after < before * 0.8, s"PQ quantization error $before -> $after")
+  }
+
   test("quantize round-trips through render/parse unchanged") {
     val c = IvfCodebook.centroids
     assert(IvfCodebook.parse(IvfCodebook.render(c)).zip(c)
