@@ -279,16 +279,25 @@ object Partitioned {
       lo: java.sql.Timestamp,
       hi: java.sql.Timestamp
   ): (DataFrame, Int, Int) = {
+    // stats may collect as Timestamp (LTZ) or LocalDateTime (NTZ layout
+    // written before ts normalization) — compare in epoch micros
+    def micros(a: Any): Long = a match {
+      case t: java.sql.Timestamp => t.getTime * 1000L + t.getNanos / 1000L % 1000L
+      case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      case i: java.time.Instant => i.toEpochMilli * 1000L
+      case other => throw new IllegalArgumentException(s"unexpected ts stat: $other")
+    }
+    val (loU, hiU) = (micros(lo), micros(hi))
     val manifest = s.read.parquet(manifestDir(layout)).collect()
     val selected = manifest.iterator.filter { r =>
-      val mn = r.getAs[java.sql.Timestamp]("ts_min")
-      val mx = r.getAs[java.sql.Timestamp]("ts_max")
-      mn != null && mx != null && !mx.before(lo) && mn.before(hi)
+      val mn = r.getAs[Any]("ts_min")
+      val mx = r.getAs[Any]("ts_max")
+      mn != null && mx != null && micros(mx) >= loU && micros(mn) < hiU
     }.map(_.getAs[String]("file")).toSeq
-    val base =
+    val base = Tables.normalizeTs(
       if (selected.isEmpty)
         s.read.parquet(layout).limit(0) // schema-preserving empty relation
-      else s.read.parquet(selected: _*)
+      else s.read.parquet(selected: _*))
     // residual predicate stays on the pruned scan: skipping is an
     // optimization, never a correctness dependency
     (base.where(col("ts") >= lit(lo) && col("ts") < lit(hi)),

@@ -618,6 +618,34 @@ object Relational {
             ORDER BY user_id, event_id""")
   )
 
+  /** Distribution-position windows: percent_rank + cume_dist per
+    * order-priority partition — the remaining ANSI window rank family
+    * beyond rank/row_number (E4). Both outputs are ONE IEEE division of
+    * exact integers ((rank-1)/(n-1), peers_cume/n), so Spark and DuckDB
+    * produce bit-identical doubles with no rounding discipline needed.
+    * Scale: keyed window — partitions by o_orderpriority (bounded
+    * cardinality), each partition sorts locally after one hash shuffle;
+    * no global window, no one-partition funnel.
+    */
+  val qWindowPercent = Q(
+    "q_window_percent",
+    (s, d) => {
+      val w = Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc)
+      orders(s, d)
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "pr", "cd")
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC) AS pr,
+                   cume_dist()    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC) AS cd
+            FROM orders
+            ORDER BY o_orderpriority, o_totalprice, o_orderkey""")
+  )
+
   // ---------------------------------------------------------------- E5
   /** Global top-k with total-order tiebreak — Spark plans
     * TakeOrderedAndProject (per-partition heap + driver merge, no full
@@ -868,7 +896,7 @@ object Relational {
     qAsofJoin,
     qAggHash, qAggDistinct, qRollup, qCube, qGroupingSets, qQuantiles, qQuantilesExact,
     qApproxDistinct,
-    qWindowRank, qWindowRunning, qWindowLag,
+    qWindowRank, qWindowRunning, qWindowLag, qWindowPercent,
     qTopk,
     qUnion, qIntersect, qExcept,
     qScalarString, qScalarMath, qScalarJson, qScalarArray, qScalarDate,

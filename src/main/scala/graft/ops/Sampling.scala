@@ -300,6 +300,56 @@ object Sampling {
             ORDER BY user_id""")
   )
 
+  /** Statistical outlier audit: users whose event count exceeds
+    * mean + 2σ — the abuse/bot detector a corpus pipeline runs before
+    * per-user caps (q_sample_per_key decides HOW MUCH to keep; this
+    * decides WHO is anomalous). Companion to [[qHeavyHitters]]'s fixed
+    * multiplicative threshold: here the cut line is derived from the
+    * distribution itself.
+    *
+    * The z-score test is kept EXACT by cross-multiplication — no mean,
+    * no sqrt, no float:  c > S/n + 2σ  ⟺  n·c − S > 0  ∧
+    * (n·c − S)² > 4·(n·Q − S²)  with S = Σc, Q = Σc² (both sides are
+    * n²·(c−mean)² vs 4·n²·σ²). All terms ride DECIMAL(38,0) (128-bit):
+    * at 10⁹ users the squared margin reaches ~10²⁶ and Q alone ~10²¹ —
+    * past BIGINT, inside decimal128 with ~12 digits to spare. The
+    * oracle uses HUGEINT for the same 128-bit exactness.
+    *
+    * Scale: one per-user count aggregate (map-side combined), a 1-ROW
+    * stats aggregate over the |users| counts, broadcast back onto the
+    * counts — the flag compare is a shuffle-free per-row projection.
+    * Nothing data-scale is re-shuffled; the only full pass is the
+    * count itself.
+    */
+  val qAnomaly = Q(
+    "q_anomaly",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val counts = events(s, d).groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      val stats = counts.agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum("n_events").cast(dec).as("s"),
+        sum(col("n_events").cast(dec) * col("n_events")).cast(dec).as("q"))
+      val margin = col("n") * col("n_events") - col("s")
+      counts
+        .crossJoin(broadcast(stats))
+        .where(margin > 0 && margin * margin > lit(4) * (col("n") * col("q") - col("s") * col("s")))
+        .select(col("user_id"), col("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""WITH counts AS (
+              SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+            stats AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(n_events) AS HUGEINT) AS s,
+                     CAST(sum(CAST(n_events AS HUGEINT) * n_events) AS HUGEINT) AS q
+              FROM counts)
+            SELECT user_id, n_events FROM counts, stats
+            WHERE n * n_events - s > 0
+              AND (n * n_events - s) * (n * n_events - s) > 4 * (n * q - s * s)
+            ORDER BY user_id""")
+  )
+
   // ---------------------------------------------------------------------
   // E16.7 quantile bucketing (ntile)
   // ---------------------------------------------------------------------
@@ -563,6 +613,6 @@ object Sampling {
 
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave,
-      qPivot, qUnpivot, qPack, qHeavyHitters, qNtile, qZorderKey,
+      qPivot, qUnpivot, qPack, qHeavyHitters, qAnomaly, qNtile, qZorderKey,
       qGlobalRownum, qMixBalance, qIncrementalAgg)
 }

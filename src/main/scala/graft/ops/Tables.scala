@@ -21,20 +21,34 @@ object Tables {
   def orders(s: SparkSession, d: String) = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String) = t(s, d, "lineitem")
 
-  /** events.ts is physically TIMESTAMP(NANOS) — Spark has no nanos
-    * timestamp, so sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * and the loader floors to micros (exactly DuckDB's behavior when it
-    * reads the same file into its micros TIMESTAMP).
+  /** events.ts normalization: the driver has shipped the column as
+    * TIMESTAMP(NANOS) (read as long under
+    * `spark.sql.legacy.parquet.nanosAsLong`, floored to micros — exactly
+    * DuckDB's behavior reading the same file) and as naive
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ, reinterpreted in the
+    * session's UTC — again exactly DuckDB's naive read). Both physical
+    * shapes land on the same session-TZ TimestampType so every
+    * downstream query, window, and driver-side collect sees one type.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = t(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // `div` (integer division), NOT `/`: Long / Long promotes to Double,
-      // whose 2^53 mantissa can floor modern epoch-nanos 1µs low vs
-      // DuckDB's exact truncation.
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(t(s, d, "events"))
+
+  /** See [[events]]; shared with the streaming reader (Replay). */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // `div` (integer division), NOT `/`: Long / Long promotes to
+        // Double, whose 2^53 mantissa can floor modern epoch-nanos 1µs
+        // low vs DuckDB's exact truncation.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // naive micros reinterpreted as a UTC instant (session TZ is
+        // pinned to UTC in Sessions.builder)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String) = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")

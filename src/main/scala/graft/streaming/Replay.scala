@@ -24,9 +24,11 @@ import org.apache.spark.sql.types._
   */
 object Replay {
 
-  /** Physical schema of events.parquet (ts is TIMESTAMP(NANOS) — read as
-    * long via nanosAsLong, converted below; a streaming source needs the
-    * schema declared up front).
+  /** Physical schema of events.parquet with ts as TIMESTAMP(NANOS) read
+    * as long via nanosAsLong (a streaming source needs the schema
+    * declared up front). The driver has also shipped events with a
+    * naive-micros ts — see [[rawSchemaNtz]]; [[readEvents]] probes which
+    * shape a directory holds.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -37,16 +39,34 @@ object Replay {
     StructField("props", StringType)
   ))
 
+  /** [[rawSchema]] variant for the naive TIMESTAMP(MICROS) physical
+    * shape (read as TIMESTAMP_NTZ, reinterpreted in the session's UTC).
+    */
+  val rawSchemaNtz: StructType =
+    StructType(rawSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = TimestampNTZType)
+      case f                   => f
+    })
+
+  /** True when the events files under `dir` carry ts as a nanos long
+    * (vs naive micros). One driver-side footer read — metadata-only,
+    * the same cost as the schema inference a batch read does anyway.
+    */
+  private def tsIsLong(spark: SparkSession, dir: String): Boolean =
+    spark.read.parquet(dir).schema("ts").dataType == LongType
+
   /** File-source stream over an events directory, one file per
-    * micro-batch (replays multi-file drops as distinct batches).
+    * micro-batch (replays multi-file drops as distinct batches). Both
+    * physical ts shapes land on session-TZ TimestampType
+    * (Tables.normalizeTs — same floor-to-micros / naive-as-UTC
+    * semantics as the batch reader).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      // integer div: see Tables.events — double division floors 1µs low
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.ops.Tables.normalizeTs(
+      spark.readStream
+        .schema(if (tsIsLong(spark, dir)) rawSchema else rawSchemaNtz)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
 
   /** Tumbling 1-hour windows per event_type with a 1-hour watermark:
     * counts + exact decimal sum (same discipline as the batch queries).
@@ -449,11 +469,19 @@ object Replay {
       val src = Paths.get(s"$d/events.parquet")
       Files.copy(src, live.resolve("00.parquet"), StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(live.resolve("00.parquet"), FileTime.fromMillis(1000000000000L))
-      // sentinel: one far-future event in the raw (nanos) schema
-      val sentinelNanos = 4102444800L * 1000000000L // 2100-01-01T00:00Z
-      val row = org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, "sentinel", 0.0, "{}")
+      // sentinel: one far-future event in the SAME physical shape as the
+      // copied source file (a streaming dir must be schema-homogeneous)
+      val sentinelSecs = 4102444800L // 2100-01-01T00:00Z
+      val longShape = tsIsLong(s, src.toString)
+      val row =
+        if (longShape)
+          org.apache.spark.sql.Row(-1L, sentinelSecs * 1000000000L, -1L, "sentinel", 0.0, "{}")
+        else
+          org.apache.spark.sql.Row(-1L,
+            java.time.LocalDateTime.ofEpochSecond(sentinelSecs, 0, java.time.ZoneOffset.UTC),
+            -1L, "sentinel", 0.0, "{}")
       val tmp = Files.createTempDirectory("sess-sentinel-")
-      s.createDataFrame(java.util.List.of(row), rawSchema)
+      s.createDataFrame(java.util.List.of(row), if (longShape) rawSchema else rawSchemaNtz)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       // CLOSE the directory stream (it holds an fd — see FsUtil's note)
       val listing = Files.list(tmp)
