@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E18 — graph analytics over relationally-derived graphs: the three
+  * graph shapes a corpus-curation pipeline actually runs beyond
+  * connected components (q_dedup_cc):
+  *
+  *  - co-occurrence mining ([[qCooccur]]) — the PMI/association
+  *    numerator: which items appear together in the same basket/
+  *    document/session. The same shape builds term co-occurrence for
+  *    tokenizer and embedding pipelines.
+  *  - triangle participation ([[qTriangles]]) — local clustering
+  *    structure; on a near-dup pair graph, triangle density separates
+  *    genuine duplicate CLUSTERS from chains of borderline pairs.
+  *  - authority ranking ([[qPagerank]]) — PageRank in exact fixed-point
+  *    integer arithmetic; the domain/source-authority weight web-corpus
+  *    pipelines (Common Crawl rank files) feed into quality scoring.
+  *
+  * All three derive their graph from the driver tables (the co-purchase
+  * graph: parts bought in the same order; the trade graph: customer ⇄
+  * supplier edges through orders⋈lineitem), so every query is
+  * hash-oracled — no synthetic inputs.
+  *
+  * Scale discipline shared by the family: edges are built by ONE
+  * within-key equi self-join (never a cross join); iteration state is
+  * checkpointed per round ([[Materialize]]) exactly like
+  * connectedComponents, so lineage stays O(1) in the round count; and
+  * ALL ranking arithmetic is integer (`div` floor division) — no float
+  * accumulates across engine-dependent orders.
+  */
+object Graph {
+  import Tables._
+
+  /** Fixed-point PageRank scale: ranks are fractions of SCALE, so a
+    * rank of 1e9 ≡ probability 1e-3. 1e12 keeps 85·rank ≪ 2^63 while
+    * leaving 6+ digits of precision below the uniform 1/n mass at
+    * n = 10^6 nodes (and the floor-division loss per iteration is
+    * bounded by outdeg per node — negligible against SCALE).
+    */
+  private val SCALE = 1000000000000L
+  private val ITERS = 5
+
+  /** Distinct (order, part) rows — the basket-membership relation both
+    * graph builders start from. The distinct is one shuffle on the
+    * composite key, map-side combined.
+    */
+  private def orderItems(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+
+  /** Per-basket item pairs with their support (how many baskets contain
+    * both). The join is WITHIN-basket (equi on l_orderkey, `a < b`
+    * orientation so each unordered pair is generated once) — per-basket
+    * fan-out is |basket|²/2, bounded by the domain's basket size (TPC-H
+    * orders hold ≤ 7 lines; a corpus with unbounded baskets caps items
+    * per basket first — the Skew.dropHotKeys idiom). shuffle_hash pin:
+    * a fact-fact self-join must never become a broadcast build side.
+    */
+  private def cooccurPairs(s: SparkSession, d: String): DataFrame = {
+    val items = orderItems(s, d)
+    val a = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+    val b = items.select(col("l_orderkey").as("k2"), col("l_partkey").as("pb"))
+    a.join(b.hint("shuffle_hash"), col("k") === col("k2") && col("pa") < col("pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("support"))
+  }
+
+  /** Top-25 co-occurring part pairs by support — association mining
+    * (the exact-count front half of PMI: support(a,b) over a basket
+    * relation; the marginals are one groupBy away). Count ties broken
+    * by the (pa, pb) total order; top-k plans TakeOrderedAndProject,
+    * never a global sort.
+    */
+  val qCooccur = Q(
+    "q_cooccur",
+    (s, d) =>
+      cooccurPairs(s, d)
+        .orderBy(col("support").desc, col("pa").asc, col("pb").asc)
+        .limit(25),
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2)
+            SELECT pa, pb, support FROM pairs
+            ORDER BY support DESC, pa ASC, pb ASC LIMIT 25""")
+  )
+
+  /** Per-node triangle participation over the support-≥2 co-purchase
+    * graph: for every part in at least one triangle, how many triangles
+    * contain it — the local-clustering audit (on a near-dup pair graph
+    * this separates true duplicate clusters from accidental chains).
+    *
+    * Edges are oriented `a < b`, so each triangle a<b<c is enumerated
+    * exactly once by the classic two-join node-iterator:
+    * e1(a,b) ⋈ e2(b,c) extends each wedge, e3(a,c) closes it. Both
+    * joins are keyed equi-joins (shuffle_hash pinned) — never a
+    * cartesian; the id orientation is the degenerate form of the
+    * degree-based orientation that bounds wedge fan-out under skew (the
+    * production choice when degree distribution is Zipf; id-orientation
+    * keeps the oracle expressible while the join SHAPE stays identical).
+    */
+  val qTriangles = Q(
+    "q_triangles",
+    (s, d) => {
+      val e = Materialize(
+        cooccurPairs(s, d).where(col("support") >= 2).select("pa", "pb"))
+      val wedges = e.select(col("pa").as("a"), col("pb").as("b"))
+        .join(
+          e.select(col("pa").as("b2"), col("pb").as("c")).hint("shuffle_hash"),
+          col("b") === col("b2"))
+        .select("a", "b", "c")
+      val tri = wedges.join(
+        e.select(col("pa").as("a3"), col("pb").as("c3")).hint("shuffle_hash"),
+        col("a") === col("a3") && col("c") === col("c3"))
+        .select("a", "b", "c")
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy("part")
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2),
+            e AS (SELECT pa, pb FROM pairs WHERE support >= 2),
+            tri AS (
+              SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+              FROM e e1
+              JOIN e e2 ON e1.pb = e2.pa
+              JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+            roles AS (
+              SELECT a AS part FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+            SELECT part, count(*) AS n_triangles
+            FROM roles GROUP BY part ORDER BY part""")
+  )
+
+  /** PageRank over the trade graph (customer ⇄ supplier through
+    * orders⋈lineitem, both directions, distinct edges; node ids are
+    * namespace-encoded 2·custkey / 2·suppkey+1) — the authority score
+    * in EXACT fixed-point arithmetic: every quantity is a BIGINT
+    * fraction of [[SCALE]], every division is floor division (`div` /
+    * DuckDB `//`), so five iterations produce bit-identical ranks on
+    * any engine, any partitioning, any summation order. Standard
+    * damping 0.85: rank' = (15·(SCALE div n)) div 100 +
+    * (85·Σ_in (rank div outdeg)) div 100. Every node in this graph has
+    * out-edges (both directions exist by construction), so no dangling
+    * mass term is needed; the floor losses just shrink total mass
+    * monotonically (GraphSpec pins conservation bounds).
+    *
+    * Scale shape: the edge list (with out-degrees attached) is built
+    * ONCE and checkpointed; each iteration is one keyed join
+    * (edges⋈ranks on src, shuffle_hash — rank state must never
+    * broadcast) + one map-side-combined sum by dst + a left join back
+    * onto the node set, checkpointed per round — the Pregel pattern on
+    * DataFrames, identical in shape to connectedComponents. Driver-side
+    * control, executor-side data: only the loop counter lives on the
+    * driver.
+    */
+  val qPagerank = Q(
+    "q_pagerank",
+    (s, d) => {
+      val base = orders(s, d)
+        .join(lineitem(s, d).hint("shuffle_hash"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+        .distinct()
+      val edges = base.select(col("c").as("src"), col("sp").as("dst"))
+        .union(base.select(col("sp").as("src"), col("c").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edgesD = Materialize(edges.join(deg, "src"))
+      val nodes = Materialize(edgesD.select(col("src").as("node")).distinct())
+      val n = nodes.count()
+      val init = SCALE / n // floor: n is a positive Long
+      val baseMass = (15L * init) / 100L
+      var ranks = Materialize(nodes.select(col("node"), lit(init).as("rank")))
+      for (_ <- 1 to ITERS) {
+        val sums = edgesD
+          .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+          .select(col("dst"), expr("rank div deg").as("contrib"))
+          .groupBy("dst")
+          .agg(sum("contrib").as("m"))
+        ranks = Materialize(
+          nodes.join(sums, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (lit(baseMass) + expr("85 * coalesce(m, 0L) div 100")).as("rank")))
+      }
+      ranks
+        .select(
+          when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+          expr("node div 2").as("key"),
+          col("rank"))
+        .orderBy("kind", "key")
+    },
+    Some(pagerankOracle)
+  )
+
+  /** One code path emits the iteration CTEs so the Spark loop above and
+    * the DuckDB chain cannot diverge in round count or arithmetic —
+    * the q_zorder_key discipline applied to iteration.
+    */
+  private def pagerankOracle: String = {
+    val its = (1 to ITERS).map { k =>
+      s"""it$k AS (
+         |  SELECT n.node,
+         |         CAST((15 * ($SCALE // p.n)) // 100
+         |              + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // e.deg) AS m
+         |    FROM edgesd e JOIN it${k - 1} r ON e.src = r.node
+         |    GROUP BY e.dst) s ON n.node = s.node
+         |  CROSS JOIN params p)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, sp AS dst FROM base
+       |          UNION ALL SELECT sp, c FROM base),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |edgesd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |params AS (SELECT count(*) AS n FROM nodes),
+       |it0 AS (SELECT node, $SCALE // p.n AS rank FROM nodes, params p),
+       |$its
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |       node // 2 AS key, rank
+       |FROM it$ITERS
+       |ORDER BY kind, key""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(qCooccur, qTriangles, qPagerank)
+}

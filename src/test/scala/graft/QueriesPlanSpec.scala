@@ -312,6 +312,18 @@ class QueriesPlanSpec extends SparkSpec {
       p.contains("InMemoryTableScan"), "post-dedup materialization missing")
   }
 
+  test("q_cooccur / q_triangles: keyed equi joins only — no cartesian, no broadcast of fact sides") {
+    val co = plan("q_cooccur")
+    assert(co.contains("ShuffledHashJoin"), "within-basket self-join must be a keyed shuffle join")
+    assert(!co.contains("NestedLoop") && !co.contains("CartesianProduct"),
+      "pair generation degenerated to a cross product")
+    assert(co.contains("TakeOrderedAndProject"), "top-25 must not be a global sort")
+    val tri = plan("q_triangles")
+    assert(!tri.contains("NestedLoop") && !tri.contains("CartesianProduct"),
+      "wedge-close joins degenerated to a cross product")
+    assert(tri.contains("ShuffledHashJoin"), "edge-state joins must stay shuffled")
+  }
+
   test("ingest plan is shuffle-free (scan -> cast, no Exchange)") {
     val p = graft.ingest.Ingest
       .typed(graft.ingest.Ingest.readRaw(spark, graft.ops.IngestQueries.fixturePath))

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Engine-independent laws for the E18 graph family (the oracle proves
+  * engine agreement; these prove the MATH on an independent driver-side
+  * recompute).
+  */
+class GraphSpec extends SparkSpec {
+
+  private def baskets: Map[Long, Set[Long]] =
+    Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+
+  test("q_cooccur: pairs match a brute-force basket recount, oriented a<b") {
+    val got = Graph.qCooccur.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute = baskets.values.toSeq
+      .flatMap(items => items.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got.keys.forall { case (a, b) => a < b })
+    // the query returns the top-25 by (support desc, pa, pb); every
+    // returned pair must carry its exact brute-force support, and no
+    // unreturned pair may beat the weakest returned one
+    got.foreach { case (k, s) => assert(brute(k) == s, s"support mismatch at $k") }
+    val cutoff = got.values.min
+    val returned = got.keySet
+    assert(brute.filterNot { case (k, _) => returned(k) }.values.forall(_ <= cutoff))
+  }
+
+  test("q_triangles: participation counts match brute-force enumeration") {
+    val got = Graph.qTriangles.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val support = baskets.values.toSeq
+      .flatMap(items => items.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    // NOT `support.collect { case (k, s) if s >= 2 => k }`: collecting
+    // (Long,Long) pairs out of a Map rebuilds a Map and silently dedupes
+    // by first element
+    val edges = support.filter(_._2 >= 2).keySet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val adj = nodes.map(n => n ->
+      edges.collect { case (a, b) if a == n => b }).toMap
+    val brute = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (a <- nodes; b <- adj(a); c <- adj(b) if edges((a, c))) {
+      brute(a) += 1; brute(b) += 1; brute(c) += 1
+    }
+    assert(got == brute.toMap, "triangle participation diverged")
+  }
+
+  test("q_pagerank: exact mass bounds, positivity, and kind encoding") {
+    val rows = Graph.qPagerank.fn(spark, sf0001).collect()
+    val n = rows.length
+    val scale = 1000000000000L
+    val init = scale / n
+    val baseMass = 15L * init / 100L
+    val total = rows.map(_.getLong(2)).sum
+    // every node keeps at least the teleport mass, and floor division
+    // only ever LOSES mass: total ∈ (0, SCALE]; the per-iteration loss
+    // is < 1 per (edge + node + the two /100 floors) — bound loosely
+    assert(rows.forall(_.getLong(2) >= baseMass))
+    assert(total <= scale)
+    assert(total > scale / 2, s"mass collapsed: $total")
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length == n)
+    assert(rows.forall(r => r.getString(0) == "customer" || r.getString(0) == "supplier"))
+  }
+
+  test("q_pagerank: suppliers out-rank customers on the trade graph") {
+    // 10 suppliers absorb the mass of 150 customers' endorsements —
+    // the ranking must reflect graph centrality, not the uniform init
+    val rows = Graph.qPagerank.fn(spark, sf0001).collect()
+    val byKind = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)))
+    val avgSupp = byKind("supplier").sum / byKind("supplier").length
+    val avgCust = byKind("customer").sum / byKind("customer").length
+    assert(avgSupp > 10 * avgCust, s"supplier avg $avgSupp vs customer avg $avgCust")
+  }
+}
