@@ -326,5 +326,98 @@ object Partitioned {
             ORDER BY event_id""")
   )
 
-  val all: Seq[Q] = Seq(qPartitionPrune, qJoinBucketed, qCompact, qManifestSkip)
+  // ---------------------------------------------------------------------
+  // snapshot versioning (time travel)
+  // ---------------------------------------------------------------------
+
+  private def versionedDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_events_versioned_${sourceKey(Seq(s"$d/events.parquet"))}"
+
+  private def listParquet(s: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.toString)
+      .filter(_.endsWith(".parquet"))
+      .sorted
+  }
+
+  /** Two-commit VERSIONED layout — the MVCC idiom under every lake
+    * format's time travel: data files only ever ACCUMULATE in `data/`;
+    * a manifest row (file, version) is what makes a file visible; and
+    * the manifest's own `_SUCCESS` is written LAST, so a reader either
+    * sees a fully committed table or none of it.
+    *
+    * Version 1 = the initial load (event_id % 10 < 8, range-clustered);
+    * version 2 = an appended batch (the rest). The append never
+    * rewrites v1 files — the write cost of a commit is the BATCH, never
+    * the table, and every earlier version stays byte-identical on disk.
+    */
+  private[ops] def eventsVersioned(s: SparkSession, d: String): String = {
+    val root = versionedDir(d)
+    val data = s"$root/data"
+    val mdir = s"$root/_graft_versions"
+    if (!successExists(s, mdir)) {
+      val ev = Tables.events(s, d)
+      ev.where(col("event_id") % 10 < 8)
+        .repartitionByRange(8, col("event_id"))
+        .write.mode("overwrite").parquet(data)
+      val v1 = listParquet(s, data)
+      ev.where(col("event_id") % 10 >= 8)
+        .repartition(2) // batch-sized shuffle: the append costs the batch
+        .write.mode("append").parquet(data)
+      val v2 = listParquet(s, data).filterNot(v1.toSet)
+      import s.implicits._
+      (v1.map(f => (f, 1)) ++ v2.map(f => (f, 2)))
+        .toDF("file", "version")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(mdir)
+    }
+    root
+  }
+
+  /** Snapshot read AS OF `version`: the visible file set is a manifest
+    * filter (file-count-sized metadata, driver-side planning like
+    * [[manifestSkipScan]]); the data never moves. A version, once
+    * committed, is immutable — the property that makes a training run
+    * reproducible down to the file list months after later appends.
+    */
+  def snapshotRead(s: SparkSession, root: String, version: Int): DataFrame = {
+    val files = s.read.parquet(s"$root/_graft_versions")
+      .where(col("version") <= version)
+      .collect().map(_.getAs[String]("file")).toSeq.sorted
+    require(files.nonEmpty, s"no files visible at version $version")
+    Tables.normalizeTs(s.read.parquet(files: _*))
+  }
+
+  /** Per-type stats of the VERSION-1 snapshot, read while the v2 append
+    * sits in the same directory — the oracle is the batch predicate
+    * itself, so a hash match proves snapshot isolation: the appended
+    * files are invisible to the pinned version. PartitionedSpec adds
+    * the versioning laws (v2 ⊇ v1, v2 = full table, immutability of
+    * the v1 read after the append).
+    */
+  val qTimeTravel = Q(
+    "q_time_travel",
+    (s, d) => {
+      val root = eventsVersioned(s, d)
+      snapshotRead(s, root, 1)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+            .cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+            FROM events
+            WHERE event_id % 10 < 8
+            GROUP BY event_type
+            ORDER BY event_type""")
+  )
+
+  val all: Seq[Q] =
+    Seq(qPartitionPrune, qJoinBucketed, qCompact, qManifestSkip, qTimeTravel)
 }

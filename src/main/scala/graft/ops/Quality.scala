@@ -219,5 +219,47 @@ object Quality {
     }
   )
 
-  val all: Seq[Q] = Seq(qRepetition, qPiiRedact, qLengthHistogram, qQualityClassifier)
+  /** One-pass corpus PROFILING — the schema-drift / data-contract audit
+    * a pipeline runs on every new drop before anything else touches it:
+    * row count, per-column null counts, distinct cardinalities, and
+    * value ranges for the `documents` table, as ONE wide row.
+    *
+    * Scale shape: a single aggregate pass. The exact `count(distinct)`
+    * columns plan one Expand (row × |distinct-aggs| before partial
+    * aggregation) — the price of exact cardinalities, paid here because
+    * the oracle needs exactness; the 100 TB profile swaps them for
+    * `approx_count_distinct` (the q_approx_distinct sketch) with NO
+    * other change, collapsing the pass to plain scan-speed partial
+    * aggregation. Everything else is min/max/sum/conditional-count —
+    * map-side combined, |1| row out.
+    */
+  val qProfile = Q(
+    "q_profile",
+    (s, d) =>
+      documents(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_doc_ids"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        count(when(col("text").isNull, 1)).as("n_null_text"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("total_chars"),
+        min(length(col("text"))).as("min_text_len"),
+        max(length(col("text"))).as("max_text_len")),
+    Some("""SELECT count(*) AS n_rows,
+                   count(DISTINCT doc_id) AS n_doc_ids,
+                   count(DISTINCT lang) AS n_langs,
+                   count(DISTINCT source) AS n_sources,
+                   count(CASE WHEN text IS NULL THEN 1 END) AS n_null_text,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(min(length(text)) AS INTEGER) AS min_text_len,
+                   CAST(max(length(text)) AS INTEGER) AS max_text_len
+            FROM documents""")
+  )
+
+  val all: Seq[Q] =
+    Seq(qRepetition, qPiiRedact, qLengthHistogram, qQualityClassifier, qProfile)
 }

@@ -105,4 +105,32 @@ class PartitionedSpec extends SparkSpec {
 
   private def manifestPathOf(layout: String): String =
     Partitioned.manifestDir(layout)
+
+  test("q_time_travel: snapshot isolation and version immutability") {
+    import org.apache.spark.sql.functions.col
+    val root = Partitioned.eventsVersioned(spark, sf0001)
+    val v1 = Partitioned.snapshotRead(spark, root, 1)
+    val v2 = Partitioned.snapshotRead(spark, root, 2)
+    val full = graft.ops.Tables.events(spark, sf0001)
+
+    // v2 is the complete table; v1 is the strict initial-load subset
+    assert(v2.count() == full.count(), "latest version must equal the live table")
+    assert(v1.count() < v2.count(), "v1 must pre-date the append")
+    val expectV1 = full.where(col("event_id") % 10 < 8)
+    assert(v1.count() == expectV1.count())
+    assert(v1.select("event_id").exceptAll(expectV1.select("event_id")).isEmpty,
+      "v1 snapshot diverged from the initial-load predicate")
+
+    // immutability: re-reading v1 AFTER the v2 files exist in the same
+    // data dir returns the identical row set (file-list reproducibility)
+    val again = Partitioned.snapshotRead(spark, root, 1)
+    assert(again.select("event_id").exceptAll(v1.select("event_id")).isEmpty &&
+      v1.select("event_id").exceptAll(again.select("event_id")).isEmpty)
+
+    // append-only: every v1 file is still listed at v2
+    val m = spark.read.parquet(s"$root/_graft_versions")
+    val f1 = m.where(col("version") <= 1).collect().map(_.getString(0)).toSet
+    val f2 = m.where(col("version") <= 2).collect().map(_.getString(0)).toSet
+    assert(f1.subsetOf(f2) && f2.size > f1.size)
+  }
 }
