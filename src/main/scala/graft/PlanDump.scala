@@ -21,7 +21,9 @@ object PlanDump {
       "q_substring_dedup", "q_quality_classifier", "q_lm_score",
       "q_incremental_agg", "q_sql_shingles", "q_compact", "q_incremental_dedup",
       "q_tpch_shipping", "q_tpch_market", "q_tpch_returns",
-      "q_curation_pipeline", "q_manifest_skip", "q_ann_pq"
+      "q_curation_pipeline", "q_manifest_skip", "q_ann_pq",
+      "q_cooccur", "q_triangles", "q_time_travel", "q_profile",
+      "q_anomaly", "q_window_percent"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -54,7 +56,32 @@ object PlanDump {
           "happened at plan time, driver-side); the residual ts filter still pushes to the scan."),
       "q_ann_pq" ->
         ("coarse assignment + 8 subspace code argmins + the ADC chain are ONE projection over " +
-          "the scan — no join/shuffle until the top-R TakeOrderedAndProject; rerank touches R=20 rows.")
+          "the scan — no join/shuffle until the top-R TakeOrderedAndProject; rerank touches R=20 rows."),
+      "q_cooccur" ->
+        ("within-basket pair generation is a ShuffledHashJoin on the basket key (never a cross " +
+          "product); per-basket fan-out is |basket|² with basket size domain-bounded; top-25 is " +
+          "TakeOrderedAndProject."),
+      "q_triangles" ->
+        ("oriented wedge-close: two ShuffledHashJoins keyed on the shared vertex / closing edge — " +
+          "the a<b<c orientation enumerates each triangle once; no NestedLoop anywhere."),
+      "q_pagerank_round" ->
+        ("ONE PageRank iteration (repeats 5×, each Materialize-checkpointed): edges⋈ranks " +
+          "ShuffledHashJoin on src (rank state must never broadcast), map-side-combined " +
+          "contribution sum by dst, left join back onto the node set; all rank arithmetic is " +
+          "BIGINT floor division."),
+      "q_time_travel" ->
+        ("the scan's InMemoryFileIndex lists ONLY the version-1 manifest files — the v2 append " +
+          "sits in the same directory and is invisible; snapshot selection is driver-side " +
+          "metadata planning, the data never moves."),
+      "q_profile" ->
+        ("one pass: Expand (×3 for the exact count-distincts) feeding a single partial+final " +
+          "HashAggregate — the documented approx_count_distinct swap removes the Expand at 100 TB."),
+      "q_anomaly" ->
+        ("per-user count aggregate, then a 1-ROW stats aggregate broadcast back (BroadcastExchange " +
+          "of one row) — the mean+2σ flag is a shuffle-free per-row decimal compare."),
+      "q_window_percent" ->
+        ("single keyed Window (partitioned by o_orderpriority) after one hash exchange — " +
+          "percent_rank/cume_dist add no extra exchange over the rank family.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")
@@ -74,6 +101,9 @@ object PlanDump {
     // checkpoint scan; the repeated round shape lives here.
     section("q_dedup_cc_round",
       graft.ops.Dedup.ccRound(spark, d).queryExecution
+        .explainString(ExplainMode.fromString("formatted")))
+    section("q_pagerank_round",
+      graft.ops.Graph.pagerankRound(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted")))
     // Streaming: the per-micro-batch IncrementalExecution plans — the
     // declared queries return the parquet-sink read-back, so the

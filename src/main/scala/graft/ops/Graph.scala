@@ -187,7 +187,7 @@ object Graph {
           .groupBy("dst")
           .agg(sum("contrib").as("m"))
         ranks = Materialize(
-          nodes.join(sums, col("node") === col("dst"), "left")
+          nodes.join(sums.hint("shuffle_hash"), col("node") === col("dst"), "left")
             .select(col("node"),
               (lit(baseMass) + expr("85 * coalesce(m, 0L) div 100")).as("rank")))
       }
@@ -200,6 +200,35 @@ object Graph {
     },
     Some(pagerankOracle)
   )
+
+  /** Plan-audit hook (PLANS.md): ONE PageRank iteration as a LAZY
+    * DataFrame — the per-round shape (edges⋈ranks shuffle_hash join,
+    * map-side-combined contribution sum, left join back onto nodes)
+    * that repeats [[ITERS]] times; the declared query's final plan
+    * hides it behind per-round [[Materialize]] checkpoints. Edges and
+    * uniform init ranks feed from the REAL trade-graph builder.
+    */
+  private[graft] def pagerankRound(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .join(lineitem(s, d).hint("shuffle_hash"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val edges = base.select(col("c").as("src"), col("sp").as("dst"))
+      .union(base.select(col("sp").as("src"), col("c").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, "src")
+    val nodes = edgesD.select(col("src").as("node")).distinct()
+    val ranks = nodes.select(col("node"), lit(SCALE).as("rank")) // un-normalized init: shape-identical
+    val sums = edgesD
+      .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+      .select(col("dst"), expr("rank div deg").as("contrib"))
+      .groupBy("dst")
+      .agg(sum("contrib").as("m"))
+    nodes.join(sums.hint("shuffle_hash"), col("node") === col("dst"), "left")
+      .select(col("node"),
+        (lit(SCALE) + expr("85 * coalesce(m, 0L) div 100")).as("rank"))
+  }
 
   /** One code path emits the iteration CTEs so the Spark loop above and
     * the DuckDB chain cannot diverge in round count or arithmetic —
