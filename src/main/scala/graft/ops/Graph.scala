@@ -88,6 +88,56 @@ object Graph {
             ORDER BY support DESC, pa ASC, pb ASC LIMIT 25""")
   )
 
+  /** Top-25 item pairs by LIFT (support ≥ 3) — the association-rule
+    * score: lift(a,b) = P(a,b)/(P(a)·P(b)) = support·N/(cnt_a·cnt_b).
+    * PMI is log(lift); log is monotone, so ranking by lift IS ranking
+    * by PMI with no transcendental in a hash-compared column (the
+    * engine discipline). The emitted score is exact BIGINT numerator /
+    * exact BIGINT denominator — one IEEE division, bit-identical on
+    * both engines; ties broken by the (pa, pb) total order.
+    *
+    * Scale: marginals are a corpus-scaled dimension, so BOTH joins onto
+    * the pair relation are keyed shuffles (shuffle_hash pinned — never
+    * broadcast); the basket count N is the only broadcast, a 1-row
+    * side. Min-support pruning runs BEFORE the marginal joins, so the
+    * joined relation is the interesting-pair set, not all pairs.
+    */
+  val qPmi = Q(
+    "q_pmi",
+    (s, d) => {
+      val items = orderItems(s, d)
+      val pairs = cooccurPairs(s, d).where(col("support") >= 3)
+      val marg = items.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("cnt"))
+      val nb = items.agg(countDistinct(col("l_orderkey")).as("nb"))
+      pairs
+        .join(marg.select(col("p").as("pa2"), col("cnt").as("ca")).hint("shuffle_hash"),
+          col("pa") === col("pa2"))
+        .join(marg.select(col("p").as("pb2"), col("cnt").as("cb")).hint("shuffle_hash"),
+          col("pb") === col("pb2"))
+        .crossJoin(broadcast(nb))
+        .select(col("pa"), col("pb"), col("support"),
+          ((col("support") * col("nb")).cast("double") / (col("ca") * col("cb"))).as("lift"))
+        .orderBy(col("lift").desc, col("pa").asc, col("pb").asc)
+        .limit(25)
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+              HAVING count(*) >= 3),
+            marg AS (SELECT l_partkey AS p, count(*) AS cnt FROM items GROUP BY 1),
+            nb AS (SELECT count(DISTINCT l_orderkey) AS nb FROM items)
+            SELECT pa, pb, support,
+                   CAST(support * nb AS DOUBLE) / (ca * cb) AS lift
+            FROM pairs
+            JOIN (SELECT p AS pa2, cnt AS ca FROM marg) ma ON pa = pa2
+            JOIN (SELECT p AS pb2, cnt AS cb FROM marg) mb ON pb = pb2
+            CROSS JOIN nb
+            ORDER BY lift DESC, pa ASC, pb ASC LIMIT 25""")
+  )
+
   /** Per-node triangle participation over the support-≥2 co-purchase
     * graph: for every part in at least one triangle, how many triangles
     * contain it — the local-clustering audit (on a near-dup pair graph
@@ -264,5 +314,5 @@ object Graph {
        |ORDER BY kind, key""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(qCooccur, qTriangles, qPagerank)
+  val all: Seq[Q] = Seq(qCooccur, qPmi, qTriangles, qPagerank)
 }
