@@ -23,7 +23,7 @@ object PlanDump {
       "q_tpch_shipping", "q_tpch_market", "q_tpch_returns",
       "q_curation_pipeline", "q_manifest_skip", "q_ann_pq",
       "q_cooccur", "q_triangles", "q_time_travel", "q_profile",
-      "q_anomaly", "q_window_percent"
+      "q_anomaly", "q_window_percent", "q_pmi", "q_knn_join", "q_semdedup"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -81,7 +81,20 @@ object PlanDump {
           "of one row) — the mean+2σ flag is a shuffle-free per-row decimal compare."),
       "q_window_percent" ->
         ("single keyed Window (partitioned by o_orderpriority) after one hash exchange — " +
-          "percent_rank/cume_dist add no extra exchange over the rank family.")
+          "percent_rank/cume_dist add no extra exchange over the rank family."),
+      "q_pmi" ->
+        ("min-support filter BEFORE the marginal joins; both marginal joins ShuffledHashJoin " +
+          "(corpus-scaled dimension never broadcasts); the 1-row basket count is the only " +
+          "BroadcastExchange; top-25 is TakeOrderedAndProject."),
+      "q_knn_join" ->
+        ("blocked-cartesian candidates into a rank window rewritten to WindowGroupLimit: each " +
+          "partition keeps its local top-3 per source BEFORE the a_id exchange — 3n rows cross " +
+          "the shuffle, never the n² candidate stream."),
+      "q_semdedup" ->
+        ("the Scan ExistingRDD is the Materialized assignment (argmin over the frozen codebook, " +
+          "computed once for three consumers); the within-cluster pair join shuffles on the " +
+          "cluster id (shuffle_hash); the CC loop's per-round shape is q_pagerank_round's " +
+          "sibling — see q_dedup_cc_round.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

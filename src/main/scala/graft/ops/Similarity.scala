@@ -213,6 +213,86 @@ object Similarity {
              WHERE rn <= 3 ORDER BY a_id, rn""")
   )
 
+  /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, arXiv:2303.09540) as
+    * ONE declared composite: cluster the embedding space with the
+    * frozen k-means codebook ([[IvfCodebook]] — per-row argmin
+    * expression, no shuffle in assignment), find cosine-near pairs
+    * WITHIN each cluster only, take connected components of that pair
+    * graph, and keep one representative (min id) per component.
+    *
+    * The within-cluster restriction is the algorithm's scale lever AND
+    * its documented approximation: cross-cluster near-pairs are missed
+    * by design (the paper's trade). The oracle reproduces the SAME
+    * restriction — assignment from the identical centroid literals,
+    * pair set, and a recursive-CTE closure — so the hash match verifies
+    * the whole composite including the approximation boundary.
+    *
+    * Scale: assignment is a projection; the pair join shuffles on the
+    * CLUSTER id (shuffle_hash — cluster-sized build sides, nothing
+    * broadcasts) and per-cluster pair work is (n/K)² with K grown ∝ n
+    * at web scale (the paper runs K≈10⁵ on embedding shards); CC is the
+    * pointer-jumping loop shared with q_dedup_cc. The assignment is
+    * Materialized once — three consumers (pair join both sides, node
+    * set, final projection) read the checkpoint, not the argmin chain.
+    */
+  val qSemdedup = Q(
+    "q_semdedup",
+    (s, d) => {
+      val emb = embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val best = array_min(array(IvfCodebook.centroids.zipWithIndex.map { case (cv, cid) =>
+        struct(sqDist(col("v"), typedLit(cv.toSeq)).as("dist"), lit(cid).as("cid"))
+      }: _*))
+      val assign = Materialize(fanOut(emb).select(
+        col("vec_id"), col("v"),
+        sqrt(norm2(col("v"))).as("nrm"),
+        best.getField("cid").as("cid")))
+      val pairs = assign.as("x")
+        .hint("shuffle_hash")
+        .join(assign.as("y"),
+          col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+        .where(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) >= 0.45)
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      val nodes = assign.select(col("vec_id").as("node"))
+      val labels = Dedup.connectedComponents(pairs, nodes)
+      assign.select(col("vec_id"), col("cid"))
+        .join(labels, col("vec_id") === col("node"))
+        .select(col("vec_id"), col("cid"), col("label").as("rep"),
+          (col("vec_id") === col("label")).as("keep"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             c AS (SELECT * FROM (VALUES
+               $duckCodebook) t(cid, cv)),
+             dists AS (
+               SELECT e.vec_id, e.v, c.cid,
+                      list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) for i in range(1,65)]) AS dist
+               FROM e, c),
+             assign AS (
+               SELECT vec_id, v, cid FROM (
+                 SELECT vec_id, v, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+                 FROM dists) t WHERE rn = 1),
+             pairs AS (
+               SELECT a.vec_id AS a_id, b.vec_id AS b_id
+               FROM assign a JOIN assign b
+                 ON a.cid = b.cid AND a.vec_id < b.vec_id
+               WHERE ${duckCos("a.v", "b.v")} >= 0.45),
+             edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                       UNION ALL SELECT b_id, a_id FROM pairs),
+             walk(node, label) AS (
+               SELECT vec_id, vec_id FROM assign
+               UNION
+               SELECT e2.src, w.label FROM edges e2 JOIN walk w ON e2.dst = w.node)
+             SELECT a.vec_id, a.cid, l.rep, a.vec_id = l.rep AS keep
+             FROM assign a
+             JOIN (SELECT node, min(label) AS rep FROM walk GROUP BY node) l
+               ON a.vec_id = l.node
+             ORDER BY a.vec_id""")
+  )
+
   /** [[nearPairsBlocked]] without the threshold, carrying the rounded
     * cosine — the kNN-graph candidate stream. Same block-pair key
     * structure, same exactness argument (blocking partitions the pair
@@ -786,7 +866,7 @@ object Similarity {
   )
 
   val all: Seq[Q] =
-    Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qKnnJoin, qDedupEmbedding,
+    Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qKnnJoin, qSemdedup, qDedupEmbedding,
       qEmbeddingCc, qAnnIvf, qAnnPq, qAnnLsh, qPairwiseNear, qMultimodalJoin,
       qMultimodalMeta)
 }

@@ -324,6 +324,28 @@ class QueriesPlanSpec extends SparkSpec {
     assert(tri.contains("ShuffledHashJoin"), "edge-state joins must stay shuffled")
   }
 
+  test("q_knn_join: WindowGroupLimit prunes candidates before the exchange") {
+    val p = plan("q_knn_join")
+    assert(p.contains("WindowGroupLimit"),
+      "per-source top-k must prune partition-locally before the shuffle")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "blocked candidate join degenerated to a cross product")
+    assert(p.contains("ShuffledHashJoin"), "block-pair join must stay shuffled")
+  }
+
+  test("q_pmi: marginal joins shuffled, only the 1-row count broadcasts") {
+    val p = plan("q_pmi")
+    assert(p.contains("ShuffledHashJoin"), "marginal joins must not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-25 must not be a global sort")
+    // exactly ONE nested-loop node is expected and correct: the 1-row
+    // basket-count stats side joins as BroadcastNestedLoopJoin Cross
+    // (the q_heavy_hitters shape); any OTHER nested loop is a regression
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(p).size == 1)
+    assert(p.linesIterator.filter(_.contains("NestedLoop"))
+      .forall(_.contains("BroadcastNestedLoopJoin")),
+      "a data-scale join degenerated to a nested loop")
+  }
+
   test("ingest plan is shuffle-free (scan -> cast, no Exchange)") {
     val p = graft.ingest.Ingest
       .typed(graft.ingest.Ingest.readRaw(spark, graft.ops.IngestQueries.fixturePath))

@@ -50,6 +50,31 @@ class GraphSpec extends SparkSpec {
     assert(got == brute.toMap, "triangle participation diverged")
   }
 
+  test("q_pmi: lift matches brute force and rank equals the PMI rank") {
+    val got = Graph.qPmi.fn(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getDouble(3)))
+    val bs = baskets.values.toSeq
+    val n = bs.size.toLong
+    val marg = bs.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val support = bs
+      .flatMap(items => items.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    got.foreach { case (k, sup, lift) =>
+      assert(support(k) == sup)
+      assert(sup >= 3, "min support violated")
+      val expect = (sup * n).toDouble / (marg(k._1) * marg(k._2))
+      assert(lift == expect, s"lift mismatch at $k: $lift vs $expect")
+      // rank-equivalence: lift order is PMI order (log is monotone)
+      assert(math.log(lift) == math.log(expect))
+    }
+    // nothing outside the top-25 beats the weakest returned lift
+    val cutoff = got.map(_._3).min
+    val returned = got.map(_._1).toSet
+    support.collect { case (k, sup) if sup >= 3 && !returned(k) =>
+      (sup * n).toDouble / (marg(k._1) * marg(k._2))
+    }.foreach(l => assert(l <= cutoff))
+  }
+
   test("q_pagerank: exact mass bounds, positivity, and kind encoding") {
     val rows = Graph.qPagerank.fn(spark, sf0001).collect()
     val n = rows.length
