@@ -23,7 +23,8 @@ object PlanDump {
       "q_tpch_shipping", "q_tpch_market", "q_tpch_returns",
       "q_curation_pipeline", "q_manifest_skip", "q_ann_pq",
       "q_cooccur", "q_triangles", "q_time_travel", "q_profile",
-      "q_anomaly", "q_window_percent", "q_pmi", "q_knn_join", "q_semdedup"
+      "q_anomaly", "q_window_percent", "q_pmi", "q_knn_join", "q_semdedup",
+      "q_vacuum"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -94,7 +95,11 @@ object PlanDump {
         ("the Scan ExistingRDD is the Materialized assignment (argmin over the frozen codebook, " +
           "computed once for three consumers); the within-cluster pair join shuffles on the " +
           "cluster id (shuffle_hash); the CC loop's per-round shape is q_pagerank_round's " +
-          "sibling — see q_dedup_cc_round.")
+          "sibling — see q_dedup_cc_round."),
+      "q_vacuum" ->
+        ("the head read scans ONLY the 2 compacted files (the post-vacuum directory); the " +
+          "compaction/vacuum themselves are driver-side metadata diffs + FS ops — no data-scale " +
+          "compute appears in any plan.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

@@ -330,8 +330,11 @@ object Partitioned {
   // snapshot versioning (time travel)
   // ---------------------------------------------------------------------
 
+  // the `m2` tag names the MANIFEST FORMAT (full file list per version,
+  // Iceberg-style) — bumping it on a format change invalidates cached
+  // layouts written under the old reader contract
   private def versionedDir(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_events_versioned_${sourceKey(Seq(s"$d/events.parquet"))}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_events_versioned_m2_${sourceKey(Seq(s"$d/events.parquet"))}"
 
   private def listParquet(s: SparkSession, dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -345,17 +348,23 @@ object Partitioned {
 
   /** Two-commit VERSIONED layout — the MVCC idiom under every lake
     * format's time travel: data files only ever ACCUMULATE in `data/`;
-    * a manifest row (file, version) is what makes a file visible; and
-    * the manifest's own `_SUCCESS` is written LAST, so a reader either
-    * sees a fully committed table or none of it.
+    * the manifest is what makes a file visible — one row (version,
+    * file) per file VISIBLE AT that version, the Iceberg snapshot
+    * shape (a full list per version, so rewrites can retire files
+    * without tombstone algebra); and the manifest's own `_SUCCESS` is
+    * written LAST, so a reader either sees a fully committed table or
+    * none of it.
     *
     * Version 1 = the initial load (event_id % 10 < 8, range-clustered);
     * version 2 = an appended batch (the rest). The append never
     * rewrites v1 files — the write cost of a commit is the BATCH, never
     * the table, and every earlier version stays byte-identical on disk.
     */
-  private[ops] def eventsVersioned(s: SparkSession, d: String): String = {
-    val root = versionedDir(d)
+  private[ops] def eventsVersioned(s: SparkSession, d: String): String =
+    buildVersioned(s, d, versionedDir(d), withCompaction = false)
+
+  private def buildVersioned(
+      s: SparkSession, d: String, root: String, withCompaction: Boolean): String = {
     val data = s"$root/data"
     val mdir = s"$root/_graft_versions"
     if (!successExists(s, mdir)) {
@@ -367,9 +376,21 @@ object Partitioned {
       ev.where(col("event_id") % 10 >= 8)
         .repartition(2) // batch-sized shuffle: the append costs the batch
         .write.mode("append").parquet(data)
-      val v2 = listParquet(s, data).filterNot(v1.toSet)
+      val v2 = listParquet(s, data)
+      // v3 (vacuum lifecycle only): COMPACTION commit — rewrite the head
+      // into 2 range-clustered files; the new manifest lists ONLY them,
+      // retiring every v1/v2 file from the head without touching bytes
+      val v3 =
+        if (!withCompaction) Seq.empty
+        else {
+          Tables.normalizeTs(s.read.parquet(v2: _*))
+            .repartitionByRange(2, col("event_id"))
+            .sortWithinPartitions("event_id")
+            .write.mode("append").parquet(data)
+          listParquet(s, data).filterNot(v2.toSet)
+        }
       import s.implicits._
-      (v1.map(f => (f, 1)) ++ v2.map(f => (f, 2)))
+      (v1.map(f => (f, 1)) ++ v2.map(f => (f, 2)) ++ v3.map(f => (f, 3)))
         .toDF("file", "version")
         .coalesce(1)
         .write.mode("overwrite").parquet(mdir)
@@ -385,10 +406,33 @@ object Partitioned {
     */
   def snapshotRead(s: SparkSession, root: String, version: Int): DataFrame = {
     val files = s.read.parquet(s"$root/_graft_versions")
-      .where(col("version") <= version)
+      .where(col("version") === version)
       .collect().map(_.getAs[String]("file")).toSeq.sorted
     require(files.nonEmpty, s"no files visible at version $version")
     Tables.normalizeTs(s.read.parquet(files: _*))
+  }
+
+  /** VACUUM: physically delete every data file not visible at any
+    * version ≥ `horizon` — the retention-driven reclamation every lake
+    * format pairs with time travel. Purely a metadata diff (manifest
+    * file set vs directory listing) followed by FS deletes: no data
+    * moves, no manifest rewrite, and versions ≥ horizon remain
+    * byte-identically readable. Time travel BELOW the horizon is
+    * intentionally destroyed — that is the storage the operation
+    * reclaims. Returns (files before, files after).
+    */
+  def vacuum(s: SparkSession, root: String, horizon: Int): (Int, Int) = {
+    val data = s"$root/data"
+    val keep = s.read.parquet(s"$root/_graft_versions")
+      .where(col("version") >= horizon)
+      .collect().map(_.getAs[String]("file")).toSet
+    require(keep.nonEmpty, s"vacuum horizon $horizon would empty the table")
+    val all = listParquet(s, data)
+    val fs = new org.apache.hadoop.fs.Path(data)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    all.filterNot(keep).foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    (all.size, listParquet(s, data).size)
   }
 
   /** Per-type stats of the VERSION-1 snapshot, read while the v2 append
@@ -418,6 +462,44 @@ object Partitioned {
             ORDER BY event_type""")
   )
 
+  private def vacuumDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_events_vacuum_m2_${sourceKey(Seq(s"$d/events.parquet"))}"
+
+  /** The full lake-maintenance LIFECYCLE on its own layout copy (so
+    * [[qTimeTravel]]'s history stays intact): initial load (v1) →
+    * append (v2) → compaction commit (v3, head rewritten into 2 files,
+    * old files retired from the manifest but not from disk) → VACUUM at
+    * horizon 3, physically reclaiming every file below the horizon.
+    * The declared query reads the head AFTER the vacuum; its oracle is
+    * the full unversioned table, so the hash match proves compaction +
+    * vacuum preserved every visible row while the directory shrank to
+    * the 2 compacted files (PartitionedSpec asserts the file-count
+    * collapse, sub-horizon read failure, and vacuum idempotence).
+    */
+  private[ops] def vacuumedLayout(s: SparkSession, d: String): String =
+    buildVersioned(s, d, vacuumDir(d), withCompaction = true)
+
+  val qVacuum = Q(
+    "q_vacuum",
+    (s, d) => {
+      val root = vacuumedLayout(s, d)
+      vacuum(s, root, horizon = 3)
+      snapshotRead(s, root, 3)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+            .cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type""")
+  )
+
   val all: Seq[Q] =
-    Seq(qPartitionPrune, qJoinBucketed, qCompact, qManifestSkip, qTimeTravel)
+    Seq(qPartitionPrune, qJoinBucketed, qCompact, qManifestSkip, qTimeTravel,
+      qVacuum)
 }

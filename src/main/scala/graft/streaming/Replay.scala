@@ -463,34 +463,9 @@ object Replay {
   val qStreamSessions: graft.ops.Q = graft.ops.Q(
     "q_stream_sessions",
     (s, d) => {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      import java.nio.file.attribute.FileTime
-      val live = Files.createTempDirectory("replay-sess-in-")
-      val src = Paths.get(s"$d/events.parquet")
-      Files.copy(src, live.resolve("00.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(live.resolve("00.parquet"), FileTime.fromMillis(1000000000000L))
-      // sentinel: one far-future event in the SAME physical shape as the
-      // copied source file (a streaming dir must be schema-homogeneous)
-      val sentinelSecs = 4102444800L // 2100-01-01T00:00Z
-      val longShape = tsIsLong(s, src.toString)
-      val row =
-        if (longShape)
-          org.apache.spark.sql.Row(-1L, sentinelSecs * 1000000000L, -1L, "sentinel", 0.0, "{}")
-        else
-          org.apache.spark.sql.Row(-1L,
-            java.time.LocalDateTime.ofEpochSecond(sentinelSecs, 0, java.time.ZoneOffset.UTC),
-            -1L, "sentinel", 0.0, "{}")
-      val tmp = Files.createTempDirectory("sess-sentinel-")
-      s.createDataFrame(java.util.List.of(row), if (longShape) rawSchema else rawSchemaNtz)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      // CLOSE the directory stream (it holds an fd — see FsUtil's note)
-      val listing = Files.list(tmp)
-      val part =
-        try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
-        finally listing.close()
-      Files.move(part, live.resolve("01.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(live.resolve("01.parquet"), FileTime.fromMillis(1000000060000L))
-      val out = Files.createTempDirectory("replay-sess-out-").toString + "/sessions"
+      val live = sentinelReplayDir(s, d)
+      val out = java.nio.file.Files
+        .createTempDirectory("replay-sess-out-").toString + "/sessions"
       val sessions = replaySessions(s, live.toString, out)
         .toDF()
         .where(org.apache.spark.sql.functions.col("user_id") =!= -1L)
@@ -498,7 +473,6 @@ object Replay {
       // the replay has fully consumed its inputs; only `out` (lazily
       // read) must survive — don't leave an events copy per run in /tmp
       graft.FsUtil.deleteRecursively(live)
-      graft.FsUtil.deleteRecursively(tmp)
       sessions
     },
     qSessions.oracle
@@ -619,6 +593,123 @@ object Replay {
     Some("""SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY text ORDER BY doc_id""")
   )
+
+  final case class CdcEvt(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class CdcState(tsMs: Long, eid: Long, op: String, v: Double, n: Long)
+  final case class CdcOut(user_id: Long, last_op: String, last_value: Double,
+      n_changes: Long)
+
+  /** Streaming CDC APPLY (E10 × E14) — the upsert-view maintenance a
+    * change stream feeds (the Kafka→lake MERGE idiom): per key, keep
+    * the LATEST operation by (ts, event_id) plus the change count. The
+    * state fold is a commutative monoid — max by (ts, eid) and a sum —
+    * so ANY split of the stream into micro-batches, any arrival order,
+    * and a checkpoint restart all produce the same view: that is what
+    * makes the single-file driver replay ORACLED against the batch
+    * window SQL (q_cdc_apply), and ReplaySpec proves the multi-batch
+    * and restart laws on a split replay.
+    *
+    * End-of-stream: like [[sessionize]]'s bounded replay, final rows
+    * flush via event-time timeouts when the far-future sentinel
+    * advances the watermark; on a live stream there is no end and the
+    * view simply stays current in state (the Update-mode deployment).
+    * State is one fixed-width row per key, sharded with the shuffle.
+    */
+  def cdcApply(evts: Dataset[CdcEvt]): Dataset[CdcOut] = {
+    import evts.sparkSession.implicits._
+    evts
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcOut](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout
+      ) { (uid: Long, it: Iterator[CdcEvt], state: GroupState[CdcState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          if (s.op == "error") Iterator.empty // batch rule: error last-op drops
+          else Iterator.single(CdcOut(uid, s.op, s.v, s.n))
+        } else {
+          val merged = it.foldLeft(state.getOption.orNull) { (acc, e) =>
+            val t = e.ts.getTime
+            if (acc == null || t > acc.tsMs || (t == acc.tsMs && e.event_id > acc.eid))
+              CdcState(t, e.event_id, e.event_type, e.value,
+                (if (acc == null) 0L else acc.n) + 1)
+            else acc.copy(n = acc.n + 1)
+          }
+          state.update(merged)
+          // flush when the watermark passes the stream's end (sentinel)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          Iterator.empty
+        }
+      }
+  }
+
+  /** Declared query — single-file replay + sentinel, ORACLED with the
+    * batch q_cdc_apply SQL (see [[cdcApply]]'s invariance argument).
+    */
+  val qStreamCdc: graft.ops.Q = graft.ops.Q(
+    "q_stream_cdc",
+    (s, d) => {
+      import s.implicits._
+      val live = sentinelReplayDir(s, d)
+      val out = java.nio.file.Files.createTempDirectory("replay-cdc-out-").toString + "/cdc"
+      val evts = readEvents(s, live.toString)
+        .select("event_id", "ts", "user_id", "event_type", "value").as[CdcEvt]
+      val ckpt = java.nio.file.Files.createTempDirectory("cdc-ckpt-")
+      withStatePartitions(s) {
+        val q = cdcApply(evts).writeStream
+          .format("parquet")
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt.toString)
+          .option("path", out)
+          .start()
+        q.awaitTermination()
+      }
+      graft.FsUtil.deleteRecursively(ckpt)
+      graft.FsUtil.deleteRecursively(live)
+      s.read.parquet(out)
+        .where(col("user_id") =!= -1L)
+        .orderBy("user_id")
+    },
+    graft.ops.Dedup.qCdcApply.oracle
+  )
+
+  /** Replay dir: the events file plus the far-future sentinel that
+    * advances the watermark past every real event — shared by the
+    * sessionization and CDC replays (the streaming end-of-input
+    * marker any bounded replay of an unbounded operator needs).
+    */
+  private def sentinelReplayDir(s: SparkSession, d: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val live = Files.createTempDirectory("replay-sentinel-in-")
+    val src = Paths.get(s"$d/events.parquet")
+    Files.copy(src, live.resolve("00.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(live.resolve("00.parquet"), FileTime.fromMillis(1000000000000L))
+    val sentinelSecs = 4102444800L // 2100-01-01T00:00Z
+    val longShape = tsIsLong(s, src.toString)
+    val row =
+      if (longShape)
+        org.apache.spark.sql.Row(-1L, sentinelSecs * 1000000000L, -1L, "sentinel", 0.0, "{}")
+      else
+        org.apache.spark.sql.Row(-1L,
+          java.time.LocalDateTime.ofEpochSecond(sentinelSecs, 0, java.time.ZoneOffset.UTC),
+          -1L, "sentinel", 0.0, "{}")
+    val tmp = Files.createTempDirectory("sentinel-file-")
+    s.createDataFrame(java.util.List.of(row), if (longShape) rawSchema else rawSchemaNtz)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
+      finally listing.close()
+    Files.move(part, live.resolve("01.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(live.resolve("01.parquet"), FileTime.fromMillis(1000000060000L))
+    graft.FsUtil.deleteRecursively(tmp)
+    live
+  }
 
   def replaySessions(spark: SparkSession, dir: String, outDir: String): Dataset[Session] = {
     import spark.implicits._

@@ -133,4 +133,30 @@ class PartitionedSpec extends SparkSpec {
     val f2 = m.where(col("version") <= 2).collect().map(_.getString(0)).toSet
     assert(f1.subsetOf(f2) && f2.size > f1.size)
   }
+
+  test("q_vacuum: compaction + vacuum collapse the directory, preserve the head, destroy sub-horizon reads") {
+    val root = Partitioned.vacuumedLayout(spark, sf0001)
+    val full = graft.ops.Tables.events(spark, sf0001).count()
+
+    // pre-vacuum: full history readable, head == table, data dir holds
+    // load + append + compaction files
+    assert(Partitioned.snapshotRead(spark, root, 1).count() < full)
+    assert(Partitioned.snapshotRead(spark, root, 2).count() == full)
+    assert(Partitioned.snapshotRead(spark, root, 3).count() == full)
+
+    val (before, after) = Partitioned.vacuum(spark, root, horizon = 3)
+    assert(before > after && after == 2,
+      s"vacuum must leave exactly the 2 compacted files ($before -> $after)")
+
+    // head still byte-complete; sub-horizon time travel is gone (its
+    // files were the reclaimed storage)
+    assert(Partitioned.snapshotRead(spark, root, 3).count() == full)
+    intercept[Exception] {
+      Partitioned.snapshotRead(spark, root, 1).count()
+    }
+
+    // idempotent: nothing left to reclaim
+    val (b2, a2) = Partitioned.vacuum(spark, root, horizon = 3)
+    assert(b2 == 2 && a2 == 2)
+  }
 }

@@ -122,6 +122,47 @@ class ReplaySpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming CDC apply: split replay == batch window, any batch boundaries") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    // 5 micro-batches: per-key latest-op state must merge across
+    // batches; the commutative-monoid fold makes the boundaries
+    // invisible — this is the law that lets the declared single-file
+    // replay carry the batch oracle
+    val dir = sliceEvents(5, sentinel = true)
+    val evts = Replay.readEvents(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Replay.CdcEvt]
+    val out = Files.createTempDirectory("cdc-spec-out-").toString + "/rows"
+    val ckpt = Files.createTempDirectory("cdc-spec-ckpt-")
+    val q = Replay.cdcApply(evts).writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .option("path", out)
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .where(col("user_id") =!= -1L)
+      .select("user_id", "last_op", "last_value", "n_changes")
+
+    val byKey = Window.partitionBy("user_id")
+    val w = byKey.orderBy(col("ts").desc, col("event_id").desc)
+    val batch = batchEvents(dir)
+      .where(col("user_id") =!= -1L)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(byKey))
+      .where(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("last_op"),
+        col("value").as("last_value"), col("n_changes"))
+
+    assert(got.count() > 0)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streamed CDC view diverged from the batch window")
+  }
+
   test("restart from checkpoint: offsets + join state recover, exactly-once output") {
     val src = sliceEvents(4, sentinel = false)
     val live = Files.createTempDirectory("events-live-")

@@ -21,6 +21,14 @@ parquet in plain Python:
   q_dedup_embedding                - BOTH directions: a sampled survivor
       has no lower-id neighbor at cos >= 0.45 (soundness), a sampled
       eliminated vector has one (completeness).
+  q_knn_join (r5)                  - sampled sources: the claimed top-3
+      neighbor set equals the brute-force numpy top-3 (rounding-boundary
+      ties tolerated within the 1e-6 rounding quantum).
+  q_semdedup (r5)                  - sampled components: members share
+      one cluster id, the induced cosine subgraph is connected, rep is
+      the min member, keep <=> id==rep; sampled same-cluster cross-rep
+      pairs have no qualifying edge (separation); sampled assignments
+      re-derived against the frozen codebook parsed from IvfCodebook.
 
 Usage: python3 tools/sampled_check.py <sfDir> <verifyOutDir> [samples] [seed]
 Exit 0 = every sampled claim verified.
@@ -241,6 +249,106 @@ def main(sf, out_dir, n_samples=100, seed=42):
         f"{min(n_samples, len(eliminated))} eliminated sampled, {s_bad + e_bad} failures "
         f"({len(surv)} survivors / {len(eliminated)} eliminated total)"
     )
+
+    # --- q_knn_join (r5): sampled sources vs brute-force top-3 -----------
+    knn = con.execute(
+        f"SELECT a_id, b_id, cos_sim, rn FROM '{out_dir}/q_knn_join/*.parquet'"
+    ).fetchall()
+    if knn:
+        by_src = {}
+        for a, b, c, rn in knn:
+            by_src.setdefault(a, []).append((rn, b, c))
+        k_bad = 0
+        for src in rng.sample(sorted(by_src), min(n_samples, len(by_src))):
+            claimed = sorted(by_src[src])
+            i = idx_of[int(src)]
+            c = (V @ V[i]) / (norms * norms[i])
+            c[i] = -2.0  # exclude self
+            order = sorted(range(len(c)), key=lambda j: (-round(c[j], 6), vec_ids[j]))
+            true3 = [int(vec_ids[j]) for j in order[:3]]
+            got3 = [int(b) for _, b, _ in claimed]
+            if got3 != true3:
+                # tolerate rounding-boundary ties: every claimed neighbor's
+                # true cosine must be within the rounding quantum of the
+                # true 3rd best
+                third = round(c[order[2]], 6)
+                if not all(round(c[idx_of[b]], 6) >= third - 1e-6 for b in got3):
+                    k_bad += 1
+                    if k_bad <= 3:
+                        failures.append(
+                            f"q_knn_join: source {src} claimed {got3} vs true {true3}")
+            for rn_, b, cos_claim in claimed:
+                if abs(cos_claim - c[idx_of[int(b)]]) > 5e-7:
+                    k_bad += 1
+                    failures.append(
+                        f"q_knn_join: source {src} neighbor {b} cosine {cos_claim} "
+                        f"vs recomputed {c[idx_of[int(b)]]:.7f}")
+        print(f"q_knn_join: {min(n_samples, len(by_src))} sampled sources, "
+              f"{k_bad} failures ({len(by_src)} sources total)")
+        if k_bad:
+            failures.append(f"q_knn_join: {k_bad} sampled-source failures")
+    else:
+        failures.append("q_knn_join: empty output")
+
+    # --- q_semdedup (r5): component laws + sampled argmin assignment -----
+    sem = con.execute(
+        f"SELECT vec_id, cid, rep, keep FROM '{out_dir}/q_semdedup/*.parquet'"
+    ).fetchall()
+    if sem:
+        cid_of = {int(v): int(c) for v, c, _, _ in sem}
+        rep_of = {int(v): int(r) for v, _, r, _ in sem}
+        comp = {}
+        for v, c, r, k in sem:
+            comp.setdefault(int(r), []).append(int(v))
+            if bool(k) != (int(v) == int(r)):
+                failures.append(f"q_semdedup: keep flag wrong at {v}")
+        multi = [(r, m) for r, m in comp.items() if len(m) > 1]
+        s_bad = 0
+        for r, members in rng.sample(multi, min(n_samples, len(multi))) if multi else []:
+            if len({cid_of[m] for m in members}) != 1:
+                s_bad += 1
+                failures.append(f"q_semdedup: component {r} spans clusters")
+            if min(members) != r:
+                s_bad += 1
+                failures.append(f"q_semdedup: component {r} rep is not min member")
+            if not connected(members, emb_edges(members)):
+                s_bad += 1
+                failures.append(f"q_semdedup: component {r} induced subgraph disconnected")
+        # separation: same-cluster, different-rep pairs have no edge
+        by_cid = {}
+        for v in cid_of:
+            by_cid.setdefault(cid_of[v], []).append(v)
+        sep_checked = 0
+        for _ in range(min(n_samples, 100)):
+            cid = rng.choice(sorted(by_cid))
+            ms = by_cid[cid]
+            a, b = rng.choice(ms), rng.choice(ms)
+            if rep_of[a] != rep_of[b]:
+                ca = (V[idx_of[a]] @ V[idx_of[b]]) / (norms[idx_of[a]] * norms[idx_of[b]])
+                sep_checked += 1
+                if ca >= COS_T + EPS:
+                    s_bad += 1
+                    failures.append(
+                        f"q_semdedup: cross-rep pair ({a},{b}) in cluster {cid} has an edge")
+        # sampled argmin assignment against the frozen codebook
+        import re as _re
+        src_txt = open("src/main/scala/graft/ops/IvfCodebook.scala").read()
+        m = _re.search(r'FROZEN: String =\s*"([^"]+)"', src_txt)
+        a_checked = 0
+        if m:
+            cb = np.array([[float(x) for x in vec.split(",")]
+                           for vec in m.group(1).split(";")])
+            for v in rng.sample(sorted(cid_of), min(n_samples, len(cid_of))):
+                dists = ((cb - V[idx_of[v]]) ** 2).sum(axis=1)
+                a_checked += 1
+                if int(np.lexsort((np.arange(len(cb)), dists))[0]) != cid_of[v]:
+                    s_bad += 1
+                    failures.append(f"q_semdedup: assignment of {v} is not the argmin centroid")
+        print(f"q_semdedup: {min(n_samples, len(multi))} components + {sep_checked} "
+              f"separation pairs + {a_checked} assignments sampled, {s_bad} failures "
+              f"({len(multi)} multi-member components of {len(comp)})")
+    else:
+        failures.append("q_semdedup: empty output")
 
     for f in failures:
         print(f"FAIL {f}")

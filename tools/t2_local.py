@@ -3,7 +3,13 @@
 dumped by graft.Verify, run the corresponding oracle SQL in DuckDB over
 the same parquet tables and compare values exactly.
 
-Usage: python3 tools/t2_local.py <sfDir> <verifyOutDir>
+Usage: python3 tools/t2_local.py <sfDir> <verifyOutDir> [timeoutSec]
+
+With a timeoutSec, each oracle comparison runs in a child process under
+a per-query budget; exceeding it records SKIP (oracle infeasible at
+this scale — the sampled checker covers those), not FAIL. This is the
+sf1 mode: the all-pairs / recursive-CTE oracles are quadratic-plus in
+DuckDB while the engine's own shapes stay tractable.
 """
 import json
 import sys
@@ -22,7 +28,44 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def compare_one(sf_dir, out_dir, name, sql, q):
+    """Child-process body: run one oracle + compare; put result on q."""
+    try:
+        q.put(run_compare(sf_dir, out_dir, name, sql))
+    except Exception as e:  # pragma: no cover - defensive
+        q.put((name, False, f"checker crashed: {e}"))
+
+
+def run_compare(sf_dir, out_dir, name, sql):
+    con = connect(sf_dir)
+    try:
+        expect = norm(con.execute(sql).fetchdf())
+    except Exception as e:
+        return (name, False, f"oracle SQL failed: {e}")
+    try:
+        got = norm(
+            con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        )
+    except Exception as e:
+        return (name, False, f"spark output unreadable: {e}")
+    if list(got.columns) != list(expect.columns):
+        return (name, False,
+                f"columns differ: spark={list(got.columns)} oracle={list(expect.columns)}")
+    if len(got) != len(expect):
+        return (name, False, f"row count differ: spark={len(got)} oracle={len(expect)}")
+    bad_cols = []
+    for c in got.columns:
+        a, b = got[c], expect[c]
+        eq = (a == b) | (a.isna() & b.isna())
+        if not eq.all():
+            i = int((~eq).idxmax())
+            bad_cols.append(f"{c} (first diff row {i}: {a[i]!r} vs {b[i]!r})")
+    if bad_cols:
+        return (name, False, "value mismatch: " + "; ".join(bad_cols))
+    return (name, True, f"({len(got)} rows)")
+
+
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -41,53 +84,41 @@ def main(sf_dir: str, out_dir: str) -> int:
             "CREATE VIEW events AS SELECT * REPLACE"
             f" (make_timestamp(ts // 1000) AS ts) FROM '{sf_dir}/events.parquet'"
         )
+    return con
+
+
+def main(sf_dir: str, out_dir: str, timeout_sec: float | None = None) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
+    skipped = []
     for name, sql in sorted(oracle.items()):
-        try:
-            expect = norm(con.execute(sql).fetchdf())
-        except Exception as e:
-            failures.append((name, f"oracle SQL failed: {e}"))
-            continue
-        try:
-            got = norm(
-                con.execute(
-                    f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
-                ).fetchdf()
-            )
-        except Exception as e:
-            failures.append((name, f"spark output unreadable: {e}"))
-            continue
-        if list(got.columns) != list(expect.columns):
-            failures.append(
-                (name, f"columns differ: spark={list(got.columns)} oracle={list(expect.columns)}")
-            )
-            continue
-        if len(got) != len(expect):
-            failures.append((name, f"row count differ: spark={len(got)} oracle={len(expect)}"))
-            continue
-        dtype_diff = [
-            (c, str(got[c].dtype), str(expect[c].dtype))
-            for c in got.columns
-            if str(got[c].dtype) != str(expect[c].dtype)
-        ]
-        bad_cols = []
-        for c in got.columns:
-            a, b = got[c], expect[c]
-            eq = (a == b) | (a.isna() & b.isna())
-            if not eq.all():
-                i = int((~eq).idxmax())
-                bad_cols.append(f"{c} (first diff row {i}: {a[i]!r} vs {b[i]!r})")
-        if bad_cols:
-            failures.append((name, "value mismatch: " + "; ".join(bad_cols)))
+        if timeout_sec is None:
+            name_, ok, msg = run_compare(sf_dir, out_dir, name, sql)
         else:
-            note = f" [dtype diff: {dtype_diff}]" if dtype_diff else ""
-            print(f"PASS {name} ({len(got)} rows){note}")
+            import multiprocessing as mp
+            q = mp.Queue()
+            proc = mp.Process(target=compare_one, args=(sf_dir, out_dir, name, sql, q))
+            proc.start()
+            proc.join(timeout_sec)
+            if proc.is_alive():
+                proc.terminate()
+                proc.join()
+                skipped.append(name)
+                print(f"SKIP {name}: oracle exceeded {timeout_sec:.0f}s budget")
+                continue
+            name_, ok, msg = q.get()
+        if ok:
+            print(f"PASS {name} {msg}")
+        else:
+            failures.append((name, msg))
     for name, msg in failures:
         print(f"FAIL {name}: {msg}")
-    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} oracle queries pass")
+    done = len(oracle) - len(failures) - len(skipped)
+    extra = f" ({len(skipped)} skipped on budget)" if skipped else ""
+    print(f"\n{done}/{len(oracle) - len(skipped)} oracle queries pass{extra}")
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    t = float(sys.argv[3]) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], t))
