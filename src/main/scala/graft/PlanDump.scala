@@ -24,7 +24,7 @@ object PlanDump {
       "q_curation_pipeline", "q_manifest_skip", "q_ann_pq",
       "q_cooccur", "q_triangles", "q_time_travel", "q_profile",
       "q_anomaly", "q_window_percent", "q_pmi", "q_knn_join", "q_semdedup",
-      "q_vacuum"
+      "q_vacuum", "q_window_range", "q_domain_filter"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -99,7 +99,19 @@ object PlanDump {
       "q_vacuum" ->
         ("the head read scans ONLY the 2 compacted files (the post-vacuum directory); the " +
           "compaction/vacuum themselves are driver-side metadata diffs + FS ops — no data-scale " +
-          "compute appears in any plan.")
+          "compute appears in any plan."),
+      "q_window_range" ->
+        ("single keyed Window (partitioned by user_id, RANGE frame on integer epoch seconds) " +
+          "after one hash exchange — the trailing-1-hour frame adds no exchange over ROWS frames."),
+      "q_domain_filter" ->
+        ("per-source stats via map-side-combined HashAggregate, then a BroadcastHashJoin " +
+          "LeftAnti — the blocklist build side is bounded by the domain universe, the one " +
+          "legitimately-broadcast join in the dedup/curation family."),
+      "q_bpe_round" ->
+        ("ONE BPE training round (repeats 6×, each Materialize-checkpointed): map-side-combined " +
+          "pair-count HashAggregate (the only shuffle), TakeOrderedAndProject argmax (1 row), " +
+          "BroadcastNestedLoopJoin of that 1-row rule onto the corpus, shuffle-free replace " +
+          "projection.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")
@@ -122,6 +134,9 @@ object PlanDump {
         .explainString(ExplainMode.fromString("formatted")))
     section("q_pagerank_round",
       graft.ops.Graph.pagerankRound(spark, d).queryExecution
+        .explainString(ExplainMode.fromString("formatted")))
+    section("q_bpe_round",
+      graft.ops.Vocab.bpeRound(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted")))
     // Streaming: the per-micro-batch IncrementalExecution plans — the
     // declared queries return the parquet-sink read-back, so the

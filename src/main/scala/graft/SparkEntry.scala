@@ -16,7 +16,7 @@ object SparkEntry {
   private val declared: Seq[Q] =
     Relational.all ++ IngestQueries.all ++ Dedup.all ++ TextOps.all ++
       Similarity.all ++ Multimodal.all ++ Partitioned.all ++ Sampling.all ++
-      Quality.all ++ Composite.all ++ Curation.all ++ Graph.all ++
+      Quality.all ++ Composite.all ++ Curation.all ++ Graph.all ++ Vocab.all ++
       Seq(AutoDateAgg.qAutoDateAgg, TopKAgg.qTopkPerKey,
         graft.streaming.Replay.qStreamWindow,
         graft.streaming.Replay.qStreamJoin,

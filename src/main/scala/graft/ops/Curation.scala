@@ -122,5 +122,49 @@ object Curation {
              ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(qCurationPipeline)
+  /** Domain-level curation (the RefinedWeb/C4 source-blocklist stage):
+    * per-source aggregate stats derive a DATA-DRIVEN blocklist — a
+    * source is blocked when more than 30% of its documents are short
+    * (`n_chars < 200`), tested as the exact cross-multiplied integers
+    * `10·n_short > 3·n_docs` (no float ratio in any decision) — and the
+    * declared query returns the documents that SURVIVE the domain
+    * filter. This is the curation lever that acts on the PROVENANCE
+    * axis: q_quality_score judges documents one at a time, this judges
+    * the source that emitted them (spam domains produce individually
+    * plausible pages; their aggregate length/quality profile is what
+    * gives them away).
+    *
+    * Scale shape: the stats pass is one map-side-combined groupBy on
+    * source (|sources| ≪ |docs| — domains are web-host cardinality,
+    * docs are page cardinality); the blocklist is |blocked-sources|
+    * rows and joins back as a BROADCAST anti join — the one join in
+    * this family that is always legitimately broadcast-able, because
+    * the build side is bounded by the domain universe, not the corpus.
+    * Two passes over the scan, zero corpus-sized shuffles.
+    */
+  val qDomainFilter = Q(
+    "q_domain_filter",
+    (s, d) => {
+      val docs = documents(s, d)
+      val stats = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("n_short"))
+      val blocked = stats
+        .where(col("n_short") * 10 > col("n_docs") * 3)
+        .select("source")
+      docs.join(broadcast(blocked), Seq("source"), "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""WITH stats AS (
+              SELECT source, count(*) AS n_docs,
+                     sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS n_short
+              FROM documents GROUP BY source),
+            blocked AS (SELECT source FROM stats WHERE n_short * 10 > n_docs * 3)
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE source NOT IN (SELECT source FROM blocked)
+            ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(qCurationPipeline, qDomainFilter)
 }

@@ -363,7 +363,7 @@ object Partitioned {
   private[ops] def eventsVersioned(s: SparkSession, d: String): String =
     buildVersioned(s, d, versionedDir(d), withCompaction = false)
 
-  private def buildVersioned(
+  private[ops] def buildVersioned(
       s: SparkSession, d: String, root: String, withCompaction: Boolean): String = {
     val data = s"$root/data"
     val mdir = s"$root/_graft_versions"

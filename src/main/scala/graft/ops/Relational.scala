@@ -646,6 +646,47 @@ object Relational {
             ORDER BY o_orderpriority, o_totalprice, o_orderkey""")
   )
 
+  /** Event-time RANGE frame: per-user trailing-1-hour rolling aggregate
+    * — the remaining ANSI frame kind beyond ROWS (q_window_running) and
+    * the rate/velocity feature (events per user per trailing hour) a
+    * feature pipeline computes. The frame key is exact integer epoch
+    * SECONDS (`unix_micros div 1_000_000` — truncation, not a double
+    * `epoch()` cast, so both engines floor identically), and both
+    * aggregates are exact BIGINTs (a count and a BIGINT id sum), so the
+    * within-frame accumulation order can never change a bit. RANGE
+    * semantics make epoch ties frame-identical for all peers — the
+    * output is deterministic even though the tie ORDER inside the
+    * window is not observable.
+    *
+    * Scale: keyed window — one hash shuffle on user_id, per-user local
+    * sort; no global funnel. DuckDB mirrors with RANGE BETWEEN 3600
+    * PRECEDING AND CURRENT ROW.
+    */
+  val qWindowRange = Q(
+    "q_window_range",
+    (s, d) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(col("ep").asc)
+        .rangeBetween(-3600L, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 1000000").as("ep"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("idsum_1h", sum(col("event_id")).over(w))
+        .select("event_id", "user_id", "ep", "n_1h", "idsum_1h")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, ep,
+                   count(*) OVER w AS n_1h,
+                   CAST(sum(event_id) OVER w AS BIGINT) AS idsum_1h
+            FROM (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ep
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ep ASC
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id""")
+  )
+
   // ---------------------------------------------------------------- E5
   /** Global top-k with total-order tiebreak — Spark plans
     * TakeOrderedAndProject (per-partition heap + driver merge, no full
@@ -896,7 +937,7 @@ object Relational {
     qAsofJoin,
     qAggHash, qAggDistinct, qRollup, qCube, qGroupingSets, qQuantiles, qQuantilesExact,
     qApproxDistinct,
-    qWindowRank, qWindowRunning, qWindowLag, qWindowPercent,
+    qWindowRank, qWindowRunning, qWindowLag, qWindowPercent, qWindowRange,
     qTopk,
     qUnion, qIntersect, qExcept,
     qScalarString, qScalarMath, qScalarJson, qScalarArray, qScalarDate,

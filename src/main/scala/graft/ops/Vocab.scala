@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E19 — vocabulary induction: distributed BPE merge training
+  * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+  * with Subword Units") — the tokenizer-training pass an LLM data
+  * pipeline runs over the corpus BEFORE any token-count, packing, or
+  * perplexity stage exists. Each round counts all adjacent symbol
+  * pairs, picks the most frequent (the next merge rule), and rewrites
+  * every sequence with the pair fused into one symbol; the learned
+  * artifact is the ranked merge table.
+  *
+  * Symbols here are whitespace words (so the learned merges are the
+  * corpus's top collocations — "phrase BPE"); character-level BPE is
+  * THIS code with the initial alphabet swapped to characters (split by
+  * '' instead of ' '), nothing else changes. Word-level keeps the
+  * declared query's merge table human-auditable and the oracle exact.
+  *
+  * Exactness/engine-parity discipline: sequences are carried as
+  * DOUBLE-unit-separator strings `US US w1 US US w2 US US … US US`
+  * (US = chr(31), never in the ASCII corpus). A merge rewrites the
+  * pattern `US a US US b US` → `US a RS b US` (RS = chr(30)) via
+  * `replace`: each match consumes only ONE char of each bounding
+  * `US US`, so back-to-back occurrences (`a b a b`) each keep a
+  * separator to match on and BOTH fuse, while overlapping occurrences
+  * (`a a a` under merge (a,a)) cannot both match — `replace`'s
+  * left-to-right non-overlapping scan is therefore EXACTLY
+  * greedy-leftmost BPE merge application, identical in Spark
+  * (UTF8String.replace) and DuckDB. (A single-separator encoding gets
+  * the overlap case right but silently skips the second of two
+  * back-to-back matches — the boundary separator is consumed by the
+  * first match; VocabSpec's brute-force cross-check is what catches
+  * that class of defect.) Pair counts are exact BIGINTs; the per-round
+  * argmax is tie-broken by the (pa, pb) binary string order. The whole
+  * 6-round training loop is therefore HASH-ORACLED: [[bpeOracle]]
+  * emits the DuckDB CTE chain from the same Scala loop as the Spark
+  * iterations (the q_pagerank / q_zorder_key one-code-path
+  * discipline), so round count, tiebreaks, and rewrite arithmetic
+  * cannot drift between engines.
+  *
+  * Scale shape (the reason BPE training is a cluster job at all): each
+  * round is ONE map-side-combined pair-count aggregation (the only
+  * shuffle — pair keys, combiner collapses per-partition duplicates
+  * before the exchange), ONE TakeOrderedAndProject argmax (per-partition
+  * heap, 1 row to the driver's plan — never a global sort), and ONE
+  * shuffle-free per-row `replace` projection over the corpus with the
+  * 1-row merge rule BROADCAST onto it. State between rounds is the
+  * rewritten corpus, checkpointed per round ([[Materialize]]) so
+  * lineage stays O(1) in the round count — the same Pregel-on-DataFrames
+  * pattern as connectedComponents/PageRank. Driver-side control only:
+  * the loop counter; no corpus data ever reaches the driver. Production
+  * BPE runs thousands of merges with batched rule application
+  * (non-overlapping top-K per round); the per-round dataflow is
+  * unchanged.
+  */
+object Vocab {
+  import Tables._
+
+  private val MERGES = 6
+
+  /** Unit separator between symbols (never occurs in the ASCII corpus). */
+  private val US = 31
+  /** Record separator fusing the two halves of a merged symbol. */
+  private val RS = 30
+
+  /** Adjacent-pair counts over the current symbol sequences. */
+  private def pairCounts(seqDf: DataFrame): DataFrame =
+    seqDf
+      .select(expr("filter(split(seq, chr(31)), x -> x != '')").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS pa, t[i+1] AS pb))")).as("p"))
+      .select(col("p.pa"), col("p.pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol sequences (double-separator encoding, see above). */
+  private def seq0(s: SparkSession, d: String): DataFrame = {
+    val sep2 = US.toChar.toString * 2
+    fanOut(documents(s, d)).select(
+      col("doc_id"),
+      concat(lit(sep2),
+        array_join(expr("filter(split(text, ' '), x -> x != '')"), sep2),
+        lit(sep2)).as("seq"))
+  }
+
+  /** The per-round argmax: next merge rule, tie-broken totally. */
+  private def bestPair(seqDf: DataFrame): DataFrame =
+    pairCounts(seqDf)
+      .orderBy(col("freq").desc, col("pa").asc, col("pb").asc)
+      .limit(1)
+
+  /** Greedy-leftmost application of the (1-row, broadcast) merge rule. */
+  private def applyMerge(seqDf: DataFrame, best: DataFrame): DataFrame =
+    seqDf
+      .crossJoin(broadcast(best.select(col("pa").as("bpa"), col("pb").as("bpb"))))
+      .select(col("doc_id"), expr(
+        "replace(seq, chr(31) || bpa || chr(31) || chr(31) || bpb || chr(31)," +
+          " chr(31) || bpa || chr(30) || bpb || chr(31))").as("seq"))
+
+  val qBpeTrain = Q(
+    "q_bpe_train",
+    (s, d) => {
+      var seq = Materialize(seq0(s, d))
+      val merges = Seq.newBuilder[DataFrame]
+      for (k <- 1 to MERGES) {
+        // 1 row, checkpointed so the merge table and the rewrite below
+        // share one computation of the argmax
+        val best = Materialize(bestPair(seq))
+        merges += best.select(lit(k).as("merge_rank"), col("pa"), col("pb"), col("freq"))
+        seq = Materialize(applyMerge(seq, best))
+      }
+      merges.result().reduce(_ unionByName _)
+        .select(col("merge_rank"),
+          expr("replace(pa, chr(30), ' ')").as("lhs"),
+          expr("replace(pb, chr(30), ' ')").as("rhs"),
+          col("freq"))
+        .orderBy("merge_rank")
+    },
+    Some(bpeOracle)
+  )
+
+  /** Plan-audit hook (PLANS.md): ONE BPE training round as a LAZY
+    * DataFrame — the pair-count shuffle, TakeOrderedAndProject argmax,
+    * and broadcast-rule rewrite that repeat [[MERGES]] times; the
+    * declared query's final plan hides them behind per-round
+    * [[Materialize]] checkpoints.
+    */
+  private[graft] def bpeRound(s: SparkSession, d: String): DataFrame = {
+    val seq = seq0(s, d)
+    applyMerge(seq, bestPair(seq))
+  }
+
+  /** The learned tokenizer APPLIED: per-document symbol counts before
+    * and after the [[MERGES]] trained merge rules — the vocabulary-
+    * compression audit (how many sequence positions the merges
+    * reclaim) and the other half of the tokenizer lifecycle: qBpeTrain
+    * LEARNS the artifact, this query RUNS it over the corpus, exactly
+    * what the production tokenize stage does with a frozen merges.txt.
+    *
+    * Same training loop, then one symbol-count projection of the
+    * round-[[MERGES]] sequences against the initial ones — shuffle-free
+    * beyond training itself. The oracle extends the training CTE chain
+    * (the final rewritten corpus s6 is already its last state), so the
+    * hash match verifies the APPLIED tokenization corpus-wide, not just
+    * the rule table.
+    */
+  val qBpeApply = Q(
+    "q_bpe_apply",
+    (s, d) => {
+      var seq = Materialize(seq0(s, d))
+      val before = seq.select(col("doc_id"),
+        size(expr("filter(split(seq, chr(31)), x -> x != '')")).cast("long")
+          .as("n_before"))
+      for (_ <- 1 to MERGES)
+        seq = Materialize(applyMerge(seq, Materialize(bestPair(seq))))
+      val after = seq.select(col("doc_id"),
+        size(expr("filter(split(seq, chr(31)), x -> x != '')")).cast("long")
+          .as("n_after"))
+      before.join(after, "doc_id")
+        .select("doc_id", "n_before", "n_after")
+        .orderBy("doc_id")
+    },
+    Some(bpeApplyOracle)
+  )
+
+  /** One code path emits the per-round CTEs, so the Spark loop above
+    * and the DuckDB replay cannot diverge in round count, tiebreak, or
+    * rewrite arithmetic. Shared by BOTH E19 oracles: the training
+    * oracle reads the per-round argmaxes b1..bN, the apply oracle reads
+    * the chain's final corpus state sN.
+    */
+  private def bpeCtes: String = {
+    val rounds = (1 to MERGES).map { k =>
+      s"""p$k AS (
+         |  SELECT u.pa AS pa, u.pb AS pb, count(*) AS freq
+         |  FROM (SELECT unnest([{'pa': t[i], 'pb': t[i+1]}
+         |                       for i in range(1, len(t))]) AS u
+         |        FROM (SELECT list_filter(string_split(seq, chr($US)), x -> x <> '') AS t
+         |              FROM s${k - 1}))
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT pa, pb, freq FROM p$k
+         |        ORDER BY freq DESC, pa ASC, pb ASC LIMIT 1),
+         |s$k AS (SELECT doc_id,
+         |               replace(seq,
+         |                       chr($US) || b.pa || chr($US) || chr($US) || b.pb || chr($US),
+         |                       chr($US) || b.pa || chr($RS) || b.pb || chr($US)) AS seq
+         |        FROM s${k - 1} CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH s0 AS (
+       |  SELECT doc_id,
+       |         repeat(chr($US), 2)
+       |           || array_to_string(list_filter(string_split(text, ' '),
+       |                                          x -> x <> ''), repeat(chr($US), 2))
+       |           || repeat(chr($US), 2) AS seq
+       |  FROM documents),
+       |$rounds""".stripMargin
+  }
+
+  // NOTE: bpeCtes is CONCATENATED, never re-interpolated into a
+  // .stripMargin template — a second stripMargin would eat one pipe of
+  // every line-leading `||` concat operator inside it.
+  private def bpeOracle: String = {
+    val out = (1 to MERGES)
+      .map(k =>
+        s"""SELECT $k AS merge_rank, replace(pa, chr($RS), ' ') AS lhs,
+           |       replace(pb, chr($RS), ' ') AS rhs, freq FROM b$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    bpeCtes + "\n" + out + "\nORDER BY merge_rank"
+  }
+
+  private def bpeApplyOracle: String =
+    bpeCtes + "\n" +
+      s"""SELECT s0.doc_id,
+         |       CAST(len(list_filter(string_split(s0.seq, chr($US)), x -> x <> '')) AS BIGINT) AS n_before,
+         |       CAST(len(list_filter(string_split(s$MERGES.seq, chr($US)), x -> x <> '')) AS BIGINT) AS n_after
+         |FROM s0 JOIN s$MERGES ON s0.doc_id = s$MERGES.doc_id
+         |ORDER BY s0.doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(qBpeTrain, qBpeApply)
+}

@@ -353,4 +353,33 @@ class QueriesPlanSpec extends SparkSpec {
       .explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("Exchange"), "ingest pipeline acquired a shuffle")
   }
+
+  test("q_window_range: keyed window only — no Window without partitionBy") {
+    val p = plan("q_window_range")
+    assert(p.contains("Window"), "RANGE-frame window missing")
+    // every Window's partition spec must be non-empty (q_ntile's r4
+    // lesson: an un-keyed window funnels the corpus through one task)
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      "window lost its user_id partitioning (global funnel)")
+  }
+
+  test("q_domain_filter: blocklist anti join broadcasts (domain-bounded build side)") {
+    val p = plan("q_domain_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "provenance filter must be a broadcast anti join")
+    assert(!p.contains("SortMergeJoin"), "corpus-side sort-merge appeared")
+  }
+
+  test("q_bpe_train round: one pair-count shuffle, argmax is TakeOrderedAndProject") {
+    val p = graft.ops.Vocab.bpeRound(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"),
+      "per-round argmax must be a top-1 heap, never a global sort")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "pair counting lost its map-side combine")
+    // the 1-row merge rule is the ONLY broadcast; the corpus itself
+    // must never be a build side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
 }

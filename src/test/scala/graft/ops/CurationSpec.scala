@@ -38,4 +38,31 @@ class CurationSpec extends SparkSpec {
       (22L, "val", 12L)
     ), s"pipeline output was $got")
   }
+
+  test("q_domain_filter: blocklist bites, and exactly on the 30% short-doc rule") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = docs.groupBy(_._1).view.mapValues { rows =>
+      (rows.length.toLong, rows.count(_._3 < 200).toLong)
+    }.toMap
+    val expectedBlocked = bySource.collect {
+      case (src, (n, short)) if short * 10 > n * 3 => src
+    }.toSet
+
+    val kept = graft.SparkEntry.queries("q_domain_filter")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val keptSources = kept.map(_._2).toSet
+
+    // the rule must BITE both ways on this corpus: some sources die,
+    // some survive — otherwise the query degenerates to a no-op/empty
+    assert(expectedBlocked.nonEmpty && expectedBlocked.size < bySource.size)
+    assert(keptSources == (bySource.keySet -- expectedBlocked))
+    // survivors keep EVERY doc of their source (the filter is by
+    // provenance, never by row)
+    val expectedKept = docs.collect {
+      case (src, id, _) if !expectedBlocked(src) => (id, src)
+    }.sortBy(_._1).toSeq
+    assert(kept == expectedKept)
+  }
 }

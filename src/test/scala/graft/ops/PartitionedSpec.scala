@@ -135,7 +135,12 @@ class PartitionedSpec extends SparkSpec {
   }
 
   test("q_vacuum: compaction + vacuum collapse the directory, preserve the head, destroy sub-horizon reads") {
-    val root = Partitioned.vacuumedLayout(spark, sf0001)
+    // A FRESH root per run: vacuum MUTATES its layout (that is the
+    // point), so replaying the lifecycle against the cached declared-
+    // query dir would find the pre-vacuum history already reclaimed by
+    // the previous JVM's run and fail the pre-vacuum assertions.
+    val root = java.nio.file.Files.createTempDirectory("graft_vacuum_spec_").toString
+    Partitioned.buildVersioned(spark, sf0001, root, withCompaction = true)
     val full = graft.ops.Tables.events(spark, sf0001).count()
 
     // pre-vacuum: full history readable, head == table, data dir holds
