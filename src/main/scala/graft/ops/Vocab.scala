@@ -154,8 +154,13 @@ object Vocab {
       val before = seq.select(col("doc_id"),
         size(expr("filter(split(seq, chr(31)), x -> x != '')")).cast("long")
           .as("n_before"))
+      // unlike training, the argmax is consumed ONCE (inside the
+      // rewrite's broadcast build), so it needs no eager checkpoint —
+      // each round is one job; seq itself must still checkpoint per
+      // round or the argmax subtree would re-embed the full prior plan
+      // a second time each round (2^rounds blowup)
       for (_ <- 1 to MERGES)
-        seq = Materialize(applyMerge(seq, Materialize(bestPair(seq))))
+        seq = Materialize(applyMerge(seq, bestPair(seq)))
       val after = seq.select(col("doc_id"),
         size(expr("filter(split(seq, chr(31)), x -> x != '')")).cast("long")
           .as("n_after"))
