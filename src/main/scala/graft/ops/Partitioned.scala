@@ -499,7 +499,62 @@ object Partitioned {
             ORDER BY event_type""")
   )
 
+  private def evolvedDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_events_evolved_m1_${sourceKey(Seq(s"$d/events.parquet"))}"
+
+  /** SCHEMA EVOLUTION read — the lake reality that a long-lived table's
+    * files do not share one schema: the early batch was written before
+    * the `value` column existed, the later batch carries it. Spark's
+    * `mergeSchema` parquet read unions the footer schemas at PLAN time
+    * (file-count-sized metadata work, like manifest planning) and
+    * null-fills the missing column in old files — no rewrite of
+    * history, which at 100 TB is the difference between an ALTER TABLE
+    * that costs nothing and one that rewrites the lake.
+    *
+    * Layout: the two batches split on `event_id % 10 < 8` (the same
+    * data-derived split the versioned layouts use), old files written
+    * WITHOUT `value`. The declared query aggregates per event_type over
+    * the merged read — n_with_value counts exactly the new-batch rows,
+    * so the oracle (the split predicate inlined over the live table)
+    * hash-verifies both the union schema and the null-filling.
+    */
+  private[ops] def eventsEvolved(s: SparkSession, d: String): DataFrame = {
+    val out = evolvedDir(d)
+    if (!successExists(s, out)) {
+      val ev = Tables.events(s, d)
+      // old batch: written before `value` existed
+      ev.where(col("event_id") % 10 < 8)
+        .select("event_id", "user_id", "event_type", "ts")
+        .write.mode("overwrite").parquet(out)
+      // new batch: schema grew; append files carry the extra column
+      ev.where(col("event_id") % 10 >= 8)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .write.mode("append").parquet(out)
+    }
+    Tables.normalizeTs(s.read.option("mergeSchema", "true").parquet(out))
+  }
+
+  val qSchemaEvolution = Q(
+    "q_schema_evolution",
+    (s, d) =>
+      eventsEvolved(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(col("value")).as("n_with_value"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+            .cast("double").as("total_value"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n_events,
+                   count(CASE WHEN event_id % 10 >= 8 THEN value END) AS n_with_value,
+                   CAST(sum(CASE WHEN event_id % 10 >= 8
+                                 THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type""")
+  )
+
   val all: Seq[Q] =
     Seq(qPartitionPrune, qJoinBucketed, qCompact, qManifestSkip, qTimeTravel,
-      qVacuum)
+      qVacuum, qSchemaEvolution)
 }

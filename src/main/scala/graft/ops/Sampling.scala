@@ -568,6 +568,50 @@ object Sampling {
              ORDER BY doc_id""")
   )
 
+  /** TEMPERATURE mixture sampling at α = 1/2 — the multilingual
+    * rebalance multilingual pretraining corpora actually ship (XLM-R /
+    * mC4 sample languages ∝ p^α, α ∈ (0,1)): flatten the language size
+    * distribution without collapsing everything to the smallest
+    * language the way [[qMixBalance]]'s α = 1 does. Per-row membership
+    * keeps a doc of language l with rate (min_n/n_l)^(1/2), so kept
+    * counts grow ∝ √n_l — dominant languages still lead, sublinearly.
+    *
+    * Exactness: the float test `u < (min_n/n_l)^α` (u = h/10⁶ the
+    * Knuth-hash uniform) is CROSS-SQUARED into h²·n_l < 10¹²·min_n —
+    * pure 128-bit integer arithmetic (Spark DECIMAL(38,0) ⟷ DuckDB
+    * HUGEINT, the q_anomaly pairing): no sqrt, no pow, no float in the
+    * membership decision at any corpus size (h² ≤ 10¹², ×n_l ≤ 10¹³ at
+    * web scale ≈ 10²⁵ ≪ 10³⁸). α values beyond 1/2 cross-multiply the
+    * same way from rational exponents (p/q powers both sides q times).
+    * Scale shape identical to q_mix_balance: |langs|-row broadcast
+    * sides + a shuffle-free per-row compare at scan speed.
+    */
+  val qMixTemperature = Q(
+    "q_mix_temperature",
+    (s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val c = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val m = c.agg(min(col("n_lang")).as("min_n"))
+      val h = bucket("doc_id", 424243L, 1000000L).cast(dec)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .join(broadcast(c), "lang")
+        .crossJoin(broadcast(m))
+        .where(h * h * col("n_lang") < col("min_n").cast(dec) * lit(1000000000000L))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+             m AS (SELECT min(n_lang) AS min_n FROM c),
+             d2 AS (SELECT doc_id, lang,
+                           CAST(${bucketSql("doc_id", 424243L, 1000000L)} AS HUGEINT) AS h
+                    FROM documents)
+             SELECT d2.doc_id, d2.lang
+             FROM d2 JOIN c USING (lang), m
+             WHERE h * h * n_lang < CAST(1000000000000 AS HUGEINT) * min_n
+             ORDER BY doc_id""")
+  )
+
   /** INCREMENTAL aggregate maintenance — the materialized-view idiom
     * that lets per-key corpus statistics absorb a daily batch without
     * re-scanning the corpus (the aggregation twin of
@@ -614,5 +658,5 @@ object Sampling {
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave,
       qPivot, qUnpivot, qPack, qHeavyHitters, qAnomaly, qNtile, qZorderKey,
-      qGlobalRownum, qMixBalance, qIncrementalAgg)
+      qGlobalRownum, qMixBalance, qMixTemperature, qIncrementalAgg)
 }

@@ -134,6 +134,25 @@ class PartitionedSpec extends SparkSpec {
     assert(f1.subsetOf(f2) && f2.size > f1.size)
   }
 
+  test("q_schema_evolution: merged read unions footers, null-fills history, old files untouched") {
+    val merged = Partitioned.eventsEvolved(spark, sf0001)
+    assert(merged.schema.fieldNames.contains("value"))
+    val full = graft.ops.Tables.events(spark, sf0001)
+    assert(merged.count() == full.count(), "merge lost rows")
+    // value is present EXACTLY on the new batch; history reads as null
+    assert(merged.where(col("value").isNotNull).count()
+      == full.where(col("event_id") % 10 >= 8).count())
+    assert(merged.where(col("value").isNull).count()
+      == full.where(col("event_id") % 10 < 8).count())
+    // evolution never rewrote history: the directory holds BOTH footer
+    // generations — some physical files still carry the narrow schema,
+    // some the grown one (per-file reads, no mergeSchema)
+    val perFile = merged.inputFiles.toSeq
+      .map(f => spark.read.parquet(f).schema.fieldNames.contains("value"))
+    assert(perFile.contains(false), "no narrow-schema file left — history was rewritten?")
+    assert(perFile.contains(true), "no grown-schema file present")
+  }
+
   test("q_vacuum: compaction + vacuum collapse the directory, preserve the head, destroy sub-horizon reads") {
     // A FRESH root per run: vacuum MUTATES its layout (that is the
     // point), so replaying the lifecycle against the cached declared-

@@ -171,6 +171,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("temperature sampling flattens BETWEEN balance (α=1) and identity (α=0)") {
+    val langTotals = Tables.documents(spark, sf0001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = langTotals.values.min
+
+    def keptByLang(q: String): Map[String, Long] =
+      graft.SparkEntry.queries(q)(spark, sf0001)
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+
+    val temp = keptByLang("q_mix_temperature")
+    val bal = keptByLang("q_mix_balance")
+    // exact membership recompute: h²·n_l < 10¹²·min_n over BigInt
+    val expected = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, lang) =>
+        val h = BigInt((id % 2147483647L + 424243L) % 2147483647L
+          * 2654435761L % 4294967296L % 1000000L)
+        h * h * langTotals(lang) < BigInt("1000000000000") * minN
+      }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    for (l <- langTotals.keys)
+      assert(temp(l) == expected(l), s"lang $l membership drifted")
+    // α = 1/2 sits between α = 1 (balance) and α = 0 (keep all):
+    // summed over languages the orders hold strictly on this corpus
+    assert(bal.values.sum < temp.values.sum,
+      "temperature must keep more than full balance")
+    assert(temp.values.sum < langTotals.values.sum,
+      "temperature must drop something from over-represented languages")
+  }
+
   test("z-order locality: a 2-D box maps to a bounded zkey range") {
     // the defining skip property: for an aligned 2^k x 2^k box, all
     // points fall in ONE contiguous zkey range of length 4^k — min/max
