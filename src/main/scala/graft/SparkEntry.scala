@@ -39,9 +39,10 @@ object SparkEntry {
     declared.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q_approx_distinct, q_lang_id, q_dedup_simhash, q_mm_decode) →
-    * driver records a weaker rows-only check.
+    * the same parquet tables. Omitted for the engine-specific sketches
+    * (q_approx_distinct, q_quantiles, q_dedup_simhash,
+    * q_decontaminate_bloom, q_cms_terms) → driver records a weaker
+    * rows-only check; each is law-verified by its spec instead.
     */
   def oracleSql: Map[String, String] =
     declared.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -383,7 +384,79 @@ object TextOps {
             LIMIT 10""")
   )
 
+  /** Count-Min Sketch dimensions: depth 4 independent hash rows ×
+    * width 2048 counters = 8 192 BIGINT cells — FIXED at any corpus
+    * size. Error law: est ≥ true always (one-sided), est − true ≤ εN
+    * with ε = e/width w.h.p. — CmsSpec pins both plus the monoid merge.
+    */
+  private[ops] val CMS_D = 4
+  private[ops] val CMS_W = 2048
+
+  /** The (row, cell) pairs a term increments/probes — shared by build
+    * and probe sides so the addressing can never drift. xxhash64 with
+    * the row index as a second column gives [[CMS_D]] independent
+    * deterministic hash functions.
+    */
+  private def cmsCells(term: String): org.apache.spark.sql.Column =
+    explode(expr(
+      s"transform(sequence(0, ${CMS_D - 1}), " +
+        s"i -> struct(i AS r, pmod(xxhash64($term, i), $CMS_W) AS c))"))
+
+  /** Sketch build over a `term` column: the fixed-domain cell counters.
+    * Exposed for CmsSpec's monoid-merge law (sketch(A ∪ B) must equal
+    * the cell-wise sum of sketch(A) and sketch(B) — the property that
+    * makes the sketch partial-aggregation- and multi-corpus-mergeable).
+    */
+  private[ops] def cmsBuild(toks: DataFrame): DataFrame =
+    toks
+      .select(cmsCells("term").as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("v"))
+
+  /** COUNT-MIN SKETCH term frequencies (Cormode & Muthukrishnan 2005) —
+    * the point-frequency sketch that completes the engine's sketch
+    * family (HLL cardinality = q_approx_distinct, Bloom membership =
+    * q_decontaminate_bloom, CMS frequency = this): answer "how often
+    * does term t occur?" over a 100 TB token stream from 8 192 counters
+    * instead of a |vocabulary|-sized exact table. The declared query
+    * builds the sketch, then probes it with the exact global top-10
+    * terms and emits (term, n_exact, n_est) — the overestimate audit.
+    *
+    * Scale shape: the build is ONE map-side-combined aggregation whose
+    * group domain is the FIXED 8 192 cells (each partition pre-collapses
+    * its token stream to ≤ d·w partial counters — the shuffle moves
+    * O(cells), never O(tokens)); the probe side joins 40 probe rows
+    * against the cell table with the CELL TABLE broadcast — the rare
+    * join whose build side is constant-sized BY CONSTRUCTION at any
+    * corpus size. est(t) = min over the 4 rows (each row's cell
+    * OVERcounts by its hash collisions, never undercounts — taking the
+    * min keeps the one-sided law while shedding the worst collisions).
+    * Declared rows-only (∅): cell addressing is xxhash64, engine-
+    * specific like the HLL sketch; CmsSpec proves the laws against the
+    * exact counts.
+    */
+  val qCmsTerms = Q(
+    "q_cms_terms",
+    (s, d) => {
+      val toks = fanOut(documents(s, d))
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(col("term") =!= "")
+      val cells = cmsBuild(toks)
+      val top = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term").asc)
+        .limit(10)
+      top
+        .select(col("term"), col("n_exact"), cmsCells("term").as("rc"))
+        .join(broadcast(cells),
+          col("rc.r") === col("r") && col("rc.c") === col("c"))
+        .groupBy("term", "n_exact")
+        .agg(min(col("v")).as("n_est"))
+        .orderBy("term")
+    },
+    None // sketch cell addressing is engine-specific (like q_approx_distinct)
+  )
+
   val all: Seq[Q] =
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
-      qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles)
+      qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms)
 }
