@@ -398,5 +398,127 @@ object Multimodal {
             FROM q ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(qMmDecode, qMmFrames, qMmResize, qMmDecodePpm)
+  final case class PcmInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nSamples: Int, sumSamples: Long)
+
+  /** A REAL audio codec for a library-free format — the AUDIO modality
+    * twin of [[PpmCodec]]: RIFF/WAVE PCM16LE, parsed by walking the
+    * actual chunk structure (not fixed offsets): verify the RIFF/WAVE
+    * magic, then iterate `<id><size LE32><body [pad]>` chunks honoring
+    * the spec's word-alignment pad byte on odd sizes, pulling the
+    * sample format from `fmt ` and the samples from `data` wherever
+    * they sit and whatever chunks (LIST/INFO/bext…) precede them — the
+    * difference between a parser and an offset table. Sample stats are
+    * EXACT: sumSamples is a BIGINT over the decoded int16 stream, so
+    * downstream means are one IEEE division.
+    */
+  object WavCodec extends Serializable {
+    def decode(payload: Array[Byte]): PcmInfo = {
+      def le32(o: Int): Int =
+        (payload(o) & 0xff) | (payload(o + 1) & 0xff) << 8 |
+          (payload(o + 2) & 0xff) << 16 | (payload(o + 3) & 0xff) << 24
+      def le16(o: Int): Int = (payload(o) & 0xff) | (payload(o + 1) & 0xff) << 8
+      def tag(o: Int): String = new String(payload, o, 4, "US-ASCII")
+      require(payload.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "not a RIFF/WAVE payload")
+      var off = 12
+      var rate = -1; var ch = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      while (off + 8 <= payload.length) {
+        val id = tag(off)
+        val sz = le32(off + 4)
+        id match {
+          case "fmt " =>
+            require(le16(off + 8) == 1, s"compressed WAVE (fmt ${le16(off + 8)}) unsupported")
+            ch = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
+          case "data" => dataOff = off + 8; dataLen = sz
+          case _ => () // LIST/INFO/bext/… — skipped, as a parser must
+        }
+        off += 8 + sz + (sz & 1) // RIFF word alignment: pad byte on odd sizes
+      }
+      require(rate > 0 && dataOff >= 0, "missing fmt /data chunk")
+      require(bits == 16 && ch == 1, s"only PCM16 mono here (got $bits-bit, $ch ch)")
+      val n = dataLen / 2
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += le16(dataOff + 2 * i).toShort.toLong; i += 1 }
+      PcmInfo(rate, ch, bits, n, sum)
+    }
+  }
+
+  /** Deterministic WAV synthesis for the declared query: a canonical
+    * 44-byte PCM16LE mono 8 kHz header + `256 + doc_id % 128` samples
+    * cycled from the document's ASCII bytes, centered and scaled to
+    * int16 (`(b − 128)·256`) — the same cycle arithmetic that makes
+    * [[toPpm]]'s raster mean SQL-expressible.
+    */
+  private[ops] def toWav(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val n = 256 + (docId % 128).toInt
+    val rate = 8000
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer
+      .allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val b = text(i % text.length) & 0xff
+      buf.putShort(((b - 128) * 256).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** The AUDIO declared query: each document rendered as a genuine WAV
+    * payload and decoded back by the real chunk-walking parser through
+    * the per-partition batch loop — audio joining image (qMmDecodePpm)
+    * and video frames (qMmFrames) as a first-class modality. All
+    * decoded facts are exact integers (duration is integer-division
+    * milliseconds, the sample mean is ONE IEEE division of the BIGINT
+    * sample sum), so the real audio decoder is HASH-ORACLED via the
+    * same cycle arithmetic as the PPM raster mean.
+    */
+  val qMmAudio = Q(
+    "q_mm_audio",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), col("text").cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(it => it.map { case (id, t) =>
+          val wav = toWav(id, t)
+          val p = WavCodec.decode(wav)
+          (id, wav.length, p.sampleRate, p.nSamples,
+            p.nSamples * 1000L / p.sampleRate,
+            p.sumSamples.toDouble / p.nSamples)
+        })
+        .toDF("doc_id", "n_bytes", "sample_rate", "n_samples",
+          "duration_ms", "mean_sample")
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id, text,
+                              CAST(256 + doc_id % 128 AS INTEGER) AS n,
+                              octet_length(CAST(text AS BLOB)) AS len
+                       FROM documents),
+                 q AS (SELECT doc_id, n, len, text,
+                              list_sum([ord(c) - 128 for c in string_split(text, '')]) AS s_all
+                       FROM p)
+            SELECT doc_id,
+                   CAST(44 + n * 2 AS INTEGER) AS n_bytes,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   n AS n_samples,
+                   CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+                   CAST(256 * ((n // len) * s_all
+                        + coalesce(list_sum([ord(c) - 128 for c in
+                            string_split(substr(text, 1, CAST(n % len AS INTEGER)), '')
+                            if c <> '']), 0))
+                     AS DOUBLE) / n AS mean_sample
+            FROM q ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(qMmDecode, qMmFrames, qMmResize, qMmDecodePpm, qMmAudio)
 }

@@ -116,4 +116,30 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Double]("mean_byte") == expectMean)
     }
   }
+
+  test("WavCodec is a chunk PARSER: extra/odd chunks before fmt and data decode identically") {
+    val canonical = Multimodal.toWav(7L, "hello world".getBytes("US-ASCII"))
+    val base = Multimodal.WavCodec.decode(canonical)
+    assert(base.sampleRate == 8000 && base.channels == 1
+      && base.bitsPerSample == 16 && base.nSamples == 256 + 7)
+
+    // rebuild the same file with a 5-byte (ODD — exercises the RIFF pad
+    // rule) LIST chunk inserted before fmt : a fixed-offset reader
+    // breaks, a parser does not
+    val fmtAndData = canonical.drop(12)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOX".getBytes("US-ASCII") ++ Array[Byte](0)
+    val body = list ++ fmtAndData
+    val buf = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+    buf.put("WAVE".getBytes("US-ASCII")).put(body)
+    val shifted = Multimodal.WavCodec.decode(buf.array())
+    assert(shifted == base, "chunk-shifted WAV decoded differently")
+
+    // a truly malformed payload must fail loudly, not return garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decode("RIFFxxxxJUNK".getBytes("US-ASCII"))
+    }
+  }
 }
