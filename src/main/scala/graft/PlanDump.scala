@@ -24,7 +24,8 @@ object PlanDump {
       "q_curation_pipeline", "q_manifest_skip", "q_ann_pq",
       "q_cooccur", "q_triangles", "q_time_travel", "q_profile",
       "q_anomaly", "q_window_percent", "q_pmi", "q_knn_join", "q_semdedup",
-      "q_vacuum", "q_window_range", "q_domain_filter"
+      "q_vacuum", "q_window_range", "q_domain_filter",
+      "q_mix_temperature", "q_schema_evolution", "q_cms_terms", "q_mm_audio"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -111,7 +112,22 @@ object PlanDump {
         ("ONE BPE training round (repeats 6×, each Materialize-checkpointed): map-side-combined " +
           "pair-count HashAggregate (the only shuffle), TakeOrderedAndProject argmax (1 row), " +
           "BroadcastNestedLoopJoin of that 1-row rule onto the corpus, shuffle-free replace " +
-          "projection.")
+          "projection."),
+      "q_mix_temperature" ->
+        ("|langs|-row BroadcastExchanges (counts + 1-row min) onto a shuffle-free per-row " +
+          "DECIMAL(38,0) compare — the cross-squared α=1/2 membership runs at scan speed."),
+      "q_schema_evolution" ->
+        ("ONE parquet scan whose ReadSchema already carries the mergeSchema-unioned footer " +
+          "(value null-filled for old files at read time) feeding a partial+final HashAggregate — " +
+          "schema evolution costs nothing at execution time."),
+      "q_cms_terms" ->
+        ("sketch build is a HashAggregate over the FIXED 8192-cell domain (partial_count " +
+          "pre-collapses each partition's token stream before the exchange); the probe side " +
+          "joins 40 rows against the BroadcastExchange of the constant-sized cell table."),
+      "q_mm_audio" ->
+        ("SerializeFromObject <- MapPartitions <- DeserializeToObject over the scan: the " +
+          "synth+parse batch loop is one object stage, no shuffle until the output sort — the " +
+          "same shape a Pandas-UDF decode stage plans.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

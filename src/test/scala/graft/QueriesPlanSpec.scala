@@ -371,6 +371,23 @@ class QueriesPlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus-side sort-merge appeared")
   }
 
+  test("q_mix_temperature: broadcast stat sides, membership is a shuffle-free compare") {
+    val p = plan("q_mix_temperature")
+    assert(p.contains("BroadcastHashJoin"), "lang-count side must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus acquired a shuffled join — membership must stay per-row")
+    // the only nested loop allowed is the 1-row min_n cross (the
+    // q_heavy_hitters/q_anomaly broadcast-stats idiom)
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(p).size <= 1)
+  }
+
+  test("q_cms_terms: cell table broadcasts, top-k probe is TakeOrderedAndProject") {
+    val p = plan("q_cms_terms")
+    assert(p.contains("TakeOrderedAndProject"), "exact top-10 must be a heap, not a sort")
+    assert(p.contains("BroadcastExchange"), "the fixed-size cell table must broadcast")
+    assert(!p.contains("SortMergeJoin"), "probe join regressed to sort-merge")
+  }
+
   test("q_bpe_train round: one pair-count shuffle, argmax is TakeOrderedAndProject") {
     val p = graft.ops.Vocab.bpeRound(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
