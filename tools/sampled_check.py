@@ -29,6 +29,17 @@ parquet in plain Python:
       the min member, keep <=> id==rep; sampled same-cluster cross-rep
       pairs have no qualifying edge (separation); sampled assignments
       re-derived against the frozen codebook parsed from IvfCodebook.
+  q_cosine_near(+_blocked) (r5)    - FULL soundness (every claimed pair's
+      cosine recomputed vectorized), sampled completeness (every partner
+      of a sampled vector must be claimed), blocked == plain set equality.
+  q_dedup_survivor (r5)            - ALL clusters: survivor equals the
+      longest-then-lowest-id argmax over the CLAIMED q_dedup_cc
+      membership (whose own correctness check_cc samples above), with
+      exact n_members/survivor_chars, and a 1:1 cluster-label match.
+  q_incremental_dedup (r5)         - sampled batch docs: status and both
+      dup counts re-derived against the FULL corpus by one DuckDB
+      Jaccard scan per sample (corpus partner at any id, batch partner
+      only at lower id, <3-word docs can never be dups).
 
 Usage: python3 tools/sampled_check.py <sfDir> <verifyOutDir> [samples] [seed]
 Exit 0 = every sampled claim verified.
@@ -349,6 +360,111 @@ def main(sf, out_dir, n_samples=100, seed=42):
               f"({len(multi)} multi-member components of {len(comp)})")
     else:
         failures.append("q_semdedup: empty output")
+
+    # --- q_cosine_near / q_cosine_near_blocked (r5): full soundness +
+    # sampled completeness + blocked==plain equivalence ------------------
+    pair_sets = {}
+    for name in ("q_cosine_near", "q_cosine_near_blocked"):
+        prs = con.execute(
+            f"SELECT a_id, b_id FROM '{out_dir}/{name}/*.parquet'").fetchall()
+        claimed = {(int(a), int(b)) for a, b in prs}
+        pair_sets[name] = claimed
+        if not claimed:
+            failures.append(f"{name}: empty output")
+            continue
+        ia = np.array([idx_of[a] for a, _ in prs])
+        ib = np.array([idx_of[b] for _, b in prs])
+        cs = np.einsum("ij,ij->i", V[ia], V[ib]) / (norms[ia] * norms[ib])
+        n_bad = int((cs < COS_T - EPS).sum())  # FULL soundness, vectorized
+        if n_bad:
+            failures.append(f"{name}: {n_bad} claimed pairs below cos {COS_T}")
+        miss = 0
+        for v in rng.sample(sorted(vec_ids.tolist()), n_samples):
+            c = cos_row(idx_of[int(v)])
+            for j in np.where(c >= COS_T + EPS)[0]:
+                w = int(vec_ids[j])
+                if w != int(v) and (min(v, w), max(v, w)) not in claimed:
+                    miss += 1
+                    failures.append(f"{name}: pair ({min(v,w)},{max(v,w)}) missing")
+        print(f"{name}: {len(prs)} claimed pairs fully checked, "
+              f"{n_samples} completeness rows sampled, {n_bad + miss} failures")
+    if pair_sets.get("q_cosine_near") != pair_sets.get("q_cosine_near_blocked"):
+        failures.append("blocked cosine pair set differs from the plain all-pairs set")
+
+    # --- q_dedup_survivor (r5): FULL policy check over the CLAIMED
+    # clusters (cluster correctness itself is check_cc's job above) ------
+    surv_bad = con.execute(f"""
+        WITH mem AS (
+          SELECT m.cluster_id, m.doc_id, length(d.text) AS nc
+          FROM '{out_dir}/q_dedup_cc/*.parquet' m
+          JOIN '{sf}/documents.parquet' d USING (doc_id)),
+        best AS (
+          SELECT cluster_id, doc_id AS best_id, nc AS best_chars,
+                 count(*) OVER (PARTITION BY cluster_id) AS n,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY nc DESC, doc_id ASC) AS rn
+          FROM mem)
+        SELECT count(*) FROM '{out_dir}/q_dedup_survivor/*.parquet' s
+        JOIN best b ON s.cluster_id = b.cluster_id AND b.rn = 1
+        WHERE s.survivor_id <> b.best_id OR s.n_members <> b.n
+           OR s.survivor_chars <> b.best_chars
+    """).fetchone()[0]
+    label_mismatch = con.execute(f"""
+        SELECT count(*) FROM (
+          SELECT cluster_id FROM '{out_dir}/q_dedup_survivor/*.parquet'
+          UNION ALL SELECT DISTINCT cluster_id FROM '{out_dir}/q_dedup_cc/*.parquet')
+        GROUP BY cluster_id HAVING count(*) <> 2
+    """).fetchall()
+    if surv_bad:
+        failures.append(f"q_dedup_survivor: {surv_bad} clusters violate the "
+                        "longest-then-lowest-id policy")
+    if label_mismatch:
+        failures.append(f"q_dedup_survivor: {len(label_mismatch)} cluster labels "
+                        "not shared 1:1 with q_dedup_cc")
+    n_surv = con.execute(
+        f"SELECT count(*) FROM '{out_dir}/q_dedup_survivor/*.parquet'").fetchone()[0]
+    print(f"q_dedup_survivor: ALL {n_surv} clusters policy-checked against claimed "
+          f"q_dedup_cc membership, {surv_bad} violations, "
+          f"{len(label_mismatch)} label mismatches")
+
+    # --- q_incremental_dedup (r5): sampled status recompute -------------
+    bucket_sql = "(doc_id % 2147483647 + 0) % 2147483647 * 2654435761 % 4294967296 % 100"
+    con.execute(f"""
+        CREATE TEMP TABLE _sh AS
+        SELECT doc_id, {bucket_sql} AS bucket,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS s
+        FROM (SELECT doc_id, string_split(text,' ') AS w
+              FROM '{sf}/documents.parquet')
+        WHERE len(w) >= 3""")
+    inc = con.execute(
+        f"SELECT doc_id, n_dup_corpus, n_dup_batch, status "
+        f"FROM '{out_dir}/q_incremental_dedup/*.parquet'").fetchall()
+    inc_bad = 0
+    inc_n = min(max(20, n_samples // 2), len(inc))
+    for b, ncorp, nbatch, status in rng.sample(inc, inc_n):
+        row = con.execute("SELECT s FROM _sh WHERE doc_id = ?", [b]).fetchone()
+        if row is None:
+            exp = (0, 0, "kept")  # <3 words: no shingles, cannot be a dup
+        else:
+            got = con.execute("""
+                SELECT coalesce(sum(CASE WHEN bucket < 90 THEN 1 ELSE 0 END), 0),
+                       coalesce(sum(CASE WHEN bucket >= 90 AND doc_id < ?
+                                         THEN 1 ELSE 0 END), 0)
+                FROM _sh
+                WHERE doc_id <> ?
+                  AND 3 * len(list_intersect(s, ?)) >= len(s) + len(?)
+            """, [b, b, row[0], row[0]]).fetchone()
+            exp = (int(got[0]), int(got[1]),
+                   "dup_corpus" if got[0] > 0
+                   else ("dup_batch" if got[1] > 0 else "kept"))
+        if (int(ncorp), int(nbatch), status) != exp:
+            inc_bad += 1
+            failures.append(
+                f"q_incremental_dedup: doc {b} claimed "
+                f"({ncorp},{nbatch},{status}) vs recomputed {exp}")
+    print(f"q_incremental_dedup: {inc_n} batch docs re-derived against the full "
+          f"corpus, {inc_bad} failures ({len(inc)} batch docs total)")
 
     for f in failures:
         print(f"FAIL {f}")
