@@ -318,6 +318,63 @@ object Relational {
             ) t WHERE rn = 1 ORDER BY event_id""")
   )
 
+  /** FULL OUTER join — the one join type the E2 matrix was missing
+    * (inner/broadcast/SMJ/salted/multi/semi/anti/range/as-of are above).
+    * Cohort retention: per-customer order activity in 1995 vs 2001,
+    * where either side may be absent — `churned` (1995 only), `new`
+    * (2001 only), `retained` (both). Null-filling discipline: counts
+    * coalesce to 0, spends to 0.0, and the join key survives via the
+    * USING-column coalesce Spark applies to `full_outer` on a name Seq.
+    *
+    * Scale shape: both inputs are aggregated BELOW the join, so the
+    * join sides are bounded by |customers|, not |orders| — and both
+    * carry the same hash partitioning on custkey out of their groupBy,
+    * which the full-outer SMJ REUSES: two scan-side exchanges total,
+    * none between agg and join. Full outer can never broadcast (both
+    * sides must see unmatched rows), so the shuffle shape here is the
+    * only correct one at any scale.
+    */
+  val qJoinOuter = Q(
+    "q_join_outer",
+    (s, d) => {
+      def era(yr: Int, n: String, sp: String) =
+        orders(s, d)
+          .where(year(col("o_orderdate")) === yr)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as(n), dsum(col("o_totalprice")).as(sp))
+      era(1995, "n_1995", "spend_1995")
+        .join(era(2001, "n_2001", "spend_2001"), Seq("custkey"), "full_outer")
+        .select(
+          col("custkey"),
+          coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+          coalesce(col("spend_1995"), lit(0.0)).as("spend_1995"),
+          coalesce(col("n_2001"), lit(0L)).as("n_2001"),
+          coalesce(col("spend_2001"), lit(0.0)).as("spend_2001"),
+          when(col("n_1995").isNull, "new")
+            .when(col("n_2001").isNull, "churned")
+            .otherwise("retained")
+            .as("status")
+        )
+        .orderBy("custkey")
+    },
+    Some("""WITH h1 AS (SELECT o_custkey AS custkey, count(*) AS n,
+                               CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS spend
+                        FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+                 h2 AS (SELECT o_custkey AS custkey, count(*) AS n,
+                               CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS spend
+                        FROM orders WHERE year(o_orderdate) = 2001 GROUP BY 1)
+            SELECT COALESCE(h1.custkey, h2.custkey) AS custkey,
+                   COALESCE(h1.n, 0) AS n_1995,
+                   COALESCE(h1.spend, 0.0) AS spend_1995,
+                   COALESCE(h2.n, 0) AS n_2001,
+                   COALESCE(h2.spend, 0.0) AS spend_2001,
+                   CASE WHEN h1.custkey IS NULL THEN 'new'
+                        WHEN h2.custkey IS NULL THEN 'churned'
+                        ELSE 'retained' END AS status
+            FROM h1 FULL OUTER JOIN h2 ON h1.custkey = h2.custkey
+            ORDER BY custkey""")
+  )
+
   // ---------------------------------------------------------------- E3
   /** TPC-H Q1 shape: hash aggregate with partial/map-side combine. The
     * avg is sum_exact/count — one IEEE division on exact operands.
@@ -934,7 +991,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qFilter,
     qJoinBroadcast, qJoinSmj, qJoinSalted, qJoinMulti, qSemi, qAnti, qRangeJoin,
-    qAsofJoin,
+    qAsofJoin, qJoinOuter,
     qAggHash, qAggDistinct, qRollup, qCube, qGroupingSets, qQuantiles, qQuantilesExact,
     qApproxDistinct,
     qWindowRank, qWindowRunning, qWindowLag, qWindowPercent, qWindowRange,

@@ -865,8 +865,117 @@ object Similarity {
     qKnnCosine.oracle
   )
 
+  /** Reciprocal-rank fusion (RRF, Cormack et al. 2009) — HYBRID
+    * retrieval, the shape a curation/decontamination-by-retrieval stage
+    * uses when neither dense nor lexical search alone is trusted: fuse
+    * the top-20 dense (cosine vs query vector 0) and top-20 lexical
+    * (distinct-token overlap with query doc 0) candidate lists by
+    * rrf = Σ_retrievers 1/(k + rank), k = 60. Rank-based fusion needs no
+    * score calibration between retrievers — exactly why RRF is the
+    * default hybrid combiner in production search stacks.
+    *
+    * Determinism: ranks are exact integers (row_number over
+    * (rounded-metric desc, id asc)); each RRF term is ONE IEEE division
+    * 1.0/(60+rank) and the fused score one IEEE addition of the two
+    * terms in fixed (dense, lexical) order — bit-identical cross-engine,
+    * rounded to 6 digits only at output, ties broken by id.
+    *
+    * Scale shape: each retriever list is a top-k — dense via the
+    * brute-force scan (swap in q_ann_ivf/q_ann_pq at web scale, same
+    * fusion), lexical via a BROADCAST token join (the query token set is
+    * query-doc-sized — the one always-correct broadcast) + one count
+    * agg + TakeOrderedAndProject. The rank windows run AFTER `limit(k)`,
+    * so the unpartitioned window sees a CONSTANT k rows at any corpus
+    * size — a bounded funnel, not the q_ntile defect. The fusion join is
+    * full-outer over two ≤k-row lists: constant-sized by construction.
+    */
+  val qRankFusion = Q(
+    "q_rank_fusion",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 20
+      val emb = embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("v")
+      )
+      val q = emb.where(col("vec_id") === 0).select("v").head().getSeq[Double](0)
+      val qv = typedLit(q)
+      val denseTop = emb
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"), round(cosine(col("v"), qv), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("id").asc)
+        .limit(k)
+      // bounded-funnel window: input is the k-row limit above
+      val denseRank = denseTop.select(
+        col("id"),
+        row_number()
+          .over(Window.orderBy(col("cos_sim").desc, col("id").asc))
+          .as("rank_dense")
+      )
+      val toks = documents(s, d).select(
+        col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok")
+      )
+      val qtoks = toks.where(col("doc_id") === 0).select(col("tok").as("qtok")).distinct()
+      val lexTop = toks
+        .where(col("doc_id") =!= 0)
+        .join(broadcast(qtoks), col("tok") === col("qtok"))
+        .groupBy(col("doc_id").as("id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("id").asc)
+        .limit(k)
+      val lexRank = lexTop.select(
+        col("id"),
+        row_number()
+          .over(Window.orderBy(col("n_shared").desc, col("id").asc))
+          .as("rank_lex")
+      )
+      denseRank
+        .join(lexRank, Seq("id"), "full_outer")
+        .select(
+          col("id"),
+          coalesce(col("rank_dense"), lit(0)).as("rank_dense"),
+          coalesce(col("rank_lex"), lit(0)).as("rank_lex"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)),
+            6
+          ).as("rrf")
+        )
+        .orderBy(col("rrf").desc, col("id").asc)
+    },
+    Some(s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+             e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+             dense_top AS (
+               SELECT vec_id AS id, round(${duckCos("v", "qv")}, 6) AS cos_sim
+               FROM e, q ORDER BY cos_sim DESC, id ASC LIMIT 20),
+             dense_rank AS (
+               SELECT id, CAST(row_number() OVER (ORDER BY cos_sim DESC, id ASC) AS INTEGER) AS rank_dense
+               FROM dense_top),
+             qt AS (SELECT DISTINCT tok FROM (
+                      SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents WHERE doc_id = 0)),
+             dt AS (SELECT DISTINCT doc_id, tok FROM (
+                      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents WHERE doc_id <> 0)),
+             lex_top AS (
+               SELECT doc_id AS id, count(*) AS n_shared
+               FROM dt JOIN qt USING (tok)
+               GROUP BY doc_id ORDER BY n_shared DESC, id ASC LIMIT 20),
+             lex_rank AS (
+               SELECT id, CAST(row_number() OVER (ORDER BY n_shared DESC, id ASC) AS INTEGER) AS rank_lex
+               FROM lex_top)
+             SELECT COALESCE(a.id, b.id) AS id,
+                    COALESCE(a.rank_dense, 0) AS rank_dense,
+                    COALESCE(b.rank_lex, 0) AS rank_lex,
+                    round(COALESCE(CAST(1 AS DOUBLE) / (60 + a.rank_dense), 0.0) +
+                          COALESCE(CAST(1 AS DOUBLE) / (60 + b.rank_lex), 0.0), 6) AS rrf
+             FROM dense_rank a FULL OUTER JOIN lex_rank b ON a.id = b.id
+             ORDER BY rrf DESC, id ASC""")
+  )
+
   val all: Seq[Q] =
     Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qKnnJoin, qSemdedup, qDedupEmbedding,
-      qEmbeddingCc, qAnnIvf, qAnnPq, qAnnLsh, qPairwiseNear, qMultimodalJoin,
+      qEmbeddingCc, qAnnIvf, qAnnPq, qAnnLsh, qPairwiseNear, qRankFusion, qMultimodalJoin,
       qMultimodalMeta)
 }

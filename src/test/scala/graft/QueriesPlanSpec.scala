@@ -399,4 +399,34 @@ class QueriesPlanSpec extends SparkSpec {
     // must never be a build side
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("q_join_outer: agg-below-join, full-outer SMJ reuses the groupBy partitioning") {
+    val p = plan("q_join_outer")
+    assert(p.contains("FullOuter"), "join type regressed from full outer")
+    // both sides aggregate BEFORE the join (sides bounded by |customers|)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, "agg pushed above the join")
+    // three exchanges total: one per groupBy + the final output sort —
+    // the full-outer SMJ reuses the groupBys' custkey partitioning (no
+    // extra exchange between agg and join)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("+- Exchange") || l.contains(":- Exchange"))
+    assert(exchanges == 3,
+      s"join added exchanges — groupBy partitioning no longer reused ($exchanges)")
+    assert(!p.contains("BroadcastHashJoin"),
+      "full outer can never broadcast (both sides keep unmatched rows)")
+  }
+
+  test("q_rank_fusion: rank windows sit above LIMIT-bounded funnels") {
+    val p = plan("q_rank_fusion")
+    // each retriever's top-k is a heap; the un-keyed rank window sees
+    // only those k rows — a constant-size funnel at any corpus size
+    // (NOT the q_ntile r4 defect, whose window input grew with the data)
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) TakeOrderedAndProject\s*""")) == 2,
+      "a retriever list lost its top-k heap (global sort or unbounded window input)")
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) Window\s*""")) == 2)
+    // the query-doc token set is the one correct broadcast; the fusion
+    // join itself is over two ≤k-row lists
+    assert(p.contains("BroadcastHashJoin"), "query token set must broadcast")
+    assert(p.contains("FullOuter"), "fusion must keep single-retriever hits")
+  }
 }
