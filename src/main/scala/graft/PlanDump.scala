@@ -25,7 +25,9 @@ object PlanDump {
       "q_cooccur", "q_triangles", "q_time_travel", "q_profile",
       "q_anomaly", "q_window_percent", "q_pmi", "q_knn_join", "q_semdedup",
       "q_vacuum", "q_window_range", "q_domain_filter",
-      "q_mix_temperature", "q_schema_evolution", "q_cms_terms", "q_mm_audio"
+      "q_mix_temperature", "q_schema_evolution", "q_cms_terms", "q_mm_audio",
+      "q_join_outer", "q_rank_fusion", "q_sequence_assemble", "q_nucleus_sources",
+      "q_funnel"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -127,7 +129,27 @@ object PlanDump {
       "q_mm_audio" ->
         ("SerializeFromObject <- MapPartitions <- DeserializeToObject over the scan: the " +
           "synth+parse batch loop is one object stage, no shuffle until the output sort — the " +
-          "same shape a Pandas-UDF decode stage plans.")
+          "same shape a Pandas-UDF decode stage plans."),
+      "q_join_outer" ->
+        ("both era aggregates shuffle ONCE on custkey and the full-outer SortMergeJoin reuses " +
+          "that partitioning (Sort only, no exchange between agg and join) — 3 exchanges total " +
+          "incl. the output sort; full outer has no broadcast form, so this is the minimal shape."),
+      "q_rank_fusion" ->
+        ("each retriever ends in TakeOrderedAndProject(limit=20) and its rank Window reads those " +
+          "20 rows — a constant-size funnel, not a data-scale window; the query-token set is the " +
+          "one BroadcastExchange; the fusion join is full-outer SMJ over two ≤20-row lists."),
+      "q_sequence_assemble" ->
+        ("ObjectHashAggregate (collect_list) behind ONE user_id exchange — trajectory order is " +
+          "fixed by sort_array over (ts,event_id) structs INSIDE the per-key aggregate, so no " +
+          "window and no global sort touches the corpus; per-key state = that user's events."),
+      "q_nucleus_sources" ->
+        ("the partial_count HashAggregate collapses the corpus to |lang×source| rows BEFORE " +
+          "either window; both windows (running sum, per-lang total) are lang-keyed over that " +
+          "collapsed relation — the corpus never meets a window."),
+      "q_funnel" ->
+        ("ONE user_id exchange feeds the ordered-fold Windows AND the closing HashAggregate " +
+          "(partitioning reused, no second data-scale shuffle); the running min-over-frame " +
+          "carries 'earliest view/valid click so far' past each event in one corpus pass.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

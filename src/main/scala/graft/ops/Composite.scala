@@ -155,5 +155,89 @@ object Composite {
             ORDER BY revenue DESC, c_custkey LIMIT 20""")
   )
 
-  val all: Seq[Q] = Seq(qTpchShipping, qTpchMarket, qTpchReturns)
+  /** ORDERED-SEQUENCE FUNNEL — the event-order analytics every product
+    * warehouse runs and naive conditional aggregation CANNOT express:
+    * per user, the first `view`, the first `click` AT OR AFTER that
+    * view, and the first `purchase` at or after that click (stage
+    * order matters — a click before any view doesn't count). Stage
+    * reached ∈ {0,1,2,3} plus exact µs inter-stage delays.
+    *
+    * Shape: a per-user ORDERED RUNNING FOLD — one keyed window
+    * (partition user_id, order (ts, event_id), running frame) carries
+    * "earliest view so far" / "earliest valid click so far" past each
+    * event, then one groupBy(user) collapses to the funnel row. The
+    * window exchange hash-partitions on user_id and the groupBy REUSES
+    * that partitioning — ONE data-scale shuffle total, one corpus pass
+    * (vs the 3-scan filter-join-filter formulation). Both engines
+    * evaluate the identical frame, so the min-over-frame fold is
+    * deterministic; delays are exact integer epoch-µs differences.
+    */
+  val qFunnel = Q(
+    "q_funnel",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seenView = min(when(col("event_type") === "view", col("ts"))).over(w)
+      val marked = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("valid_click_ts",
+          when(col("event_type") === "click" && seenView.isNotNull, col("ts")))
+      val seenClick = min(col("valid_click_ts")).over(w)
+      val marked2 = marked.withColumn("valid_purchase_ts",
+        when(col("event_type") === "purchase" && seenClick.isNotNull, col("ts")))
+      marked2
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(col("valid_click_ts")).as("t_click"),
+          min(col("valid_purchase_ts")).as("t_purchase")
+        )
+        .select(
+          col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0).as("stage"),
+          (unix_micros(col("t_click")) - unix_micros(col("t_view")))
+            .as("us_view_to_click"),
+          (unix_micros(col("t_purchase")) - unix_micros(col("t_click")))
+            .as("us_click_to_purchase")
+        )
+        .orderBy("user_id")
+    },
+    Some("""WITH marked AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN event_type = 'click'
+                          AND min(CASE WHEN event_type = 'view' THEN ts END)
+                              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              IS NOT NULL
+                          THEN ts END AS valid_click_ts
+              FROM events),
+            marked2 AS (
+              SELECT *, CASE WHEN event_type = 'purchase'
+                             AND min(valid_click_ts)
+                                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                                 IS NOT NULL
+                             THEN ts END AS valid_purchase_ts
+              FROM marked),
+            funnel AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                     min(valid_click_ts) AS t_click,
+                     min(valid_purchase_ts) AS t_purchase
+              FROM marked2 GROUP BY user_id)
+            SELECT user_id, t_view, t_click, t_purchase,
+                   CASE WHEN t_purchase IS NOT NULL THEN 3
+                        WHEN t_click IS NOT NULL THEN 2
+                        WHEN t_view IS NOT NULL THEN 1
+                        ELSE 0 END AS stage,
+                   epoch_us(t_click) - epoch_us(t_view) AS us_view_to_click,
+                   epoch_us(t_purchase) - epoch_us(t_click) AS us_click_to_purchase
+            FROM funnel ORDER BY user_id""")
+  )
+
+  val all: Seq[Q] = Seq(qTpchShipping, qTpchMarket, qTpchReturns, qFunnel)
 }

@@ -166,5 +166,60 @@ object Curation {
             ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(qCurationPipeline, qDomainFilter)
+  /** NUCLEUS (top-p) SOURCE COVERAGE — the mixture-audit twin of
+    * [[qDomainFilter]]: within each language, rank sources by document
+    * count and mark the smallest prefix covering ≥ 90% of the
+    * language's corpus as `core`; the tail is the long-tail provenance
+    * a curation team either samples down (q_mix_temperature) or audits
+    * by hand. The same top-p idea nucleus sampling applies to token
+    * distributions, applied to the source mixture.
+    *
+    * Exactness: membership is the running-sum test
+    * `10·(cum − cnt) < 9·total` — "the mass BEFORE this source hasn't
+    * reached 90% yet" — in cross-multiplied integers; the first source
+    * at or past the threshold is still `core` (the prefix must REACH
+    * coverage), everything after is tail. No float ratio anywhere.
+    *
+    * Scale shape: one map-side-combined groupBy collapses the corpus to
+    * |lang × source| rows — domain-universe cardinality, NOT corpus
+    * cardinality — and both windows (running sum, per-lang total) are
+    * KEYED on lang over that collapsed relation; the corpus itself
+    * never meets a window. At 100 TB this is scan + one shuffle of
+    * |domains| rows.
+    */
+  val qNucleusSources = Q(
+    "q_nucleus_sources",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("cnt"))
+      val order = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("source").asc)
+      val cum = sum(col("cnt"))
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val total = sum(col("cnt")).over(Window.partitionBy("lang"))
+      counts
+        .select(
+          col("lang"), col("source"), col("cnt"),
+          cum.as("cum"), total.as("total"),
+          ((cum - col("cnt")) * 10 < total * 9).as("core"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH counts AS (
+              SELECT lang, source, count(*) AS cnt
+              FROM documents GROUP BY lang, source)
+            SELECT lang, source, cnt,
+                   sum(cnt) OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, source ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER (PARTITION BY lang) AS total,
+                   (sum(cnt) OVER (PARTITION BY lang
+                                   ORDER BY cnt DESC, source ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) * 10
+                     < sum(cnt) OVER (PARTITION BY lang) * 9 AS core
+            FROM counts ORDER BY lang, source""")
+  )
+
+  val all: Seq[Q] = Seq(qCurationPipeline, qDomainFilter, qNucleusSources)
 }

@@ -655,8 +655,55 @@ object Sampling {
             FROM documents GROUP BY lang ORDER BY lang""")
   )
 
+  /** SEQUENCE-EXAMPLE ASSEMBLY — the op that turns an event log into
+    * per-user time-ordered trajectories, the shape behavioral-cloning /
+    * agent-trace training data ships in (one row per user, the action
+    * sequence as a flat column plus span metadata).
+    *
+    * Determinism: the trajectory order is the total order (ts,
+    * event_id) — collect_list alone is arrival-ordered and
+    * NONDETERMINISTIC across partition scheduling, so the collected
+    * structs are sort_array'd (struct ordering = lexicographic over
+    * (ts, event_id), unique by construction) before the event types are
+    * projected out and joined. DuckDB reproduces it with
+    * `string_agg(... ORDER BY ts, event_id)`.
+    *
+    * Scale shape: ONE shuffle (groupBy user). Per-user state is the
+    * user's own event list — bounded by per-user activity, not the
+    * corpus; a pathological power-user would be capped upstream by
+    * q_sample_per_key's deterministic reservoir (the documented
+    * composition). No global sort, no window: assembly ∥-izes per key.
+    */
+  val qSequenceAssemble = Q(
+    "q_sequence_assemble",
+    (s, d) => {
+      val evs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      evs
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_first"),
+          max(col("ts")).as("t_last"),
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")
+            ),
+            " "
+          ).as("trajectory")
+        )
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, count(*) AS n_events,
+                   min(ts) AS t_first, max(ts) AS t_last,
+                   string_agg(event_type, ' ' ORDER BY ts, event_id) AS trajectory
+            FROM events GROUP BY user_id ORDER BY user_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave,
       qPivot, qUnpivot, qPack, qHeavyHitters, qAnomaly, qNtile, qZorderKey,
-      qGlobalRownum, qMixBalance, qMixTemperature, qIncrementalAgg)
+      qGlobalRownum, qMixBalance, qMixTemperature, qIncrementalAgg,
+      qSequenceAssemble)
 }

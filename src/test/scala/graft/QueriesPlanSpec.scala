@@ -429,4 +429,34 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "query token set must broadcast")
     assert(p.contains("FullOuter"), "fusion must keep single-retriever hits")
   }
+
+  test("q_sequence_assemble: one keyed shuffle, no window, no global sort before output") {
+    val p = plan("q_sequence_assemble")
+    assert(!p.contains("Window"), "assembly must parallelize per key, not via a window")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("+- Exchange") || l.contains(":- Exchange"))
+    assert(exchanges == 2, s"expected groupBy + output-sort exchanges only ($exchanges)")
+  }
+
+  test("q_funnel: ordered fold is user-keyed; groupBy reuses the window partitioning") {
+    val p = plan("q_funnel")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      "funnel window lost its user_id partitioning (global funnel)")
+    // one data-scale exchange (the user_id window) + the output sort;
+    // the groupBy(user_id) must reuse the window's hash partitioning
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("+- Exchange") || l.contains(":- Exchange"))
+    assert(exchanges == 2, s"groupBy stopped reusing the window partitioning ($exchanges)")
+  }
+
+  test("q_nucleus_sources: corpus collapses to |lang×source| BEFORE any window; windows keyed") {
+    val p = plan("q_nucleus_sources")
+    // the aggregate must sit below the windows — a window over raw docs
+    // would funnel corpus rows through |langs| tasks
+    assert(p.contains("partial_count"), "counts lost their map-side combine")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("lang")),
+      "a window lost its lang partitioning (global funnel)")
+  }
 }

@@ -65,4 +65,29 @@ class CurationSpec extends SparkSpec {
     }.sortBy(_._1).toSeq
     assert(kept == expectedKept)
   }
+
+  test("q_nucleus_sources: core is the MINIMAL count-ranked prefix reaching 90% coverage") {
+    val rows = graft.SparkEntry.queries("q_nucleus_sources")(spark, sf0001)
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("total"), r.getAs[Boolean]("core")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val total = rs.head._4
+      assert(rs.forall(_._4 == total), s"$lang: inconsistent totals")
+      assert(rs.map(_._3).sum == total, s"$lang: counts don't sum to total")
+      // walk sources in nucleus rank order (cnt desc, source asc)
+      val ranked = rs.sortBy(r => (-r._3, r._2))
+      val coreCnt = ranked.filter(_._5).map(_._3).sum
+      assert(coreCnt * 10 >= total * 9, s"$lang: core fails to cover 90%")
+      // minimality: dropping the LAST core source must fall below 90%
+      val coreRanked = ranked.filter(_._5)
+      assert((coreCnt - coreRanked.last._3) * 10 < total * 9,
+        s"$lang: core prefix is not minimal")
+      // core is a PREFIX of the ranking: no tail source precedes a core one
+      val flags = ranked.map(_._5).toSeq
+      assert(flags == flags.sortBy(!_), s"$lang: core is not a rank prefix")
+      // the rule must BITE on this corpus: at least one lang has a tail
+    }
+    assert(rows.exists(!_._5), "no tail source anywhere — threshold never bites")
+  }
 }

@@ -204,6 +204,25 @@ class SamplingSpec extends SparkSpec {
       "temperature must drop something from over-represented languages")
   }
 
+  test("q_sequence_assemble: trajectory is the exact (ts, event_id)-ordered event walk") {
+    val out = graft.SparkEntry.queries("q_sequence_assemble")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[String]("trajectory"))).toMap
+    val evs = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val expect = evs.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+        .map(_._4).mkString(" ")
+    }
+    assert(out.keySet == expect.keySet)
+    out.foreach { case (u, (n, traj)) =>
+      assert(traj == expect(u), s"user $u trajectory diverges")
+      assert(n == traj.split(" ").length.toLong, s"user $u n_events != tokens")
+    }
+  }
+
   test("z-order locality: a 2-D box maps to a bounded zkey range") {
     // the defining skip property: for an aligned 2^k x 2^k box, all
     // points fall in ONE contiguous zkey range of length 4^k — min/max
