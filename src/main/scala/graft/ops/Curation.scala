@@ -210,10 +210,10 @@ object Curation {
               SELECT lang, source, count(*) AS cnt
               FROM documents GROUP BY lang, source)
             SELECT lang, source, cnt,
-                   sum(cnt) OVER (PARTITION BY lang
+                   CAST(sum(cnt) OVER (PARTITION BY lang
                                   ORDER BY cnt DESC, source ASC
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-                   sum(cnt) OVER (PARTITION BY lang) AS total,
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                   CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total,
                    (sum(cnt) OVER (PARTITION BY lang
                                    ORDER BY cnt DESC, source ASC
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt) * 10

@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
   * every sequence with the pair fused into one symbol; the learned
   * artifact is the ranked merge table.
   *
-  * Symbols here are whitespace words (so the learned merges are the
-  * corpus's top collocations — "phrase BPE"); character-level BPE is
-  * THIS code with the initial alphabet swapped to characters (split by
-  * '' instead of ' '), nothing else changes. Word-level keeps the
-  * declared query's merge table human-auditable and the oracle exact.
+  * The alphabet is pluggable and BOTH levels are declared queries:
+  * q_bpe_train runs over whitespace words (the learned merges are the
+  * corpus's top collocations — "phrase BPE", human-auditable), and
+  * q_bpe_train_char runs the SAME loop over single characters (the
+  * Sennrich original) — the only difference is [[seq0]]'s delimiter.
   *
   * Exactness/engine-parity discipline: sequences are carried as
   * DOUBLE-unit-separator strings `US US w1 US US w2 US US … US US`
@@ -76,13 +76,20 @@ object Vocab {
       .groupBy("pa", "pb")
       .agg(count(lit(1)).as("freq"))
 
-  /** Initial symbol sequences (double-separator encoding, see above). */
-  private def seq0(s: SparkSession, d: String): DataFrame = {
+  /** Initial symbol sequences (double-separator encoding, see above).
+    * `delim` is the alphabet switch: " " = whitespace words (phrase
+    * BPE, the human-auditable declared default); "" = characters (true
+    * Sennrich BPE — Spark's `split(text, '')` and DuckDB's
+    * `string_split(text, '')` both emit the per-char list, trailing
+    * empties removed by the shared filter). NOTHING else changes —
+    * the "swap the alphabet" claim, now executed, not asserted.
+    */
+  private def seq0(s: SparkSession, d: String, delim: String = " "): DataFrame = {
     val sep2 = US.toChar.toString * 2
     fanOut(documents(s, d)).select(
       col("doc_id"),
       concat(lit(sep2),
-        array_join(expr("filter(split(text, ' '), x -> x != '')"), sep2),
+        array_join(expr(s"filter(split(text, '$delim'), x -> x != '')"), sep2),
         lit(sep2)).as("seq"))
   }
 
@@ -100,26 +107,46 @@ object Vocab {
         "replace(seq, chr(31) || bpa || chr(31) || chr(31) || bpb || chr(31)," +
           " chr(31) || bpa || chr(30) || bpb || chr(31))").as("seq"))
 
+  /** The [[MERGES]]-round training loop over an initial alphabet's
+    * sequences — shared verbatim by the word- and char-level declared
+    * queries (the alphabet is the ONLY degree of freedom).
+    */
+  private def trainMerges(seqInit: DataFrame): DataFrame = {
+    var seq = Materialize(seqInit)
+    val merges = Seq.newBuilder[DataFrame]
+    for (k <- 1 to MERGES) {
+      // 1 row, checkpointed so the merge table and the rewrite below
+      // share one computation of the argmax
+      val best = Materialize(bestPair(seq))
+      merges += best.select(lit(k).as("merge_rank"), col("pa"), col("pb"), col("freq"))
+      seq = Materialize(applyMerge(seq, best))
+    }
+    merges.result().reduce(_ unionByName _)
+      .select(col("merge_rank"),
+        expr("replace(pa, chr(30), ' ')").as("lhs"),
+        expr("replace(pb, chr(30), ' ')").as("rhs"),
+        col("freq"))
+      .orderBy("merge_rank")
+  }
+
   val qBpeTrain = Q(
     "q_bpe_train",
-    (s, d) => {
-      var seq = Materialize(seq0(s, d))
-      val merges = Seq.newBuilder[DataFrame]
-      for (k <- 1 to MERGES) {
-        // 1 row, checkpointed so the merge table and the rewrite below
-        // share one computation of the argmax
-        val best = Materialize(bestPair(seq))
-        merges += best.select(lit(k).as("merge_rank"), col("pa"), col("pb"), col("freq"))
-        seq = Materialize(applyMerge(seq, best))
-      }
-      merges.result().reduce(_ unionByName _)
-        .select(col("merge_rank"),
-          expr("replace(pa, chr(30), ' ')").as("lhs"),
-          expr("replace(pb, chr(30), ' ')").as("rhs"),
-          col("freq"))
-        .orderBy("merge_rank")
-    },
-    Some(bpeOracle)
+    (s, d) => trainMerges(seq0(s, d)),
+    Some(bpeOracle(" "))
+  )
+
+  /** CHARACTER-level BPE — the Sennrich original: same loop, alphabet
+    * swapped to single characters. Merged symbols display with their
+    * fuse points as spaces (rank-1 on this corpus fuses two letters
+    * into a bigram token). Declared + hash-oracled, closing VERDICT
+    * r5's "documented, not declared" gap: the oracle CTE chain is the
+    * SAME generator with the same alphabet swap, so round count,
+    * tiebreaks, and rewrite arithmetic are verified at char level too.
+    */
+  val qBpeTrainChar = Q(
+    "q_bpe_train_char",
+    (s, d) => trainMerges(seq0(s, d, "")),
+    Some(bpeOracle(""))
   )
 
   /** Plan-audit hook (PLANS.md): ONE BPE training round as a LAZY
@@ -177,7 +204,7 @@ object Vocab {
     * oracle reads the per-round argmaxes b1..bN, the apply oracle reads
     * the chain's final corpus state sN.
     */
-  private def bpeCtes: String = {
+  private def bpeCtes(delim: String): String = {
     val rounds = (1 to MERGES).map { k =>
       s"""p$k AS (
          |  SELECT u.pa AS pa, u.pb AS pb, count(*) AS freq
@@ -197,7 +224,7 @@ object Vocab {
     s"""WITH s0 AS (
        |  SELECT doc_id,
        |         repeat(chr($US), 2)
-       |           || array_to_string(list_filter(string_split(text, ' '),
+       |           || array_to_string(list_filter(string_split(text, '$delim'),
        |                                          x -> x <> ''), repeat(chr($US), 2))
        |           || repeat(chr($US), 2) AS seq
        |  FROM documents),
@@ -207,22 +234,22 @@ object Vocab {
   // NOTE: bpeCtes is CONCATENATED, never re-interpolated into a
   // .stripMargin template — a second stripMargin would eat one pipe of
   // every line-leading `||` concat operator inside it.
-  private def bpeOracle: String = {
+  private def bpeOracle(delim: String): String = {
     val out = (1 to MERGES)
       .map(k =>
         s"""SELECT $k AS merge_rank, replace(pa, chr($RS), ' ') AS lhs,
            |       replace(pb, chr($RS), ' ') AS rhs, freq FROM b$k""".stripMargin)
       .mkString("\nUNION ALL\n")
-    bpeCtes + "\n" + out + "\nORDER BY merge_rank"
+    bpeCtes(delim) + "\n" + out + "\nORDER BY merge_rank"
   }
 
   private def bpeApplyOracle: String =
-    bpeCtes + "\n" +
+    bpeCtes(" ") + "\n" +
       s"""SELECT s0.doc_id,
          |       CAST(len(list_filter(string_split(s0.seq, chr($US)), x -> x <> '')) AS BIGINT) AS n_before,
          |       CAST(len(list_filter(string_split(s$MERGES.seq, chr($US)), x -> x <> '')) AS BIGINT) AS n_after
          |FROM s0 JOIN s$MERGES ON s0.doc_id = s$MERGES.doc_id
          |ORDER BY s0.doc_id""".stripMargin
 
-  val all: Seq[Q] = Seq(qBpeTrain, qBpeApply)
+  val all: Seq[Q] = Seq(qBpeTrain, qBpeTrainChar, qBpeApply)
 }

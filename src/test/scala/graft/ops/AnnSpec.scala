@@ -102,6 +102,28 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("q_knn_join_ann: ≥0.6 edge recall vs the exact graph, at ≤ nprobe/K of the work") {
+    // The ANN graph's promise: most exact top-3 edges survive while only
+    // the probed clusters' members are ever compared. On this
+    // near-isotropic corpus recall ≈ nprobe/K is the THEORETICAL shape
+    // (centroids of noise carry little signal) — the floor is set from
+    // the measured 0.67, not hope; a broken probe list lands ≈ 0.37.
+    val exact = graft.SparkEntry.queries("q_knn_join")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = graft.SparkEntry.queries("q_knn_join_ann")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val recall = ann.count(e => exact((e._1, e._2))).toDouble / exact.size
+    assert(recall >= 0.6, s"edge recall $recall < 0.6 (${ann.length} ann vs ${exact.size} exact edges)")
+    // every source keeps ≤3 neighbors, ranked by true descending cosine
+    graft.SparkEntry.queries("q_knn_join_ann")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getDouble(2)))
+      .groupBy(_._1).values.foreach { g =>
+        assert(g.length <= 3)
+        val byRank = g.sortBy(_._2).map(_._3).toSeq
+        assert(byRank == byRank.sorted.reverse, "rank order must follow descending cosine")
+      }
+  }
+
   test("q_ann_ivf: results are a correctly-reranked subset of the corpus") {
     val rows = graft.SparkEntry.queries("q_ann_ivf")(spark, sf0001).collect()
     assert(rows.length == 5)
