@@ -68,14 +68,12 @@ object Replay {
         .option("maxFilesPerTrigger", "1")
         .parquet(dir))
 
-  /** Tumbling 1-hour windows per event_type with a 1-hour watermark:
-    * counts + exact decimal sum (same discipline as the batch queries).
-    * The same function applies to a batch DataFrame (unified API) —
-    * ReplaySpec exploits that for the equivalence check.
+  /** The tumbling-window aggregate body shared by the batch and
+    * streamed shapes: 1-hour windows per event_type, counts + exact
+    * decimal sum (same discipline as the batch queries).
     */
-  def windowedCounts(events: DataFrame): DataFrame =
+  private def windowAgg(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -88,33 +86,49 @@ object Replay {
         col("sum_value")
       )
 
-  /** Replay to completion. Complete output mode: append mode would hold
-    * back every window newer than (max event time − watermark) forever,
-    * because a terminated stream never advances the watermark past its
-    * last window — the batch-equality check needs the full result.
-    *
-    * Memory sink is correct HERE (unlike the append-mode join/dedup
-    * replays, which stream to parquet): Complete mode has no file-sink
-    * support, and the output is the bounded aggregate state (windows ×
-    * event types), not the unbounded input. The temp view is dropped
-    * and re-created per run, so repeated invocations (Bench runs each
-    * query 3×) hold at most one result set per name.
+  /** Watermarked windowed counts. The same function applies to a batch
+    * DataFrame (unified API) — ReplaySpec exploits that for the
+    * equivalence check.
     */
-  def replayWindowedCounts(spark: SparkSession, dir: String, name: String = "replay_counts"): DataFrame = {
-    spark.catalog.dropTempView(name) // release the previous run's sink
-    val ckpt = java.nio.file.Files.createTempDirectory("replay-ckpt-")
-    withStatePartitions(spark) {
-      val q = windowedCounts(readEvents(spark, dir)).writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(OutputMode.Complete())
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      q.awaitTermination()
-    }
-    graft.FsUtil.deleteRecursively(ckpt) // one-shot replay: no /tmp leak
-    spark.table(name)
+  def windowedCounts(events: DataFrame): DataFrame =
+    windowAgg(events.withWatermark("ts", "1 hour"))
+
+  /** APPEND-mode windowed counts over a replay dir that carries a DRAIN
+    * SENTINEL (user -1, ts 2100-01-01 — the [[sentinelReplayDir]]
+    * shape). Append mode only emits a window once the watermark passes
+    * its end, and a terminated stream never advances the watermark past
+    * its last window — so the sentinel flows THROUGH the watermark node
+    * (advancing it past every real window, closing and flushing them
+    * all) and is filtered ABOVE it, so it never creates aggregate state
+    * or an output row. Standard flush-on-drain discipline for finite
+    * replays of watermarked aggregations; the result is the FULL batch
+    * window set, via a real production sink.
+    */
+  def windowedCountsDrained(events: DataFrame): DataFrame =
+    windowAgg(
+      events
+        .withWatermark("ts", "1 hour")
+        // the drain filter must reference ts: Catalyst pushes non-ts
+        // predicates BELOW the EventTimeWatermark node (they'd drop the
+        // sentinel before its timestamp reaches the watermark
+        // accumulator — observed, not hypothetical); a predicate on the
+        // watermark column itself is pinned above it
+        .where(col("ts") < to_timestamp(lit("2099-01-01 00:00:00"))))
+
+  /** Declared-query wiring: stage events + the drain sentinel, replay
+    * [[windowedCountsDrained]] through a temp PARQUET sink
+    * (executor-parallel writes — the r1-r5 Complete-mode memory sink
+    * pinned the whole window table on the driver), hand back the lazy
+    * sink read. The staged input is deleted once the replay completes.
+    */
+  def replayWindowedCounts(spark: SparkSession, d: String): DataFrame = {
+    val live = sentinelReplayDir(spark, d)
+    val out = java.nio.file.Files.createTempDirectory("swindow-out-")
+    try
+      replayToParquet(
+        windowedCountsDrained(readEvents(spark, live.toString)),
+        out.toString + "/counts")
+    finally graft.FsUtil.deleteRecursively(live)
   }
 
   /** Stateful-stream state sizing for the REPLAY harness: the shuffle
@@ -200,19 +214,19 @@ object Replay {
     } finally graft.FsUtil.deleteRecursively(ckpt)
   }
 
-  /** Declared query — ORACLED: a Complete-mode replay to exhaustion is
-    * trigger-invariant (event time drives every aggregate and the final
-    * table holds ALL windows), so the streamed result equals the batch
-    * tumbling-window aggregation, and a 1-hour epoch-aligned tumbling
-    * window start is exactly `date_trunc('hour', ts)` — the driver's t2
-    * hash-verifies the windowed streaming path like the join/dedup ones.
+  /** Declared query — ORACLED: a sentinel-drained Append replay is
+    * trigger-invariant (event time drives every aggregate, and the
+    * drain closes every real window exactly once), so the streamed
+    * result equals the batch tumbling-window aggregation, and a 1-hour
+    * epoch-aligned tumbling window start is exactly
+    * `date_trunc('hour', ts)` — the driver's t2 hash-verifies the
+    * windowed streaming path like the join/dedup ones, now through the
+    * same parquet-sink wiring as the other seven streaming queries.
     */
   val qStreamWindow: graft.ops.Q = graft.ops.Q(
     "q_stream_window",
     (s, d) =>
-      // glob, not the bare file path: the file stream source requires a
-      // directory or glob for basePath inference.
-      replayWindowedCounts(s, s"$d/events*.parquet", "replay_counts_q")
+      replayWindowedCounts(s, d)
         .orderBy("window_start", "event_type"),
     Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
                    event_type, count(*) AS n_events,

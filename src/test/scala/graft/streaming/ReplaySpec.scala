@@ -57,14 +57,22 @@ class ReplaySpec extends SparkSpec {
     spark.read.schema(Replay.rawSchema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
-  test("windowed counts: streamed replay == batch aggregation") {
-    val dir = sliceEvents(4, sentinel = false)
-    val streamed = Replay.replayWindowedCounts(spark, dir, "replay_spec_counts")
+  test("windowed counts: drained append replay == batch aggregation (full window set)") {
+    // sentinel=true: the drain event is what lets APPEND mode flush
+    // every real window through the parquet sink before termination
+    val dir = sliceEvents(4, sentinel = true)
+    val out = Files.createTempDirectory("swindow-spec-out-")
+    val streamed = Replay.replayToParquet(
+      Replay.windowedCountsDrained(Replay.readEvents(spark, dir)),
+      out.toString + "/counts")
       .orderBy("window_start", "event_type").collect()
-    val batch = Replay.windowedCounts(batchEvents(dir))
+    val batch = Replay.windowedCounts(
+      batchEvents(dir).where(col("user_id") =!= -1L)) // sentinel is user -1 at 2100
       .orderBy("window_start", "event_type").collect()
     assert(streamed.nonEmpty)
-    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.toSeq == batch.toSeq,
+      "append replay must emit EVERY real window exactly once — the drain sentinel " +
+        "advances the watermark past the last one")
   }
 
   private def assertSessionsMatchBatch(dir: String): Unit = {
