@@ -227,10 +227,9 @@ object Quality {
     * Scale shape: a single aggregate pass. The exact `count(distinct)`
     * columns plan one Expand (row × |distinct-aggs| before partial
     * aggregation) — the price of exact cardinalities, paid here because
-    * the oracle needs exactness; the 100 TB profile swaps them for
-    * `approx_count_distinct` (the q_approx_distinct sketch) with NO
-    * other change, collapsing the pass to plain scan-speed partial
-    * aggregation. Everything else is min/max/sum/conditional-count —
+    * the oracle needs exactness; the 100 TB profile is the SHIPPED
+    * twin [[qProfileApprox]] — same pass with `approx_count_distinct`,
+    * no Expand, plain scan-speed partial aggregation. Everything else is min/max/sum/conditional-count —
     * map-side combined, |1| row out.
     */
   val qProfile = Q(
@@ -260,6 +259,35 @@ object Quality {
             FROM documents""")
   )
 
+  /** The 100 TB profile the [[qProfile]] scaladoc promises: the SAME
+    * one-pass corpus profile with every exact `count(distinct)` swapped
+    * for `approx_count_distinct` (HLL++, rsd 5%) and NO other change —
+    * the Expand (row × |distinct-aggs| before partial aggregation)
+    * disappears and the pass collapses to plain scan-speed map-side
+    * combined aggregation: each executor emits one sketch per column,
+    * mergeable in any order. ∅ rows-only at the driver (sketch values
+    * are engine-specific); QualityProfileSpec bounds each estimate
+    * within the documented HLL++ rsd envelope against the exact
+    * profile and pins the plan (no Expand).
+    */
+  val qProfileApprox = Q(
+    "q_profile_approx",
+    (s, d) =>
+      documents(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("doc_id")).as("n_doc_ids"),
+        approx_count_distinct(col("lang")).as("n_langs"),
+        approx_count_distinct(col("source")).as("n_sources"),
+        count(when(col("text").isNull, 1)).as("n_null_text"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("total_chars"),
+        min(length(col("text"))).as("min_text_len"),
+        max(length(col("text"))).as("max_text_len")),
+    None // HLL++ estimates are engine-specific — law-verified in spec
+  )
+
   val all: Seq[Q] =
-    Seq(qRepetition, qPiiRedact, qLengthHistogram, qQualityClassifier, qProfile)
+    Seq(qRepetition, qPiiRedact, qLengthHistogram, qQualityClassifier, qProfile,
+      qProfileApprox)
 }
