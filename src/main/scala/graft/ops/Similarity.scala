@@ -25,6 +25,16 @@ object Similarity {
 
   private def norm2(a: Column): Column = dot(a, a)
 
+  /** Driver-side fetch of the query vector (vec_id = 0) — ONE 1-row
+    * job, shared by every single-query retrieval path. The fetch is
+    * eager BY DESIGN where the driver must compute against the vector
+    * (IVF probe lists, PQ LUTs — K-sized arithmetic, free); the cost is
+    * one pushed-filter parquet scan of one row. Centralized here so the
+    * pattern exists in exactly one place (ADVICE r5).
+    */
+  private[ops] def queryVec(emb: DataFrame): Seq[Double] =
+    emb.where(col("vec_id") === 0).select("v").head().getSeq[Double](0)
+
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
@@ -46,7 +56,7 @@ object Similarity {
         col("vec_id"),
         col("embedding").cast("array<double>").as("v")
       )
-      val q = emb.where(col("vec_id") === 0).select("v").head().getSeq[Double](0)
+      val q = queryVec(emb)
       val qv = typedLit(q)
       emb
         .where(col("vec_id") =!= 0)
@@ -468,7 +478,7 @@ object Similarity {
     val assign = emb.select(col("vec_id"), col("v"), best.getField("cid").as("cid"))
     // 1-row fetch of the query vector (same driver-side step as
     // q_knn_cosine), then the probe list against the in-memory codebook
-    val qv = emb.where(col("vec_id") === 0).select("v").head().getSeq[Double](0)
+    val qv = queryVec(emb)
     def sq(c: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < c.length) { val dd = qv(i) - c(i); acc += dd * dd; i += 1 }
@@ -554,7 +564,7 @@ object Similarity {
     }
     // query vector, probe cluster, and the M×16 ADC tables: driver-side,
     // K + M·Kpq·SubDim flops — free, and shipped as literals
-    val qv = emb.where(col("vec_id") === 0).select("v").head().getSeq[Double](0).toArray
+    val qv = queryVec(emb).toArray
     def sqd(c: Array[Double], off: Int): Double = {
       var a = 0.0; var i = 0
       while (i < c.length) { val dd = qv(off + i) - c(i); a += dd * dd; i += 1 }
@@ -988,7 +998,7 @@ object Similarity {
         col("vec_id"),
         col("embedding").cast("array<double>").as("v")
       )
-      val q = emb.where(col("vec_id") === 0).select("v").head().getSeq[Double](0)
+      val q = queryVec(emb)
       val qv = typedLit(q)
       val denseTop = emb
         .where(col("vec_id") =!= 0)
