@@ -301,6 +301,77 @@ def main(sf, out_dir, n_samples=100, seed=42):
     else:
         failures.append("q_knn_join: empty output")
 
+    # --- q_knn_join_ann (r6): sampled sources vs re-derived ANN top-3 ----
+    # The ANN graph's full DuckDB oracle is feasible at sf0.01 but slow
+    # at 10x scale (the bit_count probe join); this re-derives sampled
+    # sources end-to-end WITHOUT the engine: b from the corpus size, the
+    # hyperplane sign bits and codebook PARSED FROM THE DUMPED ORACLE
+    # SQL (the same literals the engine inlines), multi-probe candidate
+    # set, rounded cosines, (cos desc, id asc) top-3.
+    import json as _json
+    import re as _re2
+    ann = con.execute(
+        f"SELECT a_id, b_id, cos_sim, rn FROM '{out_dir}/q_knn_join_ann/*.parquet'"
+    ).fetchall()
+    if ann:
+        ann_sql = _json.load(open(f"{out_dir}/oracle_sql.json"))["q_knn_join_ann"]
+        cb_rows = _re2.findall(r"\((\d+), CAST\(\[([^\]]+)\] AS DOUBLE\[\]\)\)", ann_sql)
+        cb = np.array([[float(x) for x in row.split(",")]
+                       for _, row in sorted(cb_rows, key=lambda t: int(t[0]))])
+        pl_m = _re2.search(r"planes\(w, p\) AS \(VALUES (.*?)\),\s*sigs", ann_sql, _re2.S)
+        pl_rows = _re2.findall(r"\((\d+), \[([^\]]+)\]\)", pl_m.group(1))
+        planes = np.array([[float(x) for x in row.split(",")]
+                           for w, row in sorted(pl_rows, key=lambda t: int(t[0]))])
+        n = len(V)
+        b = 0
+        while (512 << b) < n:
+            b += 1
+        d2 = ((V[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+        cid = d2.argmin(1)
+        probes = np.argsort(d2, kind="stable", axis=1)[:, :3]
+        sig = np.zeros(n, dtype=np.int64)
+        for j in range(b):
+            sig |= ((V @ planes[j]) >= 0).astype(np.int64) << j
+        popcnt = np.vectorize(lambda x: bin(x).count("1"))
+        by_src_a = {}
+        for a, bb, c, rn in ann:
+            by_src_a.setdefault(a, []).append((rn, bb, c))
+        a_bad = 0
+        for src in rng.sample(sorted(by_src_a), min(n_samples, len(by_src_a))):
+            i = idx_of[int(src)]
+            cand = np.isin(cid, probes[i]) & (popcnt(sig ^ sig[i]) <= 1)
+            cand[i] = False
+            c = (V @ V[i]) / (norms * norms[i])
+            cidx = np.where(cand)[0]
+            order = sorted(cidx, key=lambda j: (-round(c[j], 6), vec_ids[j]))
+            true3 = [int(vec_ids[j]) for j in order[:3]]
+            got = sorted(by_src_a[src])
+            got3 = [int(bb) for _, bb, _ in got]
+            if got3 != true3:
+                third = round(c[order[min(2, len(order) - 1)]], 6)
+                if not all(round(c[idx_of[bb]], 6) >= third - 1e-6 for bb in got3):
+                    a_bad += 1
+                    if a_bad <= 3:
+                        failures.append(
+                            f"q_knn_join_ann: source {src} claimed {got3} vs re-derived {true3}")
+            for _, bb, cos_claim in got:
+                j = idx_of[int(bb)]
+                if not cand[j]:
+                    a_bad += 1
+                    failures.append(
+                        f"q_knn_join_ann: source {src} neighbor {bb} is not a probed candidate")
+                if abs(cos_claim - c[j]) > 5e-7:
+                    a_bad += 1
+                    failures.append(
+                        f"q_knn_join_ann: source {src} neighbor {bb} cosine {cos_claim} "
+                        f"vs recomputed {c[j]:.7f}")
+        print(f"q_knn_join_ann: {min(n_samples, len(by_src_a))} sampled sources "
+              f"(b={b}), {a_bad} failures ({len(by_src_a)} sources total)")
+        if a_bad:
+            failures.append(f"q_knn_join_ann: {a_bad} sampled-source failures")
+    else:
+        failures.append("q_knn_join_ann: empty output")
+
     # --- q_semdedup (r5): component laws + sampled argmin assignment -----
     sem = con.execute(
         f"SELECT vec_id, cid, rep, keep FROM '{out_dir}/q_semdedup/*.parquet'"
