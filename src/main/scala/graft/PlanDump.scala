@@ -27,7 +27,7 @@ object PlanDump {
       "q_vacuum", "q_window_range", "q_domain_filter",
       "q_mix_temperature", "q_schema_evolution", "q_cms_terms", "q_mm_audio",
       "q_join_outer", "q_rank_fusion", "q_sequence_assemble", "q_nucleus_sources",
-      "q_funnel"
+      "q_funnel", "q_knn_join_ann", "q_profile_approx"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -149,7 +149,16 @@ object PlanDump {
       "q_funnel" ->
         ("ONE user_id exchange feeds the ordered-fold Windows AND the closing HashAggregate " +
           "(partitioning reused, no second data-scale shuffle); the running min-over-frame " +
-          "carries 'earliest view/valid click so far' past each event in one corpus pass.")
+          "carries 'earliest view/valid click so far' past each event in one corpus pass."),
+      "q_knn_join_ann" ->
+        ("scale-adaptive ANN graph: probe/sub-bucket replication feeds a ShuffledHashJoin " +
+          "keyed on (cluster, sub-bucket, salt) that BUILDS the n-row side; WindowGroupLimit " +
+          "prunes to 3 rows/source before the final exchange; codebook + hyperplanes are " +
+          "inlined literals — no broadcast anywhere."),
+      "q_profile_approx" ->
+        ("the whole corpus profile is ONE partial+final HashAggregate pair — no Expand " +
+          "(q_profile's exact multi-distinct pays row x |distinct-aggs| fan-out; the HLL++ " +
+          "swap removes it, which is the entire point at 100 TB).")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

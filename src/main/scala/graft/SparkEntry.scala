@@ -25,7 +25,8 @@ object SparkEntry {
         graft.streaming.Replay.qStreamSessions,
         graft.streaming.Replay.qStreamQuality,
         graft.streaming.Replay.qStreamIncrementalDedup,
-        graft.streaming.Replay.qStreamCdc)
+        graft.streaming.Replay.qStreamCdc,
+        graft.streaming.Replay.qStreamTopk)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's own pipeline shape — ingest the pp-complete fixture,

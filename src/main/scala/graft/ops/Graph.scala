@@ -324,5 +324,77 @@ object Graph {
        |ORDER BY kind, key""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(qCooccur, qPmi, qTriangles, qPagerank)
+  private val LP_ITERS = 4
+
+  /** SYNCHRONOUS LABEL PROPAGATION (Raghavan et al. 2007) over the
+    * co-occurrence graph — community detection, the graph step between
+    * connected components (too coarse: one near-dup chain merges
+    * everything) and full clustering: each round every node adopts the
+    * most frequent label among its neighbors, ties to the SMALLEST
+    * label, for [[LP_ITERS]] synchronous rounds from label = own id.
+    * Every rule is a deterministic total order (count desc, label asc),
+    * so the whole iteration is hash-oracled through the same generated
+    * CTE chain discipline as q_pagerank — round count, tie-breaks, and
+    * the argmax itself cannot drift between engines.
+    *
+    * Scale shape per round: one keyed join (edges⋈labels on src,
+    * shuffle_hash — label state never broadcasts), one map-side-combined
+    * (node, label) count, one node-keyed WindowGroupLimit argmax;
+    * state checkpointed per round (O(1) lineage). Identical dataflow to
+    * the Pregel LPA GraphX ships, expressed relationally.
+    */
+  val qLabelProp = Q(
+    "q_label_prop",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val und = Materialize {
+        val e = cooccurPairs(s, d).where(col("support") >= 2).select("pa", "pb")
+        e.select(col("pa").as("src"), col("pb").as("dst"))
+          .union(e.select(col("pb").as("src"), col("pa").as("dst")))
+      }
+      val nodes = Materialize(und.select(col("src").as("node")).distinct())
+      var labels = Materialize(nodes.select(col("node"), col("node").as("label")))
+      val w = Window.partitionBy("dst").orderBy(col("cnt").desc, col("label").asc)
+      for (k <- 1 to LP_ITERS) {
+        val next = und
+          .join(labels.hint("shuffle_hash"), col("src") === col("node"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("dst").as("node"), col("label"))
+        labels = Materialize(next)
+      }
+      labels.orderBy("node")
+    },
+    Some(labelPropOracle)
+  )
+
+  /** One code path emits the LPA round CTEs (q_pagerank discipline). */
+  private def labelPropOracle: String = {
+    val its = (1 to LP_ITERS).map { k =>
+      s"""l$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, r.label AS label, count(*) AS cnt,
+         |           row_number() OVER (PARTITION BY e.dst
+         |                              ORDER BY count(*) DESC, r.label ASC) AS rn
+         |    FROM und e JOIN l${k - 1} r ON e.src = r.node
+         |    GROUP BY e.dst, r.label) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pairs AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT pa, pb FROM pairs WHERE support >= 2),
+       |und AS (SELECT pa AS src, pb AS dst FROM e
+       |        UNION ALL SELECT pb, pa FROM e),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+       |$its
+       |SELECT node, label FROM l$LP_ITERS ORDER BY node""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(qCooccur, qPmi, qTriangles, qPagerank, qLabelProp)
 }

@@ -554,7 +554,85 @@ object Partitioned {
             ORDER BY event_type""")
   )
 
+  /** MERGE INTO (upsert) — the lake-lifecycle write path the family was
+    * still missing: apply a CDC batch to a SNAPSHOT and emit the merged
+    * table, the core of every Delta/Iceberg/Hudi `MERGE` statement.
+    * The merge key is (user_id, event_type) — per-user-per-stream state.
+    * Snapshot = latest state per key in the FIRST week; batch = latest
+    * per key in the LAST week, so the fixture genuinely exercises every
+    * branch (sf0.01: 612 updated / 69 deleted / 34 inserted / 32 kept).
+    * Delete tombstones ride the fixture's out-of-band marker
+    * (batch event_id % 10 = 0 — integer-exact): matched+delete drops
+    * the row, unmatched delete no-ops. `action` is the MERGE audit
+    * column every lake engine emits as operation metrics.
+    *
+    * Shape: two window collapses + ONE full-outer SMJ, all keyed on the
+    * merge key — Catalyst reuses the windows' hash partitioning for the
+    * join, so the merge is 2 data-scale exchanges + the output sort
+    * (plan-pinned; nothing broadcasts — in a real MERGE both sides are
+    * table-scale). At 100 TB this is exactly the shuffle plan a Delta
+    * MERGE executes (minus its file-rewrite commit, which
+    * q_compact/q_time_travel already cover on the layout side).
+    */
+  val qMergeUpsert = Q(
+    "q_merge_upsert",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def latest(df: DataFrame) =
+        df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      val snap = latest(Tables.events(s, d)
+        .where(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp")))
+        .select(col("user_id"), col("event_type"), col("value").as("old_value"))
+      val batch = latest(Tables.events(s, d)
+        .where(col("ts") >= lit("2024-01-24 00:00:00").cast("timestamp")))
+        .select(col("user_id").as("b_user"), col("event_type").as("b_type"),
+          col("event_id").as("b_eid"), col("value").as("new_value"))
+      snap
+        .join(batch,
+          col("user_id") === col("b_user") && col("event_type") === col("b_type"),
+          "full_outer")
+        // matched+delete drops; unmatched delete no-ops — both reduce to
+        // "no tombstone rows survive"
+        .where(col("b_eid").isNull || pmod(col("b_eid"), lit(10)) =!= 0)
+        .select(
+          coalesce(col("user_id"), col("b_user")).as("user_id"),
+          coalesce(col("event_type"), col("b_type")).as("event_type"),
+          coalesce(col("new_value"), col("old_value")).as("value"),
+          when(col("b_eid").isNull, "kept")
+            .when(col("user_id").isNull, "inserted")
+            .otherwise("updated").as("action"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""WITH snap AS (
+              SELECT user_id, event_type, value AS old_value FROM (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00') t
+              WHERE rn = 1),
+            batch AS (
+              SELECT user_id AS b_user, event_type AS b_type,
+                     event_id AS b_eid, value AS new_value FROM (
+                SELECT user_id, event_type, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00') t
+              WHERE rn = 1)
+            SELECT coalesce(user_id, b_user) AS user_id,
+                   coalesce(event_type, b_type) AS event_type,
+                   coalesce(new_value, old_value) AS value,
+                   CASE WHEN b_eid IS NULL THEN 'kept'
+                        WHEN user_id IS NULL THEN 'inserted'
+                        ELSE 'updated' END AS action
+            FROM snap FULL OUTER JOIN batch
+              ON user_id = b_user AND event_type = b_type
+            WHERE b_eid IS NULL OR b_eid % 10 <> 0
+            ORDER BY user_id, event_type""")
+  )
+
   val all: Seq[Q] =
     Seq(qPartitionPrune, qJoinBucketed, qCompact, qManifestSkip, qTimeTravel,
-      qVacuum, qSchemaEvolution)
+      qVacuum, qSchemaEvolution, qMergeUpsert)
 }

@@ -363,6 +363,75 @@ object Similarity {
              WHERE rn <= 3 ORDER BY a_id, rn""")
   )
 
+  /** SSL-PROTOTYPES data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws", arXiv:2206.14486): rank every vector by its EXACT
+    * squared distance to its assigned centroid and band the cluster by
+    * rank — the paper's result is that pruning the most PROTOTYPICAL
+    * (nearest-to-centroid, most redundant) examples beats random
+    * pruning when data is abundant, while the extreme far tail is
+    * noise/outliers; the kept middle band is the training set. Bands
+    * are integer-exact rank inequalities (proto: rank·10 ≤ n_c;
+    * outlier: (n_c − rank)·20 < n_c — no float ever decides
+    * membership), and the emitted distance is the same fold-ordered
+    * sqDist both engines compute bitwise.
+    *
+    * Shape: centroid assignment is a per-row argmin projection (no
+    * join, no shuffle — the q_ann_ivf discipline); the rank and the
+    * cluster size are ONE cluster-keyed window pass. At 100 TB:
+    * scan + one |K|-keyed exchange of (id, cid, dist) triples — the
+    * vectors themselves never shuffle.
+    */
+  val qPrototypePrune = Q(
+    "q_prototype_prune",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val best = array_min(array(IvfCodebook.centroids.zipWithIndex.map { case (cv, cid) =>
+        struct(sqDist(col("v"), typedLit(cv.toSeq)).as("dist"), lit(cid).as("cid"))
+      }: _*))
+      val assigned = fanOut(emb).select(
+        col("vec_id"),
+        best.getField("cid").as("cid"),
+        best.getField("dist").as("dist"))
+      val byC = Window.partitionBy("cid")
+      val rk = row_number().over(byC.orderBy(col("dist").asc, col("vec_id").asc))
+      val cnt = count(lit(1)).over(byC)
+      assigned
+        .select(col("vec_id"), col("cid"), round(col("dist"), 6).as("dist"),
+          rk.as("rk"), cnt.as("n_c"))
+        .withColumn("band",
+          when(col("rk") * 10 <= col("n_c"), "proto")
+            .when((col("n_c") - col("rk")) * 20 < col("n_c"), "outlier")
+            .otherwise("keep"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             c AS (SELECT * FROM (VALUES
+               $duckCodebook) t(cid, cv)),
+             dists AS (
+               SELECT e.vec_id, c.cid,
+                      list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) for i in range(1,65)]) AS dist
+               FROM e, c),
+             assign AS (
+               SELECT vec_id, cid, dist FROM (
+                 SELECT vec_id, cid, dist,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS arn
+                 FROM dists) t WHERE arn = 1),
+             banded AS (
+               SELECT vec_id, cid, round(dist, 6) AS dist,
+                      CAST(row_number() OVER (PARTITION BY cid
+                                              ORDER BY dist ASC, vec_id ASC) AS INTEGER) AS rk,
+                      CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_c
+               FROM assign)
+             SELECT vec_id, cid, dist, rk, n_c,
+                    CASE WHEN rk * 10 <= n_c THEN 'proto'
+                         WHEN (n_c - rk) * 20 < n_c THEN 'outlier'
+                         ELSE 'keep' END AS band
+             FROM banded ORDER BY vec_id""")
+  )
+
   /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, arXiv:2303.09540) as
     * ONE declared composite: cluster the embedding space with the
     * frozen k-means codebook ([[IvfCodebook]] — per-row argmin
@@ -1130,7 +1199,7 @@ object Similarity {
   )
 
   val all: Seq[Q] =
-    Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qKnnJoin, qKnnJoinAnn, qSemdedup, qDedupEmbedding,
+    Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qKnnJoin, qKnnJoinAnn, qSemdedup, qPrototypePrune, qDedupEmbedding,
       qEmbeddingCc, qAnnIvf, qAnnPq, qAnnLsh, qPairwiseNear, qRankFusion, qMultimodalJoin,
       qMultimodalMeta)
 }

@@ -236,6 +236,41 @@ object Replay {
             ORDER BY window_start, event_type""")
   )
 
+  /** STREAMING TOP-K (E14 × E5): the per-window leaderboard — top-3
+    * event types per closed 1-hour window by count. The streaming half
+    * is the SAME drained append windowed aggregation as q_stream_window
+    * (watermark-closed windows flow to the parquet sink exactly once);
+    * the rank is applied over the SINK read-back, which is the
+    * production serving pattern: the stream maintains per-window
+    * aggregates, the consumer ranks closed windows — a rank inside the
+    * stream would re-rank on every update and cannot emit append-mode
+    * results before the window closes anyway. Rank is total-ordered
+    * (n_events DESC, event_type ASC) and plans WindowGroupLimit over
+    * |windows × types| rows — never corpus-scale.
+    */
+  val qStreamTopk: graft.ops.Q = graft.ops.Q(
+    "q_stream_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("window_start")
+        .orderBy(col("n_events").desc, col("event_type").asc)
+      replayWindowedCounts(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("window_start"), col("event_type"), col("n_events"), col("rn"))
+        .orderBy("window_start", "rn")
+    },
+    Some("""SELECT window_start, event_type, n_events, rn FROM (
+              SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                     event_type, count(*) AS n_events,
+                     CAST(row_number() OVER (PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+                                        ORDER BY count(*) DESC, event_type ASC) AS INTEGER) AS rn
+              FROM events
+              GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type) t
+            WHERE rn <= 3
+            ORDER BY window_start, rn""")
+  )
+
   /** Stream-stream RANGE JOIN (the streaming analogue of the batch
     * q_range_join): same user, later event within 60 s, both sides
     * watermarked 1 h. State on each side is bounded by the watermark:
