@@ -27,7 +27,8 @@ object PlanDump {
       "q_vacuum", "q_window_range", "q_domain_filter",
       "q_mix_temperature", "q_schema_evolution", "q_cms_terms", "q_mm_audio",
       "q_join_outer", "q_rank_fusion", "q_sequence_assemble", "q_nucleus_sources",
-      "q_funnel", "q_knn_join_ann", "q_profile_approx"
+      "q_funnel", "q_knn_join_ann", "q_profile_approx",
+      "q_merge_upsert", "q_prototype_prune"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -158,7 +159,15 @@ object PlanDump {
       "q_profile_approx" ->
         ("the whole corpus profile is ONE partial+final HashAggregate pair — no Expand " +
           "(q_profile's exact multi-distinct pays row x |distinct-aggs| fan-out; the HLL++ " +
-          "swap removes it, which is the entire point at 100 TB).")
+          "swap removes it, which is the entire point at 100 TB)."),
+      "q_merge_upsert" ->
+        ("MERGE shuffle plan: two latest-wins window collapses and a full-outer SMJ all share " +
+          "the (user_id, event_type) hash partitioning — 2 data-scale exchanges + the output " +
+          "sort; no broadcast (both MERGE sides are table-scale)."),
+      "q_prototype_prune" ->
+        ("centroid assignment is a pure per-row argmin projection (codebook inlined as " +
+          "literals); the only exchanges are the cluster-keyed rank window and the output " +
+          "sort — vectors never shuffle, only (id, cid, dist) triples.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

@@ -357,6 +357,30 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("psalt"), "salt fan for the K-valued cluster key missing")
   }
 
+  test("q_merge_upsert: full-outer SMJ reuses the window partitioning, nothing broadcasts") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("FullOuter"), "MERGE must keep unmatched rows on both sides")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      "both MERGE sides are table-scale — a broadcast here dies at 100 TB")
+    // two window collapses + the output sort; the full-outer join must
+    // reuse the windows' (user_id, event_type) hash partitioning
+    val exchanges = shuffles(p)
+    assert(exchanges <= 3, s"MERGE grew exchanges — window partitioning no longer reused ($exchanges)")
+  }
+
+  test("q_prototype_prune: assignment is a projection; only cluster-keyed window + sort shuffle") {
+    val p = plan("q_prototype_prune")
+    assert(!p.contains("Join"), "centroid assignment regressed to a join")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("cid")),
+      "rank window lost its cluster partitioning (global funnel)")
+    // ≤3: cluster window + output sort + the fanOut round-robin that
+    // re-parallelizes the single-split fixture scan before the argmin
+    // compute (skipped on any real multi-split scan — Tables.fanOut)
+    val exchanges = shuffles(p)
+    assert(exchanges <= 3, s"expected fanOut + cluster-window + output-sort only ($exchanges)")
+  }
+
   test("q_pmi: marginal joins shuffled, only the 1-row count broadcasts") {
     val p = plan("q_pmi")
     assert(p.contains("ShuffledHashJoin"), "marginal joins must not broadcast")
