@@ -632,7 +632,83 @@ object Partitioned {
             ORDER BY user_id, event_type""")
   )
 
+  /** CHANGE DATA FEED — the version-diff read every lake format offers
+    * (Delta CDF / Iceberg changelog): classify how each (user_id,
+    * event_type) key's latest-wins state changed between two snapshot
+    * times (the q_merge_upsert cutoffs): `added` (absent at T1),
+    * `removed` (tombstoned since — the fixture's event_id%10 marker),
+    * `changed` (value differs), `unchanged` — a ONE-DAY feed window so
+    * all four classes are live on the fixture (sf0.01:
+    * 430/218/24/24 unchanged/changed/added/removed). Downstream incremental
+    * consumers (index maintenance, cache invalidation, GDPR audits)
+    * read exactly this relation instead of diffing full snapshots.
+    *
+    * Shape: two latest-wins window collapses sharing one hash
+    * partitioning + one full-outer SMJ on the key — the same 2-exchange
+    * plan as q_merge_upsert; the diff itself is a per-row CASE. At
+    * 100 TB the state collapses are |keys|-bounded after their windows,
+    * and nothing broadcasts.
+    */
+  val qChangeFeed = Q(
+    "q_change_feed",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      // a key is VISIBLE in a snapshot iff its latest event is not a
+      // tombstone (the merge's delete rule) — the same rule at BOTH
+      // times, so removed/added are symmetric
+      def stateAt(upper: String) =
+        Tables.events(s, d)
+          .where(col("ts") < lit(upper).cast("timestamp"))
+          .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .where(pmod(col("event_id"), lit(10)) =!= 0)
+      val old = stateAt("2024-01-16 00:00:00")
+        .select(col("user_id"), col("event_type"), col("value").as("old_value"))
+      val neu = stateAt("2024-01-17 00:00:00")
+        .select(col("user_id").as("n_user"), col("event_type").as("n_type"),
+          col("value").as("new_value"))
+      old
+        .join(neu,
+          col("user_id") === col("n_user") && col("event_type") === col("n_type"),
+          "full_outer")
+        .select(
+          coalesce(col("user_id"), col("n_user")).as("user_id"),
+          coalesce(col("event_type"), col("n_type")).as("event_type"),
+          col("old_value"), col("new_value"),
+          when(col("old_value").isNull, "added")
+            .when(col("new_value").isNull, "removed")
+            .when(col("old_value") =!= col("new_value"), "changed")
+            .otherwise("unchanged").as("change"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""WITH old AS (
+              SELECT user_id, event_type, value AS old_value FROM (
+                SELECT user_id, event_type, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00') t
+              WHERE rn = 1 AND event_id % 10 <> 0),
+            neu AS (
+              SELECT user_id AS n_user, event_type AS n_type, value AS new_value FROM (
+                SELECT user_id, event_type, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts < TIMESTAMP '2024-01-17 00:00:00') t
+              WHERE rn = 1 AND event_id % 10 <> 0)
+            SELECT coalesce(user_id, n_user) AS user_id,
+                   coalesce(event_type, n_type) AS event_type,
+                   old_value, new_value,
+                   CASE WHEN old_value IS NULL THEN 'added'
+                        WHEN new_value IS NULL THEN 'removed'
+                        WHEN old_value <> new_value THEN 'changed'
+                        ELSE 'unchanged' END AS change
+            FROM old FULL OUTER JOIN neu
+              ON user_id = n_user AND event_type = n_type
+            ORDER BY user_id, event_type""")
+  )
+
   val all: Seq[Q] =
     Seq(qPartitionPrune, qJoinBucketed, qCompact, qManifestSkip, qTimeTravel,
-      qVacuum, qSchemaEvolution, qMergeUpsert)
+      qVacuum, qSchemaEvolution, qMergeUpsert, qChangeFeed)
 }

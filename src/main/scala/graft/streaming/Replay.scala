@@ -319,6 +319,61 @@ object Replay {
             ORDER BY a.user_id, a_id, b_id""")
   )
 
+  /** Stream-stream LEFT OUTER range join — the hard half of streaming
+    * joins: an unmatched left row can only be emitted once the
+    * watermark PROVES no match can still arrive (wm past a_ts + 60 s),
+    * so a terminated stream would hold every tail row's verdict
+    * forever. The replay therefore runs over a drain-sentinel dir
+    * ([[sentinelReplayDir]]): the sentinel advances both sides'
+    * watermarks past every real row's horizon, every pending verdict
+    * resolves, and the result equals the batch LEFT JOIN exactly —
+    * which is why this query carries a plain batch oracle: a
+    * hash-verified streaming OUTER join. Sentinel rows are filtered on
+    * the watermark column itself (both sides, and the -1 user can
+    * never match anything anyway); unmatched output is (a_id, null).
+    *
+    * State: each side bounded by the watermark exactly as in
+    * [[rangeJoinStream]]; the outer-ness only changes WHEN a left row
+    * leaves state (with a verdict) — not how much state exists. The
+    * equi key is user_id (per-user state); the bucketed-key inner twin
+    * q_stream_join carries the hot-user blocking story.
+    */
+  def rangeJoinOuterStream(spark: SparkSession, dir: String): DataFrame = {
+    val horizon = to_timestamp(lit("2099-01-01 00:00:00"))
+    val a = readEvents(spark, dir)
+      .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+      .where(col("a_ts") < horizon)
+    val b = readEvents(spark, dir)
+      .select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+      .where(col("b_ts") < horizon)
+    a.join(
+        b,
+        col("user_id") === col("b_user") && col("a_id") < col("b_id") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") < col("a_ts") + expr("INTERVAL 60 SECONDS"),
+        "left_outer")
+      .select(col("user_id"), col("a_id"), col("b_id"))
+  }
+
+  val qStreamJoinOuter: graft.ops.Q = graft.ops.Q(
+    "q_stream_join_outer",
+    (s, d) => {
+      val live = sentinelReplayDir(s, d)
+      val out = java.nio.file.Files.createTempDirectory("sjoin-outer-out-")
+      val res =
+        try replayToParquet(rangeJoinOuterStream(s, live.toString), out.toString + "/rows")
+        finally graft.FsUtil.deleteRecursively(live)
+      res.orderBy("user_id", "a_id", "b_id")
+    },
+    Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+            FROM events a LEFT JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 60 SECOND
+            ORDER BY a.user_id, a_id, b_id""")
+  )
+
   /** Streaming exact dedup (E10 × E14): first event per (user_id,
     * event_type) via dropDuplicatesWithinWatermark — per-key state is
     * EVICTED once the watermark passes it (the scale-correct streaming
