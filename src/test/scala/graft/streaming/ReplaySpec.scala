@@ -130,6 +130,32 @@ class ReplaySpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-stream LEFT OUTER join: multi-batch replay == batch left join") {
+    // 4 micro-batches + drain sentinel: unmatched-left verdicts must
+    // survive batch boundaries (a left row's match can arrive 2 batches
+    // later; its null verdict may only fire at watermark passage) —
+    // this fails if outer-state eviction or the drain flush is wrong.
+    val dir = sliceEvents(4, sentinel = true)
+    val out = Files.createTempDirectory("sjoin-outer-spec-")
+    val streamed = Replay.replayToParquet(
+      Replay.rangeJoinOuterStream(spark, dir), out.toString + "/rows")
+      .orderBy("user_id", "a_id", "b_id").collect()
+    val e = batchEvents(dir).where(col("user_id") =!= -1L)
+    val a = e.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+    val batch = a.join(
+        b,
+        col("user_id") === col("b_user") && col("a_id") < col("b_id") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") < col("a_ts") + expr("INTERVAL 60 SECONDS"),
+        "left_outer")
+      .select("user_id", "a_id", "b_id")
+      .orderBy("user_id", "a_id", "b_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.count(_.isNullAt(2)) > 0, "no unmatched lefts — outer path untested")
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming CDC apply: split replay == batch window, any batch boundaries") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
