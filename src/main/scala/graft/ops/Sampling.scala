@@ -701,9 +701,63 @@ object Sampling {
             FROM events GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE — the join sibling of
+    * [[qIncrementalAgg]]: a maintained view V = A ⋈ B absorbs a batch
+    * by the delta-join law
+    *   V' = V ∪ (ΔA ⋈ B_full) ∪ (A_old ⋈ ΔB)
+    * (the second term deliberately joins ΔB against A_OLD, not A_full —
+    * ΔA⋈ΔB already lives in the first term; using A_full would double
+    * it — the classic IVM double-counting trap, which the hash oracle
+    * would catch). Here A = orders, B = lineitem, the view is the
+    * per-order join with revenue; the batch is the deterministic 10%
+    * order-bucket. The oracle is the FULL join, so hash equality IS the
+    * maintenance law — same discipline as q_incremental_agg.
+    *
+    * Scale: with V materialized, absorbing a batch costs two
+    * Δ-proportional keyed joins (each shuffles |Δ| + its probe side's
+    * matching partitions under co-partitioning/bucketing — q_join_bucketed's
+    * layout makes the probe side shuffle-free), never corpus × corpus.
+    * All three terms here are computed live to keep the query
+    * self-contained; the UNION is the view commit.
+    */
+  val qIvmJoin = Q(
+    "q_ivm_join",
+    (s, d) => {
+      val isBatch = bucket("o_orderkey", 77L, 10L) === 9
+      val ordersAll = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      val aOld = ordersAll.where(!isBatch)
+      val aDelta = ordersAll.where(isBatch)
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      // the A delta is key-aligned (new orders ARE new keys); the B
+      // delta is deliberately ROW-level (line-number parity), so both
+      // cross terms are non-empty and the law is exercised in general
+      // form — a join-key-aligned B split would make A_old⋈ΔB empty
+      val bOldLn = li.where(pmod(col("l_linenumber"), lit(2)) === 0)
+      val bDeltaLn = li.where(pmod(col("l_linenumber"), lit(2)) === 1)
+      def j(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+        a.join(b.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_orderpriority"), col("l_linenumber"),
+            col("l_extendedprice"))
+      val vOld = j(aOld, bOldLn)
+      val d1 = j(aDelta, bOldLn.union(bDeltaLn))
+      val d2 = j(aOld, bDeltaLn)
+      vOld.union(d1).union(d2)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_rows,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave,
       qPivot, qUnpivot, qPack, qHeavyHitters, qAnomaly, qNtile, qZorderKey,
       qGlobalRownum, qMixBalance, qMixTemperature, qIncrementalAgg,
-      qSequenceAssemble)
+      qSequenceAssemble, qIvmJoin)
 }
