@@ -26,7 +26,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_length_histogram", "q_global_rownum", "q_incremental_dedup",
     "q_mix_balance", "q_dedup_survivor",
     // round-4 model/span curation ops (hash-agg + join-back shuffles)
-    "q_substring_dedup", "q_quality_classifier"
+    "q_substring_dedup", "q_quality_classifier",
+    // round-6 shuffle-bearing additions: probe-join ANN graph, MERGE /
+    // change-feed full-outer joins, LPA argmax rounds, IVM union-join,
+    // prototype rank window
+    "q_knn_join_ann", "q_merge_upsert", "q_change_feed", "q_label_prop",
+    "q_ivm_join", "q_prototype_prune"
   )
 
   test("q_global_rownum identical at range-partition counts 3 and 32") {
