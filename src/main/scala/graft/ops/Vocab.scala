@@ -205,6 +205,38 @@ object Vocab {
     Some(bpeApplyOracle)
   )
 
+  /** The learned VOCABULARY — the third artifact of the tokenizer
+    * lifecycle (train → vocab → apply): every distinct symbol of the
+    * post-merge corpus with its frequency, fuse points shown as
+    * spaces. This is the vocab.json a tokenizer ships: base alphabet
+    * survivors + the merged symbols, with the counts that decide vocab
+    * truncation. One explode + one map-side-combined count over the
+    * round-[[MERGES]] sequences; the oracle extends the shared CTE
+    * chain to unnest the same final state.
+    */
+  val qBpeVocab = Q(
+    "q_bpe_vocab",
+    (s, d) => {
+      var seq = Materialize(seq0(s, d))
+      for (_ <- 1 to MERGES)
+        seq = Materialize(applyMerge(seq, bestPair(seq)))
+      seq
+        .select(explode(expr("filter(split(seq, chr(31)), x -> x != '')")).as("sym"))
+        .groupBy("sym")
+        .agg(count(lit(1)).as("freq"))
+        .select(expr("replace(sym, chr(30), ' ')").as("token"), col("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(50)
+    },
+    Some(bpeCtes(" ") + s"""
+      SELECT replace(u.sym, chr($RS), ' ') AS token, count(*) AS freq
+      FROM (SELECT unnest(list_filter(string_split(seq, chr($US)), x -> x <> '')) AS sym
+            FROM s$MERGES) u
+      GROUP BY u.sym
+      ORDER BY freq DESC, token ASC
+      LIMIT 50""")
+  )
+
   /** One code path emits the per-round CTEs, so the Spark loop above
     * and the DuckDB replay cannot diverge in round count, tiebreak, or
     * rewrite arithmetic. Shared by BOTH E19 oracles: the training
@@ -258,5 +290,5 @@ object Vocab {
          |FROM s0 JOIN s$MERGES ON s0.doc_id = s$MERGES.doc_id
          |ORDER BY s0.doc_id""".stripMargin
 
-  val all: Seq[Q] = Seq(qBpeTrain, qBpeTrainChar, qBpeApply)
+  val all: Seq[Q] = Seq(qBpeTrain, qBpeTrainChar, qBpeApply, qBpeVocab)
 }

@@ -319,6 +319,44 @@ object Replay {
             ORDER BY a.user_id, a_id, b_id""")
   )
 
+  /** SLIDING-window streamed counts (1 h window, 30 min slide): every
+    * event belongs to exactly TWO overlapping windows, the state the
+    * tumbling q_stream_window never exercises. Same drained append
+    * replay; the oracle expands each event into its two window starts
+    * (trunc30(ts) and trunc30(ts) − 30 min) — the relational identity
+    * of Spark's sliding `window()` — so the streamed overlapping-state
+    * path is hash-verified like the tumbling one.
+    */
+  val qStreamSliding: graft.ops.Q = graft.ops.Q(
+    "q_stream_sliding",
+    (s, d) => {
+      val live = sentinelReplayDir(s, d)
+      val out = java.nio.file.Files.createTempDirectory("sslide-out-")
+      val counts =
+        try {
+          val stream = readEvents(s, live.toString)
+            .withWatermark("ts", "1 hour")
+            .where(col("ts") < to_timestamp(lit("2099-01-01 00:00:00")))
+            .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+          replayToParquet(stream, out.toString + "/counts")
+        } finally graft.FsUtil.deleteRecursively(live)
+      counts.orderBy("window_start", "event_type")
+    },
+    Some("""WITH starts AS (
+              SELECT event_type,
+                     time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS w
+              FROM events
+              UNION ALL
+              SELECT event_type,
+                     time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE
+              FROM events)
+            SELECT w AS window_start, event_type, count(*) AS n_events
+            FROM starts GROUP BY w, event_type
+            ORDER BY window_start, event_type""")
+  )
+
   /** Stream-stream LEFT OUTER range join — the hard half of streaming
     * joins: an unmatched left row can only be emitted once the
     * watermark PROVES no match can still arrive (wm past a_ts + 60 s),
