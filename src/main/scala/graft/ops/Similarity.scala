@@ -432,6 +432,110 @@ object Similarity {
              FROM banded ORDER BY vec_id""")
   )
 
+  /** DISTRIBUTED K-MEANS — two Lloyd rounds over the full corpus,
+    * hash-oracled end to end: the at-scale TRAINING story ([[
+    * IvfCodebook]] trains driver-side on a sample; this is what
+    * refreshes the codebook against the whole 100 TB corpus). Round
+    * structure is the standard cluster shape: assignment is the
+    * per-row argmin projection (codebook inlined — no join, no
+    * shuffle), the centroid update is ONE map-side-combined (cid, dim)
+    * aggregation over posexploded coordinates, and the K×dim result —
+    * driver-sized by definition, the same sync Spark MLlib's KMeans
+    * performs every iteration — returns to the driver to become round
+    * 2's inlined literals.
+    *
+    * Engine-parity discipline for the MEANS (the only new hazard —
+    * float sums are partition-order-dependent): each coordinate casts
+    * to DECIMAL(38,18) (deterministic rounding of the same double in
+    * both engines), sums EXACTLY in decimal, and the mean is
+    * round(CAST(sum AS DOUBLE)/cnt, 6) — one cast + one IEEE division
+    * + one rounding, bit-identical everywhere, and round-2 assignment
+    * consumes exactly those rounded doubles. The oracle rebuilds both
+    * rounds in SQL (assignment CTEs from the same frozen literals,
+    * means via unnest + generate_subscripts, centroid lists reassembled
+    * `list(coord ORDER BY dim)`), so the full train loop is verified,
+    * not just one round. Empty clusters keep their previous centroid
+    * (left join + coalesce — the trainer's rule).
+    */
+  val qKmeans = Q(
+    "q_kmeans",
+    (s, d) => {
+      val emb = fanOut(embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))
+      def assign(cents: Array[Array[Double]]) = {
+        val best = array_min(array(cents.zipWithIndex.map { case (cv, cid) =>
+          struct(sqDist(col("v"), typedLit(cv.toSeq)).as("dist"), lit(cid).as("cid"))
+        }: _*))
+        emb.select(col("vec_id"), col("v"), best.getField("cid").as("cid"))
+      }
+      def means(cents: Array[Array[Double]]): Array[Array[Double]] = {
+        val rows = assign(cents)
+          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "coord")))
+          .groupBy("cid", "dim")
+          .agg(
+            sum(col("coord").cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("ssum"),
+            count(lit(1)).as("cnt"))
+          .select(col("cid"), col("dim"),
+            round(col("ssum").cast("double") / col("cnt"), 6).as("coord"))
+          .collect()
+        val out = cents.map(_.clone()) // empty clusters keep previous centroid
+        rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        out
+      }
+      val c1 = means(IvfCodebook.centroids) // round 1: assign + update
+      val c2 = means(c1)                    // round 2
+      val rows = c2.zipWithIndex.flatMap { case (cv, cid) =>
+        cv.zipWithIndex.map { case (x, dim) => (cid, dim, x) }
+      }.toSeq
+      import s.implicits._
+      rows.toDF("cid", "dim", "coord").orderBy("cid", "dim")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             c0 AS (SELECT * FROM (VALUES
+               $duckCodebook) t(cid, cv)),
+             a1 AS (
+               SELECT vec_id, v, cid FROM (
+                 SELECT e.vec_id, e.v, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                          list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) for i in range(1,65)]) ASC,
+                          c.cid ASC) AS rn
+                 FROM e, c0 c) t WHERE rn = 1),
+             x1 AS (SELECT cid, generate_subscripts(v, 1) - 1 AS dim,
+                           unnest(v) AS coord FROM a1),
+             m1 AS (
+               SELECT cid, dim,
+                      round(CAST(sum(CAST(coord AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS coord
+               FROM x1 GROUP BY cid, dim),
+             c1 AS (
+               SELECT c0.cid,
+                      list(coalesce(m1.coord, c0.cv[d.dim + 1]) ORDER BY d.dim) AS cv
+               FROM c0
+               CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+               LEFT JOIN m1 ON m1.cid = c0.cid AND m1.dim = d.dim
+               GROUP BY c0.cid),
+             a2 AS (
+               SELECT vec_id, v, cid FROM (
+                 SELECT e.vec_id, e.v, c.cid,
+                        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                          list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) for i in range(1,65)]) ASC,
+                          c.cid ASC) AS rn
+                 FROM e, c1 c) t WHERE rn = 1),
+             x2 AS (SELECT cid, generate_subscripts(v, 1) - 1 AS dim,
+                           unnest(v) AS coord FROM a2),
+             m2 AS (
+               SELECT cid, dim,
+                      round(CAST(sum(CAST(coord AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS coord
+               FROM x2 GROUP BY cid, dim)
+             SELECT c0.cid AS cid, d.dim AS dim,
+                    coalesce(m2.coord, c1f.cv[d.dim + 1]) AS coord
+             FROM c0
+             CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+             JOIN c1 c1f ON c1f.cid = c0.cid
+             LEFT JOIN m2 ON m2.cid = c0.cid AND m2.dim = d.dim
+             ORDER BY c0.cid, d.dim""")
+  )
+
   /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023, arXiv:2303.09540) as
     * ONE declared composite: cluster the embedding space with the
     * frozen k-means codebook ([[IvfCodebook]] — per-row argmin
@@ -1199,7 +1303,7 @@ object Similarity {
   )
 
   val all: Seq[Q] =
-    Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qKnnJoin, qKnnJoinAnn, qSemdedup, qPrototypePrune, qDedupEmbedding,
+    Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qKnnJoin, qKnnJoinAnn, qSemdedup, qPrototypePrune, qKmeans, qDedupEmbedding,
       qEmbeddingCc, qAnnIvf, qAnnPq, qAnnLsh, qPairwiseNear, qRankFusion, qMultimodalJoin,
       qMultimodalMeta)
 }
