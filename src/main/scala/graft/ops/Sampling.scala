@@ -445,6 +445,68 @@ object Sampling {
       }
       .mkString("(", " + ", ")")
 
+  /** One Hilbert rotation/accumulation step at level `s` (grid size
+    * n = 2^bits), as dialect-portable SQL over columns (x, y, dd) —
+    * the Wikipedia xy2d iteration in pure CASE/div/% arithmetic:
+    * rx = bit s of x, ry = bit s of y, d += s²·((3rx) XOR ry) with the
+    * XOR unrolled to 3rx + ry − 2rx·ry over {0,1}, then the quadrant
+    * rotation (ry=0: flip by n−1 when rx=1, then swap). BOTH engines'
+    * step expressions come from THIS generator (the zorderSql
+    * discipline extended to stateful iteration).
+    */
+  def hilbertStep(s: Long, n: Long, divOp: String): (String, String, String) = {
+    val rx = s"(x $divOp $s % 2)"
+    val ry = s"(y $divOp $s % 2)"
+    val d = s"dd + $s * $s * (3 * $rx + $ry - 2 * $rx * $ry)"
+    val xn = s"CASE WHEN $ry = 1 THEN x WHEN $rx = 1 THEN ${n - 1} - y ELSE y END"
+    val yn = s"CASE WHEN $ry = 1 THEN y WHEN $rx = 1 THEN ${n - 1} - x ELSE x END"
+    (xn, yn, d)
+  }
+
+  /** events laid out on a HILBERT curve over the same (user bucket,
+    * time bucket) grid as [[qZorderKey]] — the layout key modern lake
+    * clustering defaults to (Hilbert preserves locality strictly
+    * better than Morton: every curve step is an adjacent cell, so a
+    * 2-D range query touches fewer key runs → fewer row groups; the
+    * spec quantifies it on random boxes). 8 bits/dim = 8 generated
+    * rotation steps; the whole key is CASE/div/% integer arithmetic —
+    * codegen-friendly, no UDF — and the per-step expressions are
+    * emitted by [[hilbertStep]] into BOTH the Spark select chain and
+    * the oracle's CTE chain, so the 8 rotations cannot diverge.
+    * SamplingSpec proves bijectivity over the full 65536-cell grid.
+    */
+  val qHilbertKey = Q(
+    "q_hilbert_key",
+    (s, d) => {
+      val bits = 8
+      var df = events(s, d).selectExpr(
+        "event_id",
+        "CAST(user_id % 256 AS BIGINT) AS x",
+        "CAST((hour(ts) * 60 + minute(ts)) div 6 AS BIGINT) AS y",
+        "CAST(0 AS BIGINT) AS dd")
+      for (lvl <- (0 until bits).reverse) {
+        val (xn, yn, dn) = hilbertStep(1L << lvl, 1L << bits, "div")
+        df = df.selectExpr("event_id", s"$xn AS x", s"$yn AS y", s"$dn AS dd")
+      }
+      df.select(col("dd").as("hkey"), col("event_id")).orderBy("hkey", "event_id")
+    },
+    Some {
+      val bits = 8
+      val chain = (0 until bits).reverse.zipWithIndex.map { case (lvl, i) =>
+        val (xn, yn, dn) = hilbertStep(1L << lvl, 1L << bits, "//")
+        s"""h${i + 1} AS (SELECT event_id, $xn AS x, $yn AS y, $dn AS dd FROM h$i)"""
+      }.mkString(",\n            ")
+      s"""WITH h0 AS (
+            SELECT event_id,
+                   CAST(user_id % 256 AS BIGINT) AS x,
+                   CAST((hour(CAST(ts AS TIMESTAMP)) * 60 + minute(CAST(ts AS TIMESTAMP))) // 6 AS BIGINT) AS y,
+                   CAST(0 AS BIGINT) AS dd
+            FROM events),
+            $chain
+          SELECT dd AS hkey, event_id FROM h$bits ORDER BY hkey, event_id"""
+    }
+  )
+
   /** events laid out on a Z-order curve over (user bucket, minute of
     * day) — the E15-adjacent LAYOUT op: sorting a 100 TB table by this
     * key clusters rows that are close in BOTH dimensions into the same
@@ -759,5 +821,5 @@ object Sampling {
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave,
       qPivot, qUnpivot, qPack, qHeavyHitters, qAnomaly, qNtile, qZorderKey,
       qGlobalRownum, qMixBalance, qMixTemperature, qIncrementalAgg,
-      qSequenceAssemble, qIvmJoin)
+      qSequenceAssemble, qIvmJoin, qHilbertKey)
 }

@@ -171,6 +171,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("hilbert key: bijective over the full 256x256 grid, every step adjacent") {
+    import spark.implicits._
+    // the whole domain, via the SAME generated step expressions the
+    // declared query uses — bijectivity proves the 8 rotation steps
+    // compose to a space-filling curve; unit step distance proves it is
+    // the HILBERT curve (Morton jumps; Hilbert never does)
+    var df = (0 until 65536).map(i => (i.toLong / 256, i.toLong % 256)).toDF("x0", "y0")
+      .selectExpr("x0", "y0", "x0 AS x", "y0 AS y", "CAST(0 AS BIGINT) AS dd")
+    for (lvl <- (0 until 8).reverse) {
+      val (xn, yn, dn) = Sampling.hilbertStep(1L << lvl, 256L, "div")
+      df = df.selectExpr("x0", "y0", s"$xn AS x", s"$yn AS y", s"$dn AS dd")
+    }
+    val cells = df.select("dd", "x0", "y0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(cells.length == 65536)
+    assert(cells.head._1 == 0L && cells.last._1 == 65535L)
+    assert(cells.map(_._1).distinct.length == 65536, "hilbert key is not a bijection")
+    cells.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve step ($x1,$y1)->($x2,$y2) is not adjacent — not a Hilbert walk")
+    }
+  }
+
   test("temperature sampling flattens BETWEEN balance (α=1) and identity (α=0)") {
     val langTotals = Tables.documents(spark, sf0001)
       .groupBy("lang").count().collect()
