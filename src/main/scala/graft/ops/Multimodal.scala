@@ -520,5 +520,68 @@ object Multimodal {
             FROM q ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(qMmDecode, qMmFrames, qMmResize, qMmDecodePpm, qMmAudio)
+  /** PERCEPTUAL HASH (dHash) — the image near-duplicate primitive that
+    * composes E13 with the E10 dedup machinery: decode the P6 raster,
+    * nearest-neighbor downsample to a 9×8 grayscale grid (reusing the
+    * codec's own resize index math), emit the 64-bit horizontal
+    * gradient hash (bit = left pixel brighter than right) plus its
+    * four 16-bit pigeonhole bands — by the q_dedup_simhash argument,
+    * two images within Hamming ≤ 3 share at least one band verbatim,
+    * so banded grouping finds every near-duplicate image pair with NO
+    * all-pairs work. Rows-only (∅): the hash is codec semantics, not
+    * SQL; MultimodalSpec proves the dedup property end-to-end —
+    * noise-perturbed copies of an image collide (small Hamming, shared
+    * band), unrelated images do not, and the banding is sound.
+    *
+    * Scale: one per-partition batch decode projection (the media-codec
+    * pattern) + one band groupBy for the candidate stage downstream —
+    * the identical dataflow as text SimHash, on binary payloads.
+    */
+  def dHash(payload: Array[Byte]): Long = {
+    val gray: Array[Array[Int]] = {
+      val thumb = PpmCodec.resize(payload, 9, 8)
+      val (w, h, start) = {
+        // re-parse the 9×8 thumb header (codec-owned format)
+        var i = 2; var vals = List.empty[Int]
+        def skipWs(): Unit = { while (i < thumb.length && thumb(i).toChar.isWhitespace) i += 1 }
+        while (vals.length < 3) {
+          skipWs(); var v = 0
+          while (i < thumb.length && thumb(i) >= '0' && thumb(i) <= '9') { v = v * 10 + (thumb(i) - '0'); i += 1 }
+          vals = vals :+ v
+        }
+        (vals(0), vals(1), i + 1)
+      }
+      Array.tabulate(h, w) { (y, x) =>
+        val o = start + (y * w + x) * 3
+        ((thumb(o) & 0xff) + (thumb(o + 1) & 0xff) + (thumb(o + 2) & 0xff)) / 3
+      }
+    }
+    var bits = 0L
+    var k = 0
+    for (y <- 0 until 8; x <- 0 until 8) {
+      if (gray(y)(x) > gray(y)(x + 1)) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  val qMmPhash = Q(
+    "q_mm_phash",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id").cast("long"), col("text").cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(it => it.map { case (id, t) =>
+          val h = dHash(toPpm(id, t))
+          (id, h,
+            (h & 0xffffL), (h >>> 16) & 0xffffL, (h >>> 32) & 0xffffL, (h >>> 48) & 0xffffL)
+        })
+        .toDF("doc_id", "phash", "band0", "band1", "band2", "band3")
+        .orderBy("doc_id")
+    },
+    None // codec semantics — dedup property proven in MultimodalSpec
+  )
+
+  val all: Seq[Q] = Seq(qMmDecode, qMmFrames, qMmResize, qMmDecodePpm, qMmAudio, qMmPhash)
 }

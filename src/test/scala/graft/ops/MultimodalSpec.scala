@@ -142,4 +142,50 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.WavCodec.decode("RIFFxxxxJUNK".getBytes("US-ASCII"))
     }
   }
+
+  /** Build a P6 payload with per-pixel gray g(x,y) (all 3 channels). */
+  private def ppmOf(w: Int, h: Int)(g: (Int, Int) => Int): Array[Byte] = {
+    val head = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](head.length + w * h * 3)
+    System.arraycopy(head, 0, out, 0, head.length)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      out(head.length + (y * w + x) * 3 + c) = g(x, y).toByte
+    out
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+  private def bands(hh: Long): Seq[Long] =
+    Seq(hh & 0xffffL, (hh >>> 16) & 0xffffL, (hh >>> 32) & 0xffffL, (hh >>> 48) & 0xffffL)
+
+  test("dHash: near-duplicate images collide (small Hamming, shared band); unrelated don't") {
+    val base = ppmOf(16, 14)((x, y) => (x * 37 + y * 101) % 251)
+    // the same image with a handful of ±1-gray perturbed pixels — the
+    // jpeg-reencode / resize noise a perceptual hash must absorb
+    val noisy = ppmOf(16, 14) { (x, y) =>
+      val v = (x * 37 + y * 101) % 251
+      if ((x, y) == (3, 2) || (x, y) == (7, 9) || (x, y) == (12, 5)) v + 1 else v
+    }
+    val other = ppmOf(16, 14)((x, y) => (x * 53 + y * 7) % 251)
+    val hb = Multimodal.dHash(base)
+    val hn = Multimodal.dHash(noisy)
+    val ho = Multimodal.dHash(other)
+    assert(Multimodal.dHash(base) == hb, "dHash must be deterministic")
+    val near = hamming(hb, hn)
+    assert(near <= 3, s"near-dup Hamming $near > 3 — hash not noise-robust")
+    // pigeonhole: ≤3 differing bits cannot touch all 4 bands
+    assert(bands(hb).zip(bands(hn)).exists { case (a, b) => a == b },
+      "near-dup pair shares no band — banded candidate generation would miss it")
+    assert(hamming(hb, ho) >= 10,
+      s"unrelated images at Hamming ${hamming(hb, ho)} — hash not discriminative")
+  }
+
+  test("q_mm_phash: one row per doc, bands are exact 16-bit slices of the hash") {
+    val rows = graft.SparkEntry.queries("q_mm_phash")(spark, sf0001).collect()
+    assert(rows.length == Tables.documents(spark, sf0001).count())
+    rows.foreach { r =>
+      val h = r.getLong(1)
+      assert(r.getLong(2) == (h & 0xffffL) && r.getLong(3) == ((h >>> 16) & 0xffffL) &&
+        r.getLong(4) == ((h >>> 32) & 0xffffL) && r.getLong(5) == ((h >>> 48) & 0xffffL))
+    }
+  }
 }
