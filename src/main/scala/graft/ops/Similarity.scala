@@ -457,34 +457,43 @@ object Similarity {
     * not just one round. Empty clusters keep their previous centroid
     * (left join + coalesce — the trainer's rule).
     */
+  /** The two distributed Lloyd rounds behind [[qKmeans]], exposed so
+    * KMeansSpec can pin the Lloyd monotonicity law on the intermediate
+    * centroids as well as the final ones.
+    */
+  private[ops] def kmeansRounds(
+      s: SparkSession, d: String): (Array[Array[Double]], Array[Array[Double]]) = {
+    val emb = fanOut(embeddings(s, d).select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("v")))
+    def assign(cents: Array[Array[Double]]) = {
+      val best = array_min(array(cents.zipWithIndex.map { case (cv, cid) =>
+        struct(sqDist(col("v"), typedLit(cv.toSeq)).as("dist"), lit(cid).as("cid"))
+      }: _*))
+      emb.select(col("vec_id"), col("v"), best.getField("cid").as("cid"))
+    }
+    def means(cents: Array[Array[Double]]): Array[Array[Double]] = {
+      val rows = assign(cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "coord")))
+        .groupBy("cid", "dim")
+        .agg(
+          sum(col("coord").cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("ssum"),
+          count(lit(1)).as("cnt"))
+        .select(col("cid"), col("dim"),
+          round(col("ssum").cast("double") / col("cnt"), 6).as("coord"))
+        .collect()
+      val out = cents.map(_.clone()) // empty clusters keep previous centroid
+      rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      out
+    }
+    val c1 = means(IvfCodebook.centroids) // round 1: assign + update
+    (c1, means(c1))                       // round 2
+  }
+
   val qKmeans = Q(
     "q_kmeans",
     (s, d) => {
-      val emb = fanOut(embeddings(s, d).select(
-        col("vec_id"),
-        col("embedding").cast("array<double>").as("v")))
-      def assign(cents: Array[Array[Double]]) = {
-        val best = array_min(array(cents.zipWithIndex.map { case (cv, cid) =>
-          struct(sqDist(col("v"), typedLit(cv.toSeq)).as("dist"), lit(cid).as("cid"))
-        }: _*))
-        emb.select(col("vec_id"), col("v"), best.getField("cid").as("cid"))
-      }
-      def means(cents: Array[Array[Double]]): Array[Array[Double]] = {
-        val rows = assign(cents)
-          .select(col("cid"), posexplode(col("v")).as(Seq("dim", "coord")))
-          .groupBy("cid", "dim")
-          .agg(
-            sum(col("coord").cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("ssum"),
-            count(lit(1)).as("cnt"))
-          .select(col("cid"), col("dim"),
-            round(col("ssum").cast("double") / col("cnt"), 6).as("coord"))
-          .collect()
-        val out = cents.map(_.clone()) // empty clusters keep previous centroid
-        rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-        out
-      }
-      val c1 = means(IvfCodebook.centroids) // round 1: assign + update
-      val c2 = means(c1)                    // round 2
+      val (_, c2) = kmeansRounds(s, d)
       val rows = c2.zipWithIndex.flatMap { case (cv, cid) =>
         cv.zipWithIndex.map { case (x, dim) => (cid, dim, x) }
       }.toSeq

@@ -75,6 +75,31 @@ class GraphSpec extends SparkSpec {
     }.foreach(l => assert(l <= cutoff))
   }
 
+  test("q_label_prop: equals a brute-force synchronous LPA walk") {
+    // independent formulation: adjacency maps + per-round frequency
+    // argmax with (count desc, label asc) tie-break, 4 rounds
+    val support = baskets.values.toSeq
+      .flatMap(items => items.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val edges = support.toSeq.collect { case ((a, b), c) if c >= 2 => (a, b) }
+    val adj = (edges.map { case (a, b) => (a, b) } ++ edges.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var labels: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(labels).map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = Graph.qLabelProp.fn(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == labels, "engine LPA diverged from the brute-force walk")
+    // the walk must actually form communities: strictly fewer labels
+    // than nodes, and every label is a member node's id
+    assert(got.values.toSet.size < got.size)
+    assert(got.values.toSet.subsetOf(got.keySet))
+  }
+
   test("q_pagerank: exact mass bounds, positivity, and kind encoding") {
     val rows = Graph.qPagerank.fn(spark, sf0001).collect()
     val n = rows.length

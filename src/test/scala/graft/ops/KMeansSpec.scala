@@ -69,6 +69,24 @@ class KMeansSpec extends SparkSpec {
     assert(after < before * 0.8, s"PQ quantization error $before -> $after")
   }
 
+  test("q_kmeans (distributed Lloyd): inertia non-increasing round over round") {
+    // the Lloyd law on the DISTRIBUTED trainer: each assign+update pair
+    // can only lower the k-means objective (up to the 1e-6 centroid
+    // rounding, bounded here by a generous epsilon)
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val (c1, c2) = Similarity.kmeansRounds(spark, sf0001)
+    val i0 = IvfCodebook.inertia(vecs, IvfCodebook.centroids)
+    val i1 = IvfCodebook.inertia(vecs, c1)
+    val i2 = IvfCodebook.inertia(vecs, c2)
+    val eps = 1e-3 * i0
+    assert(i1 <= i0 + eps, s"round 1 raised inertia: $i0 -> $i1")
+    assert(i2 <= i1 + eps, s"round 2 raised inertia: $i1 -> $i2")
+  }
+
   test("quantize round-trips through render/parse unchanged") {
     val c = IvfCodebook.centroids
     assert(IvfCodebook.parse(IvfCodebook.render(c)).zip(c)

@@ -130,6 +130,27 @@ class ReplaySpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("sliding windows: multi-batch drained replay == two-window batch expansion") {
+    val dir = sliceEvents(4, sentinel = true)
+    val out = Files.createTempDirectory("sslide-spec-")
+    val stream = Replay.readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .where(col("ts") < to_timestamp(lit("2099-01-01 00:00:00")))
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+    val streamed = Replay.replayToParquet(stream, out.toString + "/counts")
+      .orderBy("window_start", "event_type").collect()
+    val batch = batchEvents(dir).where(col("user_id") =!= -1L)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      "overlapping-window state must close every slide exactly once across batches")
+  }
+
   test("stream-stream LEFT OUTER join: multi-batch replay == batch left join") {
     // 4 micro-batches + drain sentinel: unmatched-left verdicts must
     // survive batch boundaries (a left row's match can arrive 2 batches
