@@ -28,7 +28,8 @@ object PlanDump {
       "q_mix_temperature", "q_schema_evolution", "q_cms_terms", "q_mm_audio",
       "q_join_outer", "q_rank_fusion", "q_sequence_assemble", "q_nucleus_sources",
       "q_funnel", "q_knn_join_ann", "q_profile_approx",
-      "q_merge_upsert", "q_prototype_prune"
+      "q_merge_upsert", "q_prototype_prune", "q_change_feed", "q_ivm_join",
+      "q_hilbert_key"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -167,7 +168,22 @@ object PlanDump {
       "q_prototype_prune" ->
         ("centroid assignment is a pure per-row argmin projection (codebook inlined as " +
           "literals); the only exchanges are the cluster-keyed rank window and the output " +
-          "sort — vectors never shuffle, only (id, cid, dist) triples.")
+          "sort — vectors never shuffle, only (id, cid, dist) triples."),
+      "q_change_feed" ->
+        ("snapshot diff rides the q_merge_upsert shuffle plan: two latest-wins windows + " +
+          "full-outer SMJ on one (user, type) partitioning, per-row CASE classification."),
+      "q_ivm_join" ->
+        ("all three delta-law terms are ShuffledHashJoins on the order key feeding one " +
+          "union + map-side-combined aggregate — nothing broadcasts, so the maintenance " +
+          "cost stays proportional to the delta under co-partitioned layouts."),
+      "q_hilbert_key" ->
+        ("8 generated rotation steps fold into one whole-stage-codegen projection chain " +
+          "(CASE/div/% integer arithmetic, no UDF); the only exchange is the final " +
+          "range-partitioned layout sort."),
+      "q_label_prop_round" ->
+        ("ONE synchronous LPA round (the declared query repeats it 4x behind Materialize): " +
+          "edges-to-labels shuffle_hash join, map-side-combined (node,label) count, " +
+          "node-keyed WindowGroupLimit argmax — label state never broadcasts.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")
@@ -193,6 +209,9 @@ object PlanDump {
         .explainString(ExplainMode.fromString("formatted")))
     section("q_bpe_round",
       graft.ops.Vocab.bpeRound(spark, d).queryExecution
+        .explainString(ExplainMode.fromString("formatted")))
+    section("q_label_prop_round",
+      graft.ops.Graph.labelPropRound(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted")))
     // Streaming: the per-micro-batch IncrementalExecution plans — the
     // declared queries return the parquet-sink read-back, so the

@@ -370,6 +370,27 @@ object Graph {
     Some(labelPropOracle)
   )
 
+  /** Plan-audit hook (PLANS.md): ONE synchronous LPA round as a LAZY
+    * DataFrame — the edges⋈labels shuffle_hash join, map-side-combined
+    * (node, label) count, and node-keyed WindowGroupLimit argmax the
+    * declared query repeats behind per-round Materialize checkpoints.
+    */
+  private[graft] def labelPropRound(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = cooccurPairs(s, d).where(col("support") >= 2).select("pa", "pb")
+    val und = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .union(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val w = Window.partitionBy("dst").orderBy(col("cnt").desc, col("label").asc)
+    und.join(labels.hint("shuffle_hash"), col("src") === col("node"))
+      .groupBy(col("dst"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("dst").as("node"), col("label"))
+  }
+
   /** One code path emits the LPA round CTEs (q_pagerank discipline). */
   private def labelPropOracle: String = {
     val its = (1 to LP_ITERS).map { k =>

@@ -381,6 +381,29 @@ class QueriesPlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected fanOut + cluster-window + output-sort only ($exchanges)")
   }
 
+  test("q_change_feed: same MERGE shuffle shape — full-outer SMJ, no broadcast") {
+    val p = plan("q_change_feed")
+    assert(p.contains("FullOuter"))
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      "both snapshots are table-scale — nothing may broadcast")
+    val exchanges = shuffles(p)
+    assert(exchanges <= 3, s"diff grew exchanges ($exchanges)")
+  }
+
+  test("q_ivm_join: all three delta-law terms stay shuffle joins") {
+    val p = plan("q_ivm_join")
+    assert(p.contains("ShuffledHashJoin"), "delta joins must shuffle on the key")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      "delta sides are table-slices — broadcasting defeats the Δ-proportional claim")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("q_hilbert_key: pure expression chain — no join/agg/window before the range sort") {
+    val p = plan("q_hilbert_key")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") && !p.contains("Window"))
+    assert(p.contains("rangepartitioning"), "layout emission is a range-partitioned sort")
+  }
+
   test("q_pmi: marginal joins shuffled, only the 1-row count broadcasts") {
     val p = plan("q_pmi")
     assert(p.contains("ShuffledHashJoin"), "marginal joins must not broadcast")
