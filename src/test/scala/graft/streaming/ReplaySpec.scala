@@ -75,6 +75,40 @@ class ReplaySpec extends SparkSpec {
         "advances the watermark past the last one")
   }
 
+  test("windowed counts: checkpoint restart across file drops == batch (exactly-once)") {
+    // run 1 consumes the first two slices and stops; the remaining
+    // slices + drain sentinel land; run 2 RESUMES from the same
+    // checkpoint into the same sink. Offsets and window state must
+    // restore so every window is emitted exactly once — no loss (state
+    // forgotten), no duplication (slices re-read).
+    val full = sliceEvents(4, sentinel = true)
+    val live = Files.createTempDirectory("restart-live-")
+    val out = Files.createTempDirectory("restart-out-").toString + "/counts"
+    val ckpt = Files.createTempDirectory("restart-ckpt-").toString
+    val files = Files.list(Paths.get(full)).iterator()
+    val all = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    while (files.hasNext) all += files.next()
+    val sorted = all.sortBy(_.getFileName.toString)
+    def drop(p: java.nio.file.Path): Unit = {
+      val d = live.resolve(p.getFileName.toString)
+      Files.copy(p, d, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(d, Files.getLastModifiedTime(p))
+    }
+    sorted.take(2).foreach(drop)
+    Replay.replayToParquet(
+      Replay.windowedCountsDrained(Replay.readEvents(spark, live.toString)), out, ckpt)
+    sorted.drop(2).foreach(drop)
+    val streamed = Replay.replayToParquet(
+      Replay.windowedCountsDrained(Replay.readEvents(spark, live.toString)), out, ckpt)
+      .orderBy("window_start", "event_type").collect()
+    val batch = Replay.windowedCounts(
+      batchEvents(full).where(col("user_id") =!= -1L))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      "restart lost or duplicated window state across the checkpoint")
+  }
+
   private def assertSessionsMatchBatch(dir: String): Unit = {
     val out = Files.createTempDirectory("sess-out-").toString + "/sessions"
     val emitted = Replay.replaySessions(spark, dir, out)
