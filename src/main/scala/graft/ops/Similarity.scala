@@ -265,9 +265,13 @@ object Similarity {
     * here), ~0.5 at sf0.1, ~0.2 at sf1 at the ~20× work reduction.
     * Production embedding corpora are CLUSTERED (that is why IVF
     * exists); on such data the probed buckets hold the true neighbors
-    * and recall stays high as K and 2^b grow. The join key (cluster,
-    * sub-bucket, salt) is salted ×8 so the fixture's 8 coarse clusters
-    * still spread over the shuffle at b=0.
+    * and recall stays high as K and 2^b grow — AnnSpec PROVES it:
+    * ≥ 0.8 edge recall on 2048 crafted clustered vectors with b=2
+    * live. The join key (cluster, sub-bucket, salt) carries an
+    * ADAPTIVE salt fan — ×8 at b=0 so the fixture's 8 coarse clusters
+    * spread over the shuffle, decaying to ×1 once 8·2^b fills the
+    * slot target (each extra salt re-ships every probe row WITH its
+    * 64-double vector — pure overhead when the keys already spread).
     */
   val qKnnJoinAnn = Q(
     "q_knn_join_ann",
