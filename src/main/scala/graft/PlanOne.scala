@@ -1,5 +1,10 @@
 package graft
 import org.apache.spark.sql.execution.ExplainMode
+
+/** Dev tool: print one declared query's formatted physical plan.
+  * `runMain graft.PlanOne <query> [sfDir]` — the per-query sibling of
+  * [[PlanDump]] for iterating on a single plan shape.
+  */
 object PlanOne {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(8)
