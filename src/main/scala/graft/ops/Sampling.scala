@@ -817,9 +817,57 @@ object Sampling {
             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
+  /** PER-GROUP FEATURE STANDARDIZATION — the z-score normalize pass
+    * every ML feature pipeline runs before training: value → (value −
+    * μ_g)/σ_g within its event_type group. Engine-parity discipline
+    * for the MOMENTS (the float-sum hazard): Σx and Σx² accumulate as
+    * EXACT decimals (the value product is one deterministic IEEE
+    * multiply, its DECIMAL cast rounds identically in both engines —
+    * the q_kmeans-proven parity), and μ, σ² = E[x²] − μ², σ, z are a
+    * fixed chain of IEEE ops on those exact sums written token-for-
+    * token identically in both dialects, then rounded to 6 digits.
+    *
+    * Shape: ONE map-side-combined moment aggregation to |groups| rows,
+    * broadcast back onto the scan, per-row arithmetic — the two-pass
+    * normalize at scan speed; nothing corpus-sized shuffles.
+    */
+  val qNormalize = Q(
+    "q_normalize",
+    (s, d) => {
+      val stats = events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("sx"),
+          sum((col("value") * col("value"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("sxx"))
+        .select(col("event_type").as("g"),
+          (col("sx").cast("double") / col("n")).as("mu"),
+          sqrt(col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n")))
+            .as("sigma"))
+      events(s, d)
+        .join(broadcast(stats), col("event_type") === col("g"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("mu")) / col("sigma"), 6).as("z"))
+        .orderBy("event_id")
+    },
+    Some("""WITH stats AS (
+              SELECT event_type AS g,
+                     CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mu,
+                     sqrt(CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+                          - (CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*))
+                            * (CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*))) AS sigma
+              FROM events GROUP BY event_type)
+            SELECT event_id, event_type, value,
+                   round((value - mu) / sigma, 6) AS z
+            FROM events JOIN stats ON event_type = g
+            ORDER BY event_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave,
       qPivot, qUnpivot, qPack, qHeavyHitters, qAnomaly, qNtile, qZorderKey,
       qGlobalRownum, qMixBalance, qMixTemperature, qIncrementalAgg,
-      qSequenceAssemble, qIvmJoin, qHilbertKey)
+      qSequenceAssemble, qIvmJoin, qHilbertKey, qNormalize)
 }
