@@ -865,9 +865,43 @@ object Sampling {
             ORDER BY event_id""")
   )
 
+  /** WINSORIZATION — outlier clipping at exact per-group percentiles
+    * (the robust-scaling companion of [[qNormalize]]): value clamps
+    * into [P05, P95] of its event_type group. Exact `percentile`
+    * (linear interpolation — DuckDB `quantile_cont`, parity proven by
+    * q_quantiles_exact) on the |groups|-row side, broadcast back, and
+    * the clamp is branch-free least/greatest per row at scan speed.
+    */
+  val qWinsorize = Q(
+    "q_winsorize",
+    (s, d) => {
+      val stats = events(s, d)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.05, 0.95))").as("p"))
+        .select(col("event_type").as("g"),
+          element_at(col("p"), 1).as("lo"), element_at(col("p"), 2).as("hi"))
+      events(s, d)
+        .join(broadcast(stats), col("event_type") === col("g"))
+        .select(col("event_id"), col("event_type"),
+          round(greatest(col("lo"), least(col("hi"), col("value"))), 6).as("clipped"),
+          (col("value") < col("lo") || col("value") > col("hi")).as("was_clipped"))
+        .orderBy("event_id")
+    },
+    Some("""WITH stats AS (
+              SELECT event_type AS g,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY event_type)
+            SELECT event_id, event_type,
+                   round(greatest(lo, least(hi, value)), 6) AS clipped,
+                   (value < lo OR value > hi) AS was_clipped
+            FROM events JOIN stats ON event_type = g
+            ORDER BY event_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave,
       qPivot, qUnpivot, qPack, qHeavyHitters, qAnomaly, qNtile, qZorderKey,
       qGlobalRownum, qMixBalance, qMixTemperature, qIncrementalAgg,
-      qSequenceAssemble, qIvmJoin, qHilbertKey, qNormalize)
+      qSequenceAssemble, qIvmJoin, qHilbertKey, qNormalize, qWinsorize)
 }
