@@ -421,6 +421,77 @@ object Relational {
             FROM lineitem""")
   )
 
+  /** PER-GROUP CORRELATION + OLS FIT (r7) — the feature/target
+    * association audit a training pipeline runs before trusting a
+    * column pair (quantity → price here): Pearson r and the least-
+    * squares line y = alpha + beta·x per l_returnflag group, all from
+    * the five moment sums.
+    *
+    * Engine-parity discipline (the float-sum hazard, as q_normalize):
+    * n, Σx, Σy, Σx², Σy², Σxy accumulate as EXACT decimals — each
+    * product is one deterministic IEEE multiply whose DECIMAL cast
+    * rounds identically in both engines — and r/beta/alpha are a fixed
+    * chain of IEEE ops on those exact sums written token-for-token
+    * identically in both dialects, then rounded to 6 digits. Spark's
+    * builtin `corr` is NOT used in the hash-compared column precisely
+    * because it folds doubles in partial-aggregation order.
+    *
+    * Scale: ONE map-side-combined moment aggregation to |groups| rows —
+    * the same partial/final shape as builtin corr, cost = one scan at
+    * any corpus size; no second pass, no broadcast, no window.
+    */
+  val qCorr = Q(
+    "q_corr",
+    (s, d) => {
+      val m = lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sx0"),
+          dsum(col("l_extendedprice")).as("sy0"),
+          sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(38, 6))).as("sxx0"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(38, 4))).as("syy0"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(38, 4))).as("sxy0")
+        )
+        .select(col("l_returnflag"), col("n").cast("double").as("nd"),
+          col("sx0").as("sx"), col("sy0").as("sy"),
+          col("sxx0").cast("double").as("sxx"), col("syy0").cast("double").as("syy"),
+          col("sxy0").cast("double").as("sxy"))
+      m.select(col("l_returnflag"), col("nd").cast("long").as("n"),
+          (col("nd") * col("sxy") - col("sx") * col("sy")).as("cxy"),
+          (col("nd") * col("sxx") - col("sx") * col("sx")).as("vx"),
+          (col("nd") * col("syy") - col("sy") * col("sy")).as("vy"),
+          col("nd"), col("sx"), col("sy"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("cxy") / (sqrt(col("vx")) * sqrt(col("vy"))), 6).as("corr_xy"),
+          round(col("cxy") / col("vx"), 6).as("beta"),
+          round((col("sy") * col("vx") - col("cxy") * col("sx")) / (col("nd") * col("vx")), 6)
+            .as("alpha"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH m AS (
+              SELECT l_returnflag,
+                     count(*) AS n,
+                     CAST(count(*) AS DOUBLE) AS nd,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+                     CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+              FROM lineitem GROUP BY l_returnflag),
+            c AS (
+              SELECT l_returnflag, n, nd, sx, sy,
+                     nd * sxy - sx * sy AS cxy,
+                     nd * sxx - sx * sx AS vx,
+                     nd * syy - sy * sy AS vy
+              FROM m)
+            SELECT l_returnflag, n,
+                   round(cxy / (sqrt(vx) * sqrt(vy)), 6) AS corr_xy,
+                   round(cxy / vx, 6) AS beta,
+                   round((sy * vx - cxy * sx) / (nd * vx), 6) AS alpha
+            FROM c ORDER BY l_returnflag""")
+  )
+
   private val viewId = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Run `sql` with per-invocation UNIQUE temp-view names (dropped once
@@ -992,7 +1063,7 @@ object Relational {
     qFilter,
     qJoinBroadcast, qJoinSmj, qJoinSalted, qJoinMulti, qSemi, qAnti, qRangeJoin,
     qAsofJoin, qJoinOuter,
-    qAggHash, qAggDistinct, qRollup, qCube, qGroupingSets, qQuantiles, qQuantilesExact,
+    qAggHash, qAggDistinct, qCorr, qRollup, qCube, qGroupingSets, qQuantiles, qQuantilesExact,
     qApproxDistinct,
     qWindowRank, qWindowRunning, qWindowLag, qWindowPercent, qWindowRange,
     qTopk,

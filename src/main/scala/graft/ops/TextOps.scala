@@ -456,7 +456,54 @@ object TextOps {
     None // sketch cell addressing is engine-specific (like q_approx_distinct)
   )
 
+  /** SLIDING-WINDOW CHUNKING (r7) — the RAG/context-window chunker: each
+    * document split into C=32-token chunks at stride S=16 (50% overlap),
+    * the shape every retrieval pipeline feeds its embedding model (and
+    * what this engine's own q_ann_* index would ingest). Chunk grid:
+    * starts 0, S, 2S, … with the redundant tail dropped — a start > 0
+    * whose window would be fully contained in its predecessor's
+    * (start ≥ n − (C − S)) never emits, so exactly
+    * ⌈max(n−C,0)/S⌉ + 1 chunks per doc, every token covered, and the
+    * final chunk ends at the final token.
+    *
+    * Scale: a per-row projection + explode — fan-out n/S per doc, NO
+    * shuffle, chunking at scan speed; per-doc work is bounded by doc
+    * length (cap pathological docs upstream with the q_sample_per_key
+    * idiom). (doc_id, chunk_idx) is unique → total order.
+    */
+  val qChunkOverlap = Q(
+    "q_chunk_overlap",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(filter(sequence(lit(0), col("n") - 1, lit(16)),
+            x => x === 0 || x < col("n") - 16)).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 16).cast("int").as("chunk_idx"),
+          col("start").cast("int").as("start_tok"),
+          least(lit(32), col("n") - col("start")).cast("int").as("n_tok"),
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(32))).as("chunk"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(text,' ') AS t,
+                     len(string_split(text,' ')) AS n
+              FROM documents),
+            st AS (
+              SELECT doc_id, t, n,
+                     unnest(list_filter(range(0, n, 16),
+                                        x -> x = 0 OR x < n - 16)) AS s
+              FROM toks)
+            SELECT doc_id, CAST(s // 16 AS INTEGER) AS chunk_idx,
+                   CAST(s AS INTEGER) AS start_tok,
+                   CAST(least(32, n - s) AS INTEGER) AS n_tok,
+                   array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk
+            FROM st ORDER BY doc_id, chunk_idx""")
+  )
+
   val all: Seq[Q] =
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
-      qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms)
+      qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms,
+      qChunkOverlap)
 }
