@@ -417,5 +417,88 @@ object Graph {
        |SELECT node, label FROM l$LP_ITERS ORDER BY node""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(qCooccur, qPmi, qTriangles, qPagerank, qLabelProp)
+  private val KHOP = 4
+
+  /** MULTI-SOURCE BFS / K-HOP REACHABILITY (r7) — shortest hop distance
+    * from a seed set (nation-1 customers) over the trade graph, the
+    * provenance-expansion query a curation pipeline runs ("everything
+    * within 4 hops of a flagged source") and the neighborhood-sampling
+    * primitive under GraphSAGE-style feature extraction. Pure integer
+    * BFS levels — no arithmetic at all beyond the hop counter — so the
+    * whole iteration is hash-oracled through the q_pagerank generated
+    * CTE chain discipline.
+    *
+    *  Scale shape: FRONTIER-CONTRACTED — each round joins edges against
+    * the frontier DELTA only (nodes first reached last round), never
+    * the visited set, so per-round work is ∝ edges incident to the
+    * frontier (the push-style BFS that Pregel/GraphX run), and an
+    * emptied frontier makes remaining rounds free (empty joins, no
+    * driver check needed at fixed K). The anti-join against visited is
+    * keyed on node id; frontier + visited are checkpointed per round —
+    * O(1) lineage, both reused twice per round. Distance-0 seeds that
+    * never traded still report dist 0 (reachability includes the seed
+    * by definition, both engines).
+    */
+  val qKhop = Q(
+    "q_khop",
+    (s, d) => {
+      val base = orders(s, d)
+        .join(lineitem(s, d).hint("shuffle_hash"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+        .distinct()
+      val edges = Materialize(
+        base.select(col("c").as("src"), col("sp").as("dst"))
+          .union(base.select(col("sp").as("src"), col("c").as("dst"))))
+      val seeds = customer(s, d).where(col("c_nationkey") === 1)
+        .select((col("c_custkey") * 2).as("node"))
+      var frontier = Materialize(seeds)
+      var visited = Materialize(seeds.select(col("node"), lit(0).as("dist")))
+      for (k <- 1 to KHOP) {
+        val nxt = Materialize(
+          edges.join(frontier.hint("shuffle_hash"), col("src") === col("node"))
+            .select(col("dst").as("node")).distinct()
+            .join(visited.hint("shuffle_hash"), Seq("node"), "left_anti"))
+        visited = Materialize(visited.union(nxt.select(col("node"), lit(k).as("dist"))))
+        frontier = nxt
+      }
+      visited
+        .select(
+          when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier")).as("kind"),
+          expr("node div 2").as("key"),
+          col("dist"))
+        .orderBy("kind", "key")
+    },
+    Some(khopOracle)
+  )
+
+  /** One code path emits the BFS round CTEs (q_pagerank discipline):
+    * frontier f_k = unvisited neighbors of f_{k-1}; visited v_k
+    * accumulates (node, k).
+    */
+  private def khopOracle: String = {
+    val its = (1 to KHOP).map { k =>
+      s"""f$k AS (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM edges e JOIN f${k - 1} f ON e.src = f.node
+         |  LEFT JOIN v${k - 1} v ON e.dst = v.node
+         |  WHERE v.node IS NULL),
+         |v$k AS (SELECT node, dist FROM v${k - 1}
+         |        UNION ALL SELECT node, $k AS dist FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT c AS src, sp AS dst FROM base
+       |          UNION ALL SELECT sp, c FROM base),
+       |seeds AS (SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 1),
+       |f0 AS (SELECT node FROM seeds),
+       |v0 AS (SELECT node, 0 AS dist FROM seeds),
+       |$its
+       |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       |       node // 2 AS key, CAST(dist AS INTEGER) AS dist
+       |FROM v$KHOP ORDER BY kind, key""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(qCooccur, qPmi, qTriangles, qPagerank, qLabelProp, qKhop)
 }

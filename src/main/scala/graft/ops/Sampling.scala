@@ -145,6 +145,41 @@ object Sampling {
              FROM documents ORDER BY shuffle_key, doc_id""")
   )
 
+  /** MULTI-EPOCH RESHUFFLE (r7) — [[qInterleave]] extended to the full
+    * training loop: epoch e reads the corpus in a FRESH deterministic
+    * permutation, keyed by the same Knuth hash with the salt shifted
+    * per epoch (`271828 + e·97003`). Same-seed-every-epoch is a known
+    * convergence bug (the model sees identical batch boundaries each
+    * pass); `rand()` is irreproducible; the epoch-salted hash gives
+    * decorrelated orders that any engine re-derives from ids alone —
+    * and a resumed epoch-e job seeks by recomputing keys at salt e.
+    *
+    * One expression string (epoch folded into the salt arithmetic,
+    * sum < 2^31+5·10^5 so the Knuth multiply stays exact BIGINT) is
+    * parsed by both engines — the [[bucketSql]] one-code-path rule.
+    * Scale: explode ×E epochs is a per-row projection; the only data-
+    * scale work is the (epoch, key) range-partitioned sort — TeraSort
+    * shape, epochs land in disjoint key ranges so writers stream epoch
+    * by epoch; no window, no rand, no driver state. SamplingSpec proves
+    * per-epoch permutation completeness + cross-epoch decorrelation.
+    */
+  private val epochKeySql =
+    "(doc_id % 2147483647 + 271828 + epoch * 97003) % 2147483647" +
+      " * 2654435761 % 4294967296"
+  val qEpochShuffle = Q(
+    "q_epoch_shuffle",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(2L))).as("epoch"))
+        .select(col("epoch").cast("int").as("epoch"),
+          expr(epochKeySql).as("shuffle_key"), col("doc_id"))
+        .orderBy("epoch", "shuffle_key", "doc_id"),
+    Some(s"""SELECT CAST(epoch AS INTEGER) AS epoch,
+                    $epochKeySql AS shuffle_key, doc_id
+             FROM documents, (SELECT unnest(range(0, 3)) AS epoch) e
+             ORDER BY epoch, shuffle_key, doc_id""")
+  )
+
   // ---------------------------------------------------------------------
   // E16.5 pivot / unpivot (reshape)
   // ---------------------------------------------------------------------
@@ -900,7 +935,7 @@ object Sampling {
   )
 
   val all: Seq[Q] =
-    Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave,
+    Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave, qEpochShuffle,
       qPivot, qUnpivot, qPack, qHeavyHitters, qAnomaly, qNtile, qZorderKey,
       qGlobalRownum, qMixBalance, qMixTemperature, qIncrementalAgg,
       qSequenceAssemble, qIvmJoin, qHilbertKey, qNormalize, qWinsorize)

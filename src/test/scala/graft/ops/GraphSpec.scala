@@ -100,6 +100,42 @@ class GraphSpec extends SparkSpec {
     assert(got.values.toSet.subsetOf(got.keySet))
   }
 
+  test("q_khop: equals a brute-force BFS walk from the seed set") {
+    // independent formulation: adjacency maps + queue BFS, 4 levels
+    val base = Tables.orders(spark, sf0001)
+      .join(Tables.lineitem(spark, sf0001), col("o_orderkey") === col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = (base ++ base.map(_.swap)).toSeq
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val seeds = Tables.customer(spark, sf0001)
+      .where(col("c_nationkey") === 1).select("c_custkey").collect()
+      .map(_.getLong(0) * 2).toSet
+    var dist: Map[Long, Int] = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (k <- 1 to 4) {
+      val nxt = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- dist.keySet
+      dist = dist ++ nxt.map(_ -> k)
+      frontier = nxt
+    }
+    val got = Graph.qKhop.fn(spark, sf0001).collect().map { r =>
+      val key = r.getLong(1)
+      val node = if (r.getString(0) == "customer") key * 2 else key * 2 + 1
+      node -> r.getInt(2)
+    }.toMap
+    assert(got == dist, "engine BFS diverged from the brute-force walk")
+    // levels must be non-trivial: some node strictly beyond the seeds
+    assert(got.values.exists(_ > 0))
+    // minimality: a node at level k>0 has a neighbor at level k-1 and
+    // none at a smaller level
+    got.foreach { case (n, k) =>
+      if (k > 0) {
+        val nbrLevels = adj.getOrElse(n, Set.empty).flatMap(got.get)
+        assert(nbrLevels.min == k - 1, s"node $n at $k has nbr levels $nbrLevels")
+      }
+    }
+  }
+
   test("q_pagerank: exact mass bounds, positivity, and kind encoding") {
     val rows = Graph.qPagerank.fn(spark, sf0001).collect()
     val n = rows.length

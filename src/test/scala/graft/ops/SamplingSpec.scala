@@ -24,6 +24,33 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("epoch shuffle: each epoch a complete permutation, orders decorrelated") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val rows = Sampling.qEpochShuffle.fn(spark, sf0001).collect()
+    val byEpoch = rows.groupBy(_.getInt(0))
+    assert(byEpoch.keySet == Set(0, 1, 2))
+    // completeness: every epoch covers the whole corpus exactly once
+    for ((e, rs) <- byEpoch) {
+      val ids = rs.map(_.getLong(2))
+      assert(ids.toSet == docs && ids.length == docs.size, s"epoch $e not a permutation")
+    }
+    // decorrelation: the rank agreement between epoch orders must be far
+    // from identity. Spearman-ish check: fraction of docs within ±5 of
+    // their epoch-0 position stays small (identical orders would be 1.0).
+    def order(e: Int): Map[Long, Int] =
+      byEpoch(e).sortBy(r => (r.getLong(1), r.getLong(2)))
+        .zipWithIndex.map { case (r, i) => r.getLong(2) -> i }.toMap
+    val o0 = order(0)
+    for (e <- Seq(1, 2)) {
+      val oe = order(e)
+      val near = docs.count(id => math.abs(o0(id) - oe(id)) <= 5).toDouble / docs.size
+      // under a random permutation of n=50, P(|shift|<=5) ~ 11/50
+      assert(near < 0.5, s"epoch $e order correlates with epoch 0 (near=$near)")
+      assert(o0 != oe, s"epoch $e order identical to epoch 0")
+    }
+  }
+
   test("uniform sample rate lands near 10% and is independent of the split hash") {
     val total = Tables.documents(spark, sf0001).count().toDouble
     val sampled = Sampling.qSampleHash.fn(spark, sf0001).count().toDouble
