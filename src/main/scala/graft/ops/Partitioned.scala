@@ -708,7 +708,75 @@ object Partitioned {
             ORDER BY user_id, event_type""")
   )
 
+  // ---------------------------------------------------------------------
+  // deletion vectors (merge-on-read row-level delete)
+  // ---------------------------------------------------------------------
+
+  private def dvDir(d: String): String = s"${eventsClusteredDir(d)}_dv"
+
+  /** Build the deletion-vector side table for the clustered events
+    * layout: the positions — (file, row_index), NO payload columns — of
+    * every row hit by the delete predicate (user_id % 10 = 3, the
+    * GDPR-style erasure batch). Positions come from the parquet reader's
+    * own `_metadata.file_path` / `_metadata.row_index`, so they are the
+    * physical row positions an Iceberg v2 position-delete file or a
+    * Delta deletion vector stores. The DATA FILES ARE NEVER REWRITTEN
+    * (PartitionedSpec asserts byte-identical listings) — that is the
+    * merge-on-read trade: delete commits cost O(deleted positions), the
+    * debt is paid at read time until the next compaction rewrite
+    * ([[qCompact]]) folds the DVs in.
+    */
+  private[ops] def buildDeletionVectors(s: SparkSession, d: String): (String, String) = {
+    val layout = eventsClustered(s, d)
+    val dv = dvDir(d)
+    if (!successExists(s, dv)) {
+      s.read.parquet(layout)
+        .select(
+          col("_metadata.file_path").as("file"),
+          col("_metadata.row_index").as("pos"),
+          col("user_id"))
+        .where(col("user_id") % 10 === 3)
+        .select("file", "pos")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dv)
+    }
+    (layout, dv)
+  }
+
+  /** MERGE-ON-READ DELETE READ (r7) — the scan that applies deletion
+    * vectors: base files anti-joined on (file, pos) against the DV
+    * table. The reader never sees the delete PREDICATE, only positions
+    * — exactly the contract under Iceberg v2 position deletes / Delta
+    * DVs — yet the oracle IS the predicate on the live table, so the
+    * hash match proves position-level apply ≡ predicate semantics.
+    *
+    * Scale: the DV side is O(deleted positions) — broadcast here (the
+    * per-file-bitmap-beside-the-scan shape the real formats use; a
+    * mass-delete whose DV outgrows the broadcast threshold falls back
+    * to a (file, pos)-keyed shuffle join, same plan text minus the
+    * hint). The base scan stays a plain pruned parquet scan; nothing
+    * corpus-sized shuffles, and no data file was touched by the delete.
+    */
+  val qDeletionVectors = Q(
+    "q_deletion_vectors",
+    (s, d) => {
+      val (layout, dv) = buildDeletionVectors(s, d)
+      val dvDf = s.read.parquet(dv)
+      Tables.normalizeTs(
+        s.read.parquet(layout)
+          .withColumn("file", col("_metadata.file_path"))
+          .withColumn("pos", col("_metadata.row_index")))
+        .join(broadcast(dvDf), Seq("file", "pos"), "left_anti")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+            WHERE user_id % 10 <> 3
+            ORDER BY event_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qPartitionPrune, qJoinBucketed, qCompact, qManifestSkip, qTimeTravel,
-      qVacuum, qSchemaEvolution, qMergeUpsert, qChangeFeed)
+      qVacuum, qSchemaEvolution, qMergeUpsert, qChangeFeed, qDeletionVectors)
 }

@@ -883,6 +883,85 @@ object Similarity {
              LIMIT 5""")
   )
 
+  /** SCALAR-QUANTIZED (SQ8) ANN (r7) — the third point on the ANN
+    * memory/recall curve: full float32 (256 B/vector, exact) →
+    * **SQ8 (64 B/vector, this query)** → IVF-PQ 4-bit (4 B/vector,
+    * [[qAnnPq]]). Per-dimension affine int8 quantization — the format
+    * FAISS ships as `SQ8` and the usual first compression step of a
+    * billion-vector index, because it quarters RAM/bandwidth while
+    * staying near-lossless (AnnSpec pins top-5 = exact top-5 on the
+    * fixture).
+    *
+    * Train: per-dim (lo, hi) over the corpus — ONE map-side-combined
+    * 64-row min/max aggregation (a scan; min/max SELECT values, never
+    * sum floats, so both engines derive bit-identical stats from the
+    * data with no frozen literals). The 64-pair table is driver-small
+    * metadata (the codebook idiom). Encode: code_i = clamp(floor(
+    * (x−lo)·255/(hi−lo))) — a per-row projection; at rest this is the
+    * 1-byte/dim column a real index stores. Search: ADC — the query
+    * stays EXACT, candidates score as ⟨q, dequant(code)⟩; dequant and
+    * the index-ordered fold are the same deterministic IEEE chain in
+    * both engines, so the whole approximate path is hash-oracled (the
+    * q_ann_pq discipline). Top-20 ADC funnel (TakeOrderedAndProject)
+    * → exact cosine rerank → top-5.
+    */
+  val qAnnSq8 = Q(
+    "q_ann_sq8",
+    (s, d) => {
+      val emb = embeddings(s, d).select(
+        col("vec_id"),
+        col("embedding").cast("array<double>").as("v")
+      )
+      // per-dim corpus min/max: 64 rows — driver-small, the codebook idiom
+      val stats = emb
+        .select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
+        .orderBy("i").collect()
+      val lo = typedLit(stats.map(_.getDouble(1)).toSeq)
+      val hi = typedLit(stats.map(_.getDouble(2)).toSeq)
+      val qv = typedLit(queryVec(emb))
+      // dequant(quantize(x)) per element; i is 0-based in Spark's
+      // transform, the stat arrays are 1-indexed via element_at
+      val dq = transform(col("v"), (x, i) => {
+        val l = element_at(lo, i + 1)
+        val h = element_at(hi, i + 1)
+        val code = least(lit(255.0), greatest(lit(0.0),
+          floor((x - l) * 255.0 / (h - l))))
+        when(h === l, l).otherwise(l + code * (h - l) / 255.0)
+      })
+      emb
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("v"), dot(dq, qv).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id"), round(cosine(col("v"), qv), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(5)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             dims AS (SELECT unnest(range(1, 65)) AS i),
+             st AS (SELECT s.i, min(e.v[s.i]) AS lo, max(e.v[s.i]) AS hi
+                    FROM e, dims s GROUP BY s.i),
+             stl AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM st),
+             adc AS (
+               SELECT e.vec_id, e.v,
+                      list_sum([qv[i] *
+                        (CASE WHEN hi[i] = lo[i] THEN lo[i]
+                              ELSE lo[i] + least(255.0, greatest(0.0,
+                                     floor((e.v[i] - lo[i]) * 255.0 / (hi[i] - lo[i]))))
+                                   * (hi[i] - lo[i]) / 255.0 END)
+                        for i in range(1, 65)]) AS adc
+               FROM e, q, stl
+               WHERE e.vec_id <> 0),
+             cand AS (SELECT vec_id, v FROM adc
+                      ORDER BY adc DESC, vec_id ASC LIMIT 20)
+             SELECT cand.vec_id, round(${duckCos("cand.v", "qv")}, 6) AS cos_sim
+             FROM cand, q
+             ORDER BY cos_sim DESC, vec_id ASC
+             LIMIT 5""")
+  )
+
   /** Near-duplicate doc pairs by length+prefix BLOCKING then shingle
     * Jaccard (E11's second representative query). Candidates = pairs
     * sharing the first token whose shingle-set sizes satisfy the J≥1/2
@@ -1317,6 +1396,6 @@ object Similarity {
 
   val all: Seq[Q] =
     Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qKnnJoin, qKnnJoinAnn, qSemdedup, qPrototypePrune, qKmeans, qDedupEmbedding,
-      qEmbeddingCc, qAnnIvf, qAnnPq, qAnnLsh, qPairwiseNear, qRankFusion, qMultimodalJoin,
+      qEmbeddingCc, qAnnIvf, qAnnPq, qAnnSq8, qAnnLsh, qPairwiseNear, qRankFusion, qMultimodalJoin,
       qMultimodalMeta)
 }

@@ -40,6 +40,21 @@ class AnnSpec extends SparkSpec {
     assert(pq.count(exactInCluster) >= 3, s"pq=${pq.toSeq} exact=$exactInCluster")
   }
 
+  test("q_ann_sq8: near-lossless — its top-5 equals the exact top-5") {
+    val rows = graft.SparkEntry.queries("q_ann_sq8")(spark, sf0001).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getLong(0) != 0L))
+    val sims = rows.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse, "rerank must emit true cosines, ordered")
+    // 8-bit/dim quantization error is ~0.2% of each dim's range; with a
+    // 20-candidate ADC funnel over 50 vectors the exact top-5 must all
+    // survive to the rerank (PQ at 4 bits only promises 3/5 — SQ8's
+    // whole point is the tighter recall at 16× the memory of PQ)
+    val exactTop5 = ids("q_knn_cosine").take(5).toSet
+    val sq = rows.map(_.getLong(0))
+    assert(sq.count(exactTop5) == 5, s"sq8=${sq.toSeq} exact=$exactTop5")
+  }
+
   test("ivf recall curve: nondecreasing in nprobe, exact at nprobe=K") {
     val exactTop5 = ids("q_knn_cosine").take(5).toSet
     val recalls = Seq(1, 2, 4, 8).map { p =>

@@ -106,6 +106,33 @@ class PartitionedSpec extends SparkSpec {
   private def manifestPathOf(layout: String): String =
     Partitioned.manifestDir(layout)
 
+  test("q_deletion_vectors: positions-only DVs, data files untouched, complement exact") {
+    def listing(dir: String): Map[String, (Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.getName -> (f.getLen, f.getModificationTime)).toMap
+    }
+    val (layout, dv) = Partitioned.buildDeletionVectors(spark, sf0001)
+    val before = listing(layout)
+    // the DV table is POSITIONS ONLY — no payload column leaks the data
+    val dvDf = spark.read.parquet(dv)
+    assert(dvDf.schema.fieldNames.toSet == Set("file", "pos"))
+    // merge-on-read: applying the delete rewrote NO data file
+    val survivors = Partitioned.qDeletionVectors.fn(spark, sf0001).collect()
+    assert(listing(layout) == before, "a data file changed under a DV delete")
+    // complement exactness: survivors + deleted = total, and the
+    // survivor set is exactly the predicate complement
+    val total = Tables.events(spark, sf0001).count()
+    val deleted = dvDf.count()
+    assert(survivors.length + deleted == total)
+    assert(deleted > 0, "the delete batch must bite on the fixture")
+    assert(survivors.forall(_.getLong(1) % 10 != 3))
+    // every DV position is unique (a position deleted twice would
+    // silently under-count on a bitmap representation)
+    assert(dvDf.distinct().count() == deleted)
+  }
+
   test("q_time_travel: snapshot isolation and version immutability") {
     import org.apache.spark.sql.functions.col
     val root = Partitioned.eventsVersioned(spark, sf0001)
