@@ -28,7 +28,8 @@ object SparkEntry {
         graft.streaming.Replay.qStreamCdc,
         graft.streaming.Replay.qStreamTopk,
         graft.streaming.Replay.qStreamJoinOuter,
-        graft.streaming.Replay.qStreamSliding)
+        graft.streaming.Replay.qStreamSliding,
+        graft.streaming.Replay.qStreamFunnel)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's own pipeline shape — ingest the pp-complete fixture,

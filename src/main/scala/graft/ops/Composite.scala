@@ -172,40 +172,46 @@ object Composite {
     * evaluate the identical frame, so the min-over-frame fold is
     * deterministic; delays are exact integer epoch-µs differences.
     */
+  /** The funnel window algebra over any (user_id, ts, event_id,
+    * event_type) relation — shared by the declared batch query and the
+    * streaming twin's ReplaySpec ground truth.
+    */
+  def funnelBatch(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seenView = min(when(col("event_type") === "view", col("ts"))).over(w)
+    val marked = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("valid_click_ts",
+        when(col("event_type") === "click" && seenView.isNotNull, col("ts")))
+    val seenClick = min(col("valid_click_ts")).over(w)
+    val marked2 = marked.withColumn("valid_purchase_ts",
+      when(col("event_type") === "purchase" && seenClick.isNotNull, col("ts")))
+    marked2
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(col("valid_click_ts")).as("t_click"),
+        min(col("valid_purchase_ts")).as("t_purchase")
+      )
+      .select(
+        col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0).as("stage"),
+        (unix_micros(col("t_click")) - unix_micros(col("t_view")))
+          .as("us_view_to_click"),
+        (unix_micros(col("t_purchase")) - unix_micros(col("t_click")))
+          .as("us_click_to_purchase")
+      )
+      .orderBy("user_id")
+  }
+
   val qFunnel = Q(
     "q_funnel",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val seenView = min(when(col("event_type") === "view", col("ts"))).over(w)
-      val marked = Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("valid_click_ts",
-          when(col("event_type") === "click" && seenView.isNotNull, col("ts")))
-      val seenClick = min(col("valid_click_ts")).over(w)
-      val marked2 = marked.withColumn("valid_purchase_ts",
-        when(col("event_type") === "purchase" && seenClick.isNotNull, col("ts")))
-      marked2
-        .groupBy("user_id")
-        .agg(
-          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
-          min(col("valid_click_ts")).as("t_click"),
-          min(col("valid_purchase_ts")).as("t_purchase")
-        )
-        .select(
-          col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
-          when(col("t_purchase").isNotNull, 3)
-            .when(col("t_click").isNotNull, 2)
-            .when(col("t_view").isNotNull, 1)
-            .otherwise(0).as("stage"),
-          (unix_micros(col("t_click")) - unix_micros(col("t_view")))
-            .as("us_view_to_click"),
-          (unix_micros(col("t_purchase")) - unix_micros(col("t_click")))
-            .as("us_click_to_purchase")
-        )
-        .orderBy("user_id")
-    },
+    (s, d) => funnelBatch(Tables.events(s, d)),
     Some("""WITH marked AS (
               SELECT user_id, ts, event_id, event_type,
                      CASE WHEN event_type = 'click'

@@ -819,6 +819,145 @@ object Replay {
     graft.ops.Dedup.qCdcApply.oracle
   )
 
+  final case class FunnelBuf(ts: java.sql.Timestamp, eid: Long, typ: String)
+  final case class FunnelAcc(
+      buf: Seq[FunnelBuf],
+      tV: Option[java.sql.Timestamp],
+      tC: Option[java.sql.Timestamp],
+      tP: Option[java.sql.Timestamp])
+  final case class FunnelOut(
+      user_id: Long,
+      t_view: Option[java.sql.Timestamp],
+      t_click: Option[java.sql.Timestamp],
+      t_purchase: Option[java.sql.Timestamp],
+      stage: Int,
+      us_view_to_click: Option[Long],
+      us_click_to_purchase: Option[Long])
+
+  private def tsUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + t.getNanos / 1000L % 1000L
+
+  /** Watermark values beyond this (2090-01-01) can only come from the
+    * drain sentinel (2100) — the replay's end-of-input signal. */
+  private val DrainMs = 3786825600000L
+
+  /** The ordered funnel fold — the SEQUENTIAL formulation of
+    * [[graft.ops.Composite.qFunnel]]'s window algebra: first view, then
+    * the first click at-or-after it, then the first purchase at-or-after
+    * that click, processed in exact (ts, event_id) order.
+    */
+  private def funnelStep(
+      tV0: Option[java.sql.Timestamp],
+      tC0: Option[java.sql.Timestamp],
+      tP0: Option[java.sql.Timestamp],
+      evs: Seq[FunnelBuf]
+  ): (Option[java.sql.Timestamp], Option[java.sql.Timestamp], Option[java.sql.Timestamp]) = {
+    var (tV, tC, tP) = (tV0, tC0, tP0)
+    for (e <- evs) e.typ match {
+      case "view" if tV.isEmpty               => tV = Some(e.ts)
+      case "click" if tC.isEmpty && tV.isDefined     => tC = Some(e.ts)
+      case "purchase" if tP.isEmpty && tC.isDefined  => tP = Some(e.ts)
+      case _                                  =>
+    }
+    (tV, tC, tP)
+  }
+
+  /** STREAMING FUNNEL (E14 × E17, r7) — q_funnel's ordered
+    * view→click→purchase fold as a stateful stream: the live conversion
+    * tracker a product-analytics pipeline runs on the event firehose.
+    * The fold is ORDER-SENSITIVE (a click before any view never
+    * counts), so unlike the CDC monoid it cannot absorb events
+    * commutatively; instead state buffers only the NON-FINALIZED suffix:
+    * each batch folds every buffered event with ts strictly below the
+    * watermark into the compact (t_view, t_click, t_purchase) triple —
+    * no admissible arrival can precede those anymore — and keeps just
+    * the in-lateness-window tail. State per user = 3 timestamps + the
+    * last hour of that user's events, O(lateness window), NOT O(user
+    * lifetime); sharded with the state-store shuffle.
+    *
+    * A funnel row is a LIFETIME aggregate — on a live stream it never
+    * closes (the Update-mode deployment keeps the current triple in
+    * state). The bounded replay drains through the shared far-future
+    * sentinel; a timeout that fires while the watermark is still in
+    * real time (< [[DrainMs]]) is a mid-stream advance, NOT
+    * end-of-input, and re-arms without emitting — so a multi-batch
+    * split can never flush a user prematurely no matter how the files
+    * slice (ReplaySpec proves the 5-batch split equals the batch
+    * window).
+    */
+  def funnelStream(evts: Dataset[CdcEvt], drainMs: Long = DrainMs): Dataset[FunnelOut] = {
+    import evts.sparkSession.implicits._
+    evts
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelAcc, FunnelOut](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout
+      ) { (uid: Long, it: Iterator[CdcEvt], state: GroupState[FunnelAcc]) =>
+        def finish(acc: FunnelAcc): FunnelOut = {
+          val (tV, tC, tP) =
+            funnelStep(acc.tV, acc.tC, acc.tP, acc.buf.sortBy(b => (tsUs(b.ts), b.eid)))
+          val stage = if (tP.isDefined) 3 else if (tC.isDefined) 2 else if (tV.isDefined) 1 else 0
+          FunnelOut(uid, tV, tC, tP, stage,
+            for (c <- tC; v <- tV) yield tsUs(c) - tsUs(v),
+            for (p <- tP; c <- tC) yield tsUs(p) - tsUs(c))
+        }
+        if (state.hasTimedOut) {
+          if (state.getCurrentWatermarkMs() >= drainMs) {
+            val acc = state.get
+            state.remove()
+            Iterator.single(finish(acc))
+          } else {
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            Iterator.empty
+          }
+        } else {
+          val acc0 = state.getOption.getOrElse(FunnelAcc(Seq.empty, None, None, None))
+          val wm = state.getCurrentWatermarkMs()
+          val all = (acc0.buf ++ it.map(e => FunnelBuf(e.ts, e.event_id, e.event_type)))
+            .sortBy(b => (tsUs(b.ts), b.eid))
+          // finalized prefix: tsMs < wm can no longer be preceded
+          val (done, open) = all.partition(_.ts.getTime < wm)
+          val (tV, tC, tP) = funnelStep(acc0.tV, acc0.tC, acc0.tP, done)
+          state.update(FunnelAcc(open, tV, tC, tP))
+          state.setTimeoutTimestamp(wm + 1)
+          Iterator.empty
+        }
+      }
+  }
+
+  /** Declared query — single-file replay + sentinel through a parquet
+    * sink, ORACLED with the batch q_funnel window SQL (see
+    * [[funnelStream]]'s prefix-finalization argument).
+    */
+  val qStreamFunnel: graft.ops.Q = graft.ops.Q(
+    "q_stream_funnel",
+    (s, d) => {
+      import s.implicits._
+      val live = sentinelReplayDir(s, d)
+      val out = java.nio.file.Files.createTempDirectory("replay-funnel-out-").toString + "/funnel"
+      val evts = readEvents(s, live.toString)
+        .select("event_id", "ts", "user_id", "event_type", "value").as[CdcEvt]
+      val ckpt = java.nio.file.Files.createTempDirectory("funnel-ckpt-")
+      withStatePartitions(s) {
+        val q = funnelStream(evts).writeStream
+          .format("parquet")
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt.toString)
+          .option("path", out)
+          .start()
+        q.awaitTermination()
+      }
+      graft.FsUtil.deleteRecursively(ckpt)
+      graft.FsUtil.deleteRecursively(live)
+      s.read.parquet(out)
+        .where(col("user_id") =!= -1L)
+        .orderBy("user_id")
+    },
+    graft.ops.Composite.qFunnel.oracle
+  )
+
   /** Replay dir: the events file plus the far-future sentinel that
     * advances the watermark past every real event — shared by the
     * sessionization and CDC replays (the streaming end-of-input

@@ -211,6 +211,49 @@ class ReplaySpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming funnel: split replay == batch window, no premature flush") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    // 5 micro-batches: the ordered fold must survive batch boundaries.
+    // The drain gate is what makes this safe — a mid-stream timeout
+    // (watermark still in real time) re-arms instead of flushing, so no
+    // user can emit before end-of-input regardless of how files slice.
+    val dir = sliceEvents(5, sentinel = true)
+    val maxRealMs = batchEvents(dir).where(col("user_id") =!= -1L)
+      .agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val evts = Replay.readEvents(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Replay.CdcEvt]
+    val out = Files.createTempDirectory("funnel-spec-out-").toString + "/rows"
+    val ckpt = Files.createTempDirectory("funnel-spec-ckpt-")
+    val q = Replay.funnelStream(evts, drainMs = maxRealMs + 5L * 86400000L)
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString)
+      .option("path", out)
+      .start()
+    q.awaitTermination()
+    val cols = Seq("user_id", "t_view", "t_click", "t_purchase", "stage",
+      "us_view_to_click", "us_click_to_purchase")
+    val got = spark.read.parquet(out)
+      .where(col("user_id") =!= -1L)
+      .select(cols.head, cols.tail: _*)
+      .orderBy("user_id").collect()
+    val batch = graft.ops.Composite.funnelBatch(
+        batchEvents(dir).where(col("user_id") =!= -1L))
+      .select(cols.head, cols.tail: _*).collect()
+    assert(got.length == batch.length, s"${got.length} users vs batch ${batch.length}")
+    assert(got.map(_.getLong(0)).distinct.length == got.length, "premature flush duplicated a user")
+    assert(got.toSeq == batch.toSeq, "streamed funnel diverged from the batch window")
+    // the fold must complete for real on this fixture (the slice
+    // timeline is gap-compressed, so every user converts — stage
+    // DIVERSITY is exercised by the declared query's oracle at sf0.01)
+    assert(got.map(_.getInt(4)).forall(s => s >= 0 && s <= 3))
+    assert(got.exists(_.getInt(4) == 3))
+  }
+
   test("streaming CDC apply: split replay == batch window, any batch boundaries") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
