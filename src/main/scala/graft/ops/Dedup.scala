@@ -869,8 +869,57 @@ object Dedup {
              ORDER BY doc_id""")
   )
 
+  /** SCD TYPE-2 HISTORY BUILD (r7) — the dimension-history companion of
+    * [[qCdcApply]]: where CDC apply keeps only the LATEST value per
+    * entity, SCD-2 turns the change stream into the FULL versioned
+    * history — one row per (entity, version) with its validity interval
+    * [valid_from, valid_to) and an is_current flag. This is how a
+    * warehouse versions dimensions, and how a training-data pipeline
+    * answers "what value did this feature have when the example was
+    * sampled?" (point-in-time-correct feature joins — the leakage
+    * guard): join examples on entity AND example_ts ∈ [valid_from,
+    * valid_to).
+    *
+    * Entity = (user_id, event_type); version order = (ts, event_id) —
+    * the same total order every CDC query here uses. valid_to is the
+    * NEXT version's valid_from (half-open intervals tile the timeline
+    * with no gaps/overlaps by construction — lead() cannot disagree
+    * with itself). Shape: ONE entity-keyed window shuffle carries both
+    * lead and row_number (same partitioning, one Exchange), then a
+    * per-row projection; |history| = |change stream| rows out, no
+    * second pass. At 100 TB the entity hash-partitioning is the same
+    * shuffle the CDC view already pays — build both from one exchange.
+    */
+  val qScd2 = Q(
+    "q_scd2",
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("version", row_number().over(w))
+        .select(
+          col("user_id"), col("event_type"), col("version"),
+          col("value"),
+          col("ts").as("valid_from"),
+          col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "event_type", "version")
+    },
+    Some("""SELECT user_id, event_type,
+                   CAST(row_number() OVER w AS INTEGER) AS version,
+                   value,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   (lead(ts) OVER w IS NULL) AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)
+            ORDER BY user_id, event_type, version""")
+  )
+
   val all: Seq[Q] =
-    Seq(qDedupExact, qDedupKey, qCdcApply, qDedupNgram, qDedupMinhash, qDedupSimhash,
+    Seq(qDedupExact, qDedupKey, qCdcApply, qScd2, qDedupNgram, qDedupMinhash, qDedupSimhash,
       qDedupCc, qDecontaminate, qDecontaminateBloom, qIncrementalDedup, qDedupSurvivor,
       qSubstringDedup)
 }

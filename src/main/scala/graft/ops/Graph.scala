@@ -500,5 +500,78 @@ object Graph {
        |FROM v$KHOP ORDER BY kind, key""".stripMargin
   }
 
-  val all: Seq[Q] = Seq(qCooccur, qPmi, qTriangles, qPagerank, qLabelProp, qKhop)
+  /** NEIGHBORHOOD-JACCARD LINK PREDICTION (r7) — the classic
+    * common-neighbors score over the support-≥2 co-purchase graph:
+    * for node pairs that are NOT already edges, J(a,b) =
+    * |N(a)∩N(b)| / (|N(a)|+|N(b)|−|N(a)∩N(b)|), min overlap 2, top 25.
+    * The recommender/knowledge-graph completion primitive ("parts
+    * bought with the same things are substitutes"), and on a near-dup
+    * pair graph the score that finds MISSED duplicate pairs two hops
+    * apart — the link-prediction complement of q_triangles' clustering
+    * audit.
+    *
+    * Shape: common neighbors come from the SAME oriented wedge-close
+    * two-join as q_triangles (per-shared-neighbor fan-out bounded by
+    * degree; degree-cap hot nodes upstream under Zipf skew), then one
+    * (a,b)-keyed count, an anti join against the edge set (existing
+    * links are not predictions), and two degree joins — shuffle_hash
+    * pinned, a corpus-scaled degree table never broadcasts. The score
+    * is exact-BIGINT intersection over exact-BIGINT union — ONE IEEE
+    * division — and top-25 plans TakeOrderedAndProject.
+    */
+  val qJaccard = Q(
+    "q_jaccard",
+    (s, d) => {
+      val e = cooccurPairs(s, d).where(col("support") >= 2).select("pa", "pb")
+      val und = Materialize(
+        e.select(col("pa").as("src"), col("pb").as("dst"))
+          .union(e.select(col("pb").as("src"), col("pa").as("dst"))))
+      val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      val wa = und.select(col("src").as("n"), col("dst").as("a"))
+      val wb = und.select(col("src").as("n2"), col("dst").as("b"))
+      val common = wa
+        .join(wb.hint("shuffle_hash"), col("n") === col("n2") && col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("inter"))
+        .where(col("inter") >= 2)
+      common
+        .join(e.hint("shuffle_hash"),
+          col("a") === col("pa") && col("b") === col("pb"), "left_anti")
+        .join(deg.select(col("src").as("da_n"), col("deg").as("da")).hint("shuffle_hash"),
+          col("a") === col("da_n"))
+        .join(deg.select(col("src").as("db_n"), col("deg").as("db")).hint("shuffle_hash"),
+          col("b") === col("db_n"))
+        .select(col("a"), col("b"), col("inter"),
+          round(col("inter").cast("double") / (col("da") + col("db") - col("inter")), 6)
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a").asc, col("b").asc)
+        .limit(25)
+    },
+    Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+              FROM items a JOIN items b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2),
+            e AS (SELECT pa, pb FROM pairs WHERE support >= 2),
+            und AS (SELECT pa AS src, pb AS dst FROM e
+                    UNION ALL SELECT pb, pa FROM e),
+            deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+            common AS (
+              SELECT wa.dst AS a, wb.dst AS b, count(*) AS inter
+              FROM und wa JOIN und wb ON wa.src = wb.src AND wa.dst < wb.dst
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            nonedge AS (
+              SELECT c.a, c.b, c.inter FROM common c
+              LEFT JOIN e ON c.a = e.pa AND c.b = e.pb
+              WHERE e.pa IS NULL)
+            SELECT n.a, n.b, n.inter,
+                   round(CAST(n.inter AS DOUBLE) / (da.deg + db.deg - n.inter), 6) AS jaccard
+            FROM nonedge n
+            JOIN deg da ON n.a = da.src
+            JOIN deg db ON n.b = db.src
+            ORDER BY jaccard DESC, a ASC, b ASC LIMIT 25""")
+  )
+
+  val all: Seq[Q] = Seq(qCooccur, qPmi, qTriangles, qPagerank, qLabelProp, qKhop, qJaccard)
 }
