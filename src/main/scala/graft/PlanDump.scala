@@ -29,7 +29,9 @@ object PlanDump {
       "q_join_outer", "q_rank_fusion", "q_sequence_assemble", "q_nucleus_sources",
       "q_funnel", "q_knn_join_ann", "q_profile_approx",
       "q_merge_upsert", "q_prototype_prune", "q_change_feed", "q_ivm_join",
-      "q_hilbert_key"
+      "q_hilbert_key",
+      "q_corr", "q_chunk_overlap", "q_epoch_shuffle", "q_ann_sq8",
+      "q_deletion_vectors", "q_jaccard", "q_scd2"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -183,7 +185,39 @@ object PlanDump {
       "q_label_prop_round" ->
         ("ONE synchronous LPA round (the declared query repeats it 4x behind Materialize): " +
           "edges-to-labels shuffle_hash join, map-side-combined (node,label) count, " +
-          "node-keyed WindowGroupLimit argmax — label state never broadcasts.")
+          "node-keyed WindowGroupLimit argmax — label state never broadcasts."),
+      "q_corr" ->
+        ("all five moment sums + count ride ONE partial+final HashAggregate pair over a " +
+          "3-column pruned scan; r/beta/alpha are per-group projections of the exact sums — " +
+          "the same one-scan shape as builtin corr but with decimal-exact accumulation."),
+      "q_chunk_overlap" ->
+        ("tokenize + start-grid filter + Generate (explode) + slice/concat are one " +
+          "projection pipeline over the scan — fan-out n/16 per doc, NO shuffle before " +
+          "the output sort; the chunk stream feeds an embedding stage at scan speed."),
+      "q_epoch_shuffle" ->
+        ("explode(0..2) + the epoch-salted Knuth key are a per-row projection; the only " +
+          "exchange is the (epoch, key) range sort — TeraSort shape, epochs land in " +
+          "disjoint key ranges so writers stream epoch by epoch."),
+      "q_ann_sq8" ->
+        ("quantize→dequant→ADC is ONE projection chain over the scan (stat arrays and the " +
+          "query vector inlined as literals); TakeOrderedAndProject(20) funnels into the " +
+          "exact rerank's TakeOrderedAndProject(5) — no join, no data-scale exchange."),
+      "q_deletion_vectors" ->
+        ("plain pruned scan of the base files + BroadcastHashJoin LeftAnti on " +
+          "(_metadata.file_path, row_index) against the O(deleted)-row DV table — the " +
+          "merge-on-read apply; no data file is rewritten, nothing corpus-sized shuffles."),
+      "q_jaccard" ->
+        ("wedge-close ShuffledHashJoin on the shared neighbor (the q_triangles shape), " +
+          "map-side-combined (a,b) count, LeftAnti against the edge set, two shuffled " +
+          "degree joins; top-25 is TakeOrderedAndProject."),
+      "q_scd2" ->
+        ("lead + row_number evaluate in ONE Window node behind ONE (user_id, event_type) " +
+          "hash exchange — the whole versioned history costs one keyed shuffle + a per-row " +
+          "interval projection."),
+      "q_khop_round" ->
+        ("ONE BFS round (the declared query repeats 4x behind Materialize): edges⋈frontier " +
+          "ShuffledHashJoin on src, map-side-combined expansion distinct, LeftAnti against " +
+          "the visited set — work ∝ frontier-incident edges, never the visited set.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")
@@ -212,6 +246,9 @@ object PlanDump {
         .explainString(ExplainMode.fromString("formatted")))
     section("q_label_prop_round",
       graft.ops.Graph.labelPropRound(spark, d).queryExecution
+        .explainString(ExplainMode.fromString("formatted")))
+    section("q_khop_round",
+      graft.ops.Graph.khopRound(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted")))
     // Streaming: the per-micro-batch IncrementalExecution plans — the
     // declared queries return the parquet-sink read-back, so the

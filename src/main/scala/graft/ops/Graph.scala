@@ -472,6 +472,28 @@ object Graph {
     Some(khopOracle)
   )
 
+  /** Plan-audit hook (PLANS.md / QueriesPlanSpec): ONE BFS round as a
+    * LAZY DataFrame — the edges⋈frontier shuffle_hash join, the
+    * map-side-combined expansion distinct, and the visited anti join
+    * the declared query repeats behind per-round Materialize
+    * checkpoints. Frontier/visited feed from the REAL seed set.
+    */
+  private[graft] def khopRound(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .join(lineitem(s, d).hint("shuffle_hash"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val edges = base.select(col("c").as("src"), col("sp").as("dst"))
+      .union(base.select(col("sp").as("src"), col("c").as("dst")))
+    val seeds = customer(s, d).where(col("c_nationkey") === 1)
+      .select((col("c_custkey") * 2).as("node"))
+    val visited = seeds.select(col("node"), lit(0).as("dist"))
+    edges.join(seeds.hint("shuffle_hash"), col("src") === col("node"))
+      .select(col("dst").as("node")).distinct()
+      .join(visited.hint("shuffle_hash"), Seq("node"), "left_anti")
+  }
+
   /** One code path emits the BFS round CTEs (q_pagerank discipline):
     * frontier f_k = unvisited neighbors of f_{k-1}; visited v_k
     * accumulates (node, k).

@@ -31,7 +31,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     // change-feed full-outer joins, LPA argmax rounds, IVM union-join,
     // prototype rank window
     "q_knn_join_ann", "q_merge_upsert", "q_change_feed", "q_label_prop",
-    "q_ivm_join", "q_prototype_prune"
+    "q_ivm_join", "q_prototype_prune",
+    // round-7 shuffle-bearing additions: moment aggregation, BFS rounds,
+    // wedge-join link prediction, entity-window history, ADC funnel,
+    // DV anti-join
+    "q_corr", "q_khop", "q_jaccard", "q_scd2", "q_ann_sq8",
+    "q_deletion_vectors"
   )
 
   test("q_global_rownum identical at range-partition counts 3 and 32") {

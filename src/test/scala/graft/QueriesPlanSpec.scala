@@ -527,4 +527,64 @@ class QueriesPlanSpec extends SparkSpec {
     assert(specs.nonEmpty && specs.forall(_.contains("lang")),
       "a window lost its lang partitioning (global funnel)")
   }
+
+  test("q_corr: one map-side-combined moment aggregation, no join, pruned scan") {
+    val p = plan("q_corr")
+    assert(!p.contains("Join"), "corr is one agg — a join appeared")
+    assert(p.contains("partial_"), "moment sums lost their map-side combine")
+    // corr needs exactly 3 columns — full-width lineitem read is wrong
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_returnflag:string>"))
+    assert(shuffles(p) <= 2, "agg + output sort only")
+  }
+
+  test("q_chunk_overlap / q_epoch_shuffle: per-row fan-out — no shuffle before the output sort") {
+    for (name <- Seq("q_chunk_overlap", "q_epoch_shuffle")) {
+      val p = plan(name)
+      assert(!p.contains("Join") && !p.contains("HashAggregate") && !p.contains("Window"),
+        s"$name grew a join/agg/window — the chunker must stay a projection")
+      assert(p.contains("Generate"), s"$name lost its explode")
+      assert(shuffles(p) <= 1, s"$name shuffles before the output sort")
+    }
+  }
+
+  test("q_ann_sq8: ADC funnel + rerank both plan TakeOrderedAndProject, no join") {
+    val p = plan("q_ann_sq8")
+    assert(!p.contains("Join"), "SQ8 scoring is per-row — a join appeared")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "funnel or rerank regressed to a global sort")
+  }
+
+  test("q_deletion_vectors: DV apply is a broadcast anti join on positions") {
+    val p = plan("q_deletion_vectors")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "DV apply must be a broadcast anti join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"))
+  }
+
+  test("q_jaccard: wedge join + marginals all shuffled, top-25 is TakeOrdered") {
+    val p = plan("q_jaccard")
+    assert(p.contains("ShuffledHashJoin"), "wedge/degree joins must not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-25 must not be a global sort")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "a data-scale join degenerated")
+  }
+
+  test("q_scd2: lead + row_number share ONE entity-keyed window exchange") {
+    val p = plan("q_scd2")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(s => s.contains("user_id") && s.contains("event_type")),
+      "a window lost its entity partitioning (global funnel)")
+    // both window functions evaluate in one Window node over one shuffle
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window\s*""")) == 1,
+      "lead and row_number split into two Window nodes")
+    assert(shuffles(p) <= 2, "entity window + output sort only")
+  }
+
+  test("q_khop round: frontier join shuffled, expansion dedup map-side, anti join keyed") {
+    val p = graft.ops.Graph.khopRound(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ShuffledHashJoin"), "edges⋈frontier must not broadcast the state")
+    assert(p.contains("LeftAnti"), "visited-set subtraction lost its anti join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
 }
