@@ -29,7 +29,8 @@ object SparkEntry {
         graft.streaming.Replay.qStreamTopk,
         graft.streaming.Replay.qStreamJoinOuter,
         graft.streaming.Replay.qStreamSliding,
-        graft.streaming.Replay.qStreamFunnel)
+        graft.streaming.Replay.qStreamFunnel,
+        graft.streaming.Replay.qStreamAnomaly)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's own pipeline shape — ingest the pp-complete fixture,

@@ -595,5 +595,83 @@ object Graph {
             ORDER BY jaccard DESC, a ASC, b ASC LIMIT 25""")
   )
 
-  val all: Seq[Q] = Seq(qCooccur, qPmi, qTriangles, qPagerank, qLabelProp, qKhop, qJaccard)
+  /** Deterministic per-parent neighbor rank — the q_sample_per_key
+    * idiom on edges: a Knuth hash of (src·1009 + dst) gives each
+    * parent an independent pseudo-random neighbor order any engine
+    * re-derives from the ids alone. ONE text, both dialects. */
+  private val nbrHashSql =
+    "(src * 1009 + dst) % 2147483647 * 2654435761 % 4294967296"
+
+  /** GRAPHSAGE NEIGHBOR SAMPLING (r7) — the minibatch-construction
+    * primitive under GNN training (Hamilton et al. 2017): from each
+    * seed (nation-1 customers, the q_khop seed set), sample ≤3
+    * hop-1 neighbors and ≤2 hop-2 neighbors per hop-1 node,
+    * DETERMINISTICALLY — the neighbor order is a Knuth hash of
+    * (parent, child), so any engine, any epoch re-run, and the oracle
+    * all draw the same computation graph (no rand(), the E16 sampling
+    * discipline applied to edges). Emits the sampled computation-graph
+    * edges (root, hop, parent, child).
+    *
+    * Scale shape: each hop is edges ⋈ frontier (shuffle_hash — the
+    * frontier never broadcasts at GNN-corpus scale) into a per-parent
+    * rank window that Spark rewrites to WindowGroupLimit — each
+    * shuffle partition keeps only its local top-k per parent, so ≤ k·
+    * |frontier| rows cross the exchange, never the full adjacency
+    * fan-out (THE property that makes sampled GNN training tractable
+    * on power-law graphs: a celebrity node contributes k rows, not
+    * millions). Hop-2 samples are per-NODE, not per-(root, node) —
+    * shared across roots like a per-epoch fixed sample, collapsing
+    * repeated work on overlapping neighborhoods.
+    */
+  val qGraphSample = Q(
+    "q_graph_sample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = orders(s, d)
+        .join(lineitem(s, d).hint("shuffle_hash"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+        .distinct()
+      val edges = Materialize(
+        base.select(col("c").as("src"), col("sp").as("dst"))
+          .union(base.select(col("sp").as("src"), col("c").as("dst"))))
+      val seeds = customer(s, d).where(col("c_nationkey") === 1)
+        .select((col("c_custkey") * 2).as("node"))
+      val w = Window.partitionBy("src").orderBy(expr(nbrHashSql).asc, col("dst").asc)
+      val ranked = edges.withColumn("rn", row_number().over(w))
+      val h1 = ranked.where(col("rn") <= 3)
+        .join(seeds.hint("shuffle_hash"), col("src") === col("node"))
+        .select(col("src").as("root"), col("dst").as("n1"))
+      val h2adj = ranked.where(col("rn") <= 2)
+        .select(col("src").as("p2"), col("dst").as("n2"))
+      val hop1 = h1.select(col("root"), lit(1).as("hop"),
+        col("root").as("parent"), col("n1").as("child"))
+      val hop2 = h1
+        .join(h2adj.hint("shuffle_hash"), col("n1") === col("p2"))
+        .select(col("root"), lit(2).as("hop"), col("n1").as("parent"), col("n2").as("child"))
+      hop1.union(hop2).orderBy("root", "hop", "parent", "child")
+    },
+    Some(s"""WITH base AS (
+               SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             edges AS (SELECT c AS src, sp AS dst FROM base
+                       UNION ALL SELECT sp, c FROM base),
+             seeds AS (SELECT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 1),
+             ranked AS (
+               SELECT src, dst,
+                      row_number() OVER (PARTITION BY src
+                                         ORDER BY $nbrHashSql ASC, dst ASC) AS rn
+               FROM edges),
+             h1 AS (SELECT r.src AS root, r.dst AS n1
+                    FROM ranked r JOIN seeds s ON r.src = s.node WHERE r.rn <= 3),
+             h2adj AS (SELECT src AS p2, dst AS n2 FROM ranked WHERE rn <= 2)
+             SELECT root, 1 AS hop, root AS parent, n1 AS child FROM h1
+             UNION ALL
+             SELECT h1.root, 2 AS hop, h1.n1 AS parent, h2adj.n2 AS child
+             FROM h1 JOIN h2adj ON h1.n1 = h2adj.p2
+             ORDER BY root, hop, parent, child""")
+  )
+
+  val all: Seq[Q] = Seq(qCooccur, qPmi, qTriangles, qPagerank, qLabelProp, qKhop,
+    qJaccard, qGraphSample)
 }

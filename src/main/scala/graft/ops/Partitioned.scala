@@ -776,7 +776,51 @@ object Partitioned {
             ORDER BY event_id""")
   )
 
+  private def dvCompactDir(d: String): String = s"${eventsClusteredDir(d)}_dvc"
+
+  /** DV FOLD-IN COMPACTION (r7) — the maintenance op that PAYS the
+    * merge-on-read debt [[qDeletionVectors]] takes on: survivors (base
+    * anti DV) rewritten into 4 ts-range-clustered files; after the
+    * fold the DV set for the new files is EMPTY by construction and
+    * readers drop the anti join entirely. This is Iceberg's
+    * rewrite-data-files with delete-file compaction / Delta's OPTIMIZE
+    * folding DVs. Write-side: repartitionByRange + in-partition sort,
+    * so the rewritten files recover the disjoint range clustering the
+    * DV holes degraded ([[qCompact]]'s shape). The declared query reads
+    * the folded layout with NO DV join and carries q_deletion_vectors'
+    * oracle verbatim — the hash match proves the fold preserved every
+    * surviving row.
+    */
+  private[ops] def dvCompactedLayout(s: SparkSession, d: String): String = {
+    val out = dvCompactDir(d)
+    if (!successExists(s, out)) {
+      val (layout, dv) = buildDeletionVectors(s, d)
+      val dvDf = s.read.parquet(dv)
+      s.read.parquet(layout)
+        .withColumn("file", col("_metadata.file_path"))
+        .withColumn("pos", col("_metadata.row_index"))
+        .join(broadcast(dvDf), Seq("file", "pos"), "left_anti")
+        .drop("file", "pos")
+        .repartitionByRange(4, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  val qDvCompact = Q(
+    "q_dv_compact",
+    (s, d) => {
+      val out = dvCompactedLayout(s, d)
+      Tables.normalizeTs(s.read.parquet(out))
+        .select("event_id", "user_id", "event_type", "value", "ts")
+        .orderBy("event_id")
+    },
+    qDeletionVectors.oracle
+  )
+
   val all: Seq[Q] =
     Seq(qPartitionPrune, qJoinBucketed, qCompact, qManifestSkip, qTimeTravel,
-      qVacuum, qSchemaEvolution, qMergeUpsert, qChangeFeed, qDeletionVectors)
+      qVacuum, qSchemaEvolution, qMergeUpsert, qChangeFeed, qDeletionVectors,
+      qDvCompact)
 }

@@ -624,6 +624,60 @@ object Sampling {
             FROM documents ORDER BY doc_id""")
   )
 
+  /** The probe hash: an independent Knuth draw per (anchor, j), reduced
+    * mod the corpus size to a 1-based rank. One text, both dialects.
+    * Overflow: (doc_id·2+j) % p + 8191 < 2^31 + 2^13, times the Knuth
+    * constant stays < 2^63. */
+  private val negHashSql =
+    "((doc_id * 2 + j) % 2147483647 + 8191) % 2147483647" +
+      " * 2654435761 % 4294967296 % n + 1"
+
+  /** NEGATIVE SAMPLING (r7) — the contrastive-pair builder under
+    * word2vec/SimCLR/DPR-style training: for every anchor document,
+    * k=2 negatives drawn UNIFORMLY over the corpus, deterministically
+    * (no rand(): the draw is a Knuth hash of (anchor, j), so every
+    * epoch, engine, and the oracle derive the same pairs — the E16
+    * reproducibility rule that makes a training set auditable).
+    *
+    * Mechanism: uniform-over-corpus needs id-space gaps closed, so the
+    * draw targets a RANK, not an id — the contiguous 1-based numbering
+    * from [[globalRownum]]'s two-pass range-partition (no global
+    * window), then ONE rank-keyed shuffle_hash equi-join resolves rank
+    * → doc (both sides corpus-scale — never broadcast; the only
+    * broadcast is the 1-row count). Probes are a per-row ×k explode at
+    * scan speed. A draw that hits its own anchor is dropped (P ≈ k/n;
+    * the emitted pair count is the audit — redraw policy belongs
+    * upstream), so hash equality pins pair set AND the self-exclusion
+    * rule.
+    */
+  val qNegativeSampling = Q(
+    "q_negative_sampling",
+    (s, d) => {
+      val ranks = globalRownum(s, d, 32)
+        .select(col("doc_id").as("m_id"), col("rownum"))
+      val n1 = documents(s, d).agg(count(lit(1)).as("n"))
+      documents(s, d)
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(1L))).as("j"))
+        .crossJoin(broadcast(n1))
+        .select(col("doc_id"), col("j"), expr(negHashSql).as("target"))
+        .join(ranks.hint("shuffle_hash"), col("target") === col("rownum"))
+        .where(col("m_id") =!= col("doc_id"))
+        .select(col("doc_id"), col("j").cast("int").as("j"), col("m_id").as("neg_id"))
+        .orderBy("doc_id", "j")
+    },
+    Some(s"""WITH ranks AS (
+               SELECT doc_id AS m_id, row_number() OVER (ORDER BY doc_id) AS rownum
+               FROM documents),
+             nn AS (SELECT count(*) AS n FROM documents),
+             probes AS (
+               SELECT doc_id, j, $negHashSql AS target
+               FROM documents, (SELECT unnest(range(0, 2)) AS j) js, nn)
+             SELECT doc_id, CAST(j AS INTEGER) AS j, m_id AS neg_id
+             FROM probes JOIN ranks ON target = rownum
+             WHERE m_id <> doc_id
+             ORDER BY doc_id, j""")
+  )
+
   // ---------------------------------------------------------------------
   // E16.10 exact mixture rebalance (downsample to the smallest group)
   // ---------------------------------------------------------------------
@@ -866,21 +920,28 @@ object Sampling {
     * broadcast back onto the scan, per-row arithmetic — the two-pass
     * normalize at scan speed; nothing corpus-sized shuffles.
     */
+  /** Per-event_type (g, mu, sigma) from exact-decimal moments — the
+    * q_normalize stats side, shared with the streaming anomaly gate
+    * (q_stream_anomaly joins a live stream against exactly this
+    * profile).
+    */
+  def eventTypeStats(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("sx"),
+        sum((col("value") * col("value"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("sxx"))
+      .select(col("event_type").as("g"),
+        (col("sx").cast("double") / col("n")).as("mu"),
+        sqrt(col("sxx").cast("double") / col("n") -
+          (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n")))
+          .as("sigma"))
+
   val qNormalize = Q(
     "q_normalize",
     (s, d) => {
-      val stats = events(s, d)
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6))).as("sx"),
-          sum((col("value") * col("value"))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("sxx"))
-        .select(col("event_type").as("g"),
-          (col("sx").cast("double") / col("n")).as("mu"),
-          sqrt(col("sxx").cast("double") / col("n") -
-            (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n")))
-            .as("sigma"))
+      val stats = eventTypeStats(events(s, d))
       events(s, d)
         .join(broadcast(stats), col("event_type") === col("g"))
         .select(col("event_id"), col("event_type"), col("value"),
@@ -936,6 +997,7 @@ object Sampling {
 
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave, qEpochShuffle,
+      qNegativeSampling,
       qPivot, qUnpivot, qPack, qHeavyHitters, qAnomaly, qNtile, qZorderKey,
       qGlobalRownum, qMixBalance, qMixTemperature, qIncrementalAgg,
       qSequenceAssemble, qIvmJoin, qHilbertKey, qNormalize, qWinsorize)

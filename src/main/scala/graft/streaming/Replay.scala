@@ -677,6 +677,50 @@ object Replay {
     }
   )
 
+  /** STREAM-STATIC JOIN anomaly gate (E14 × E16, r7) — the remaining
+    * streaming join class after stream-stream (q_stream_join) and
+    * stateless projection (q_stream_quality): a live stream joined
+    * against a STATIC reference relation. The static side is the exact
+    * per-event_type (mu, sigma) profile [[graft.ops.Sampling.eventTypeStats]]
+    * computes batch-side (q_normalize's moment discipline — the
+    * "yesterday's corpus profile" a monitoring deployment refreshes
+    * offline), broadcast once; each arriving event gets its z-score and
+    * a 2-sigma anomaly flag as a per-row projection. No state store,
+    * no watermark — the join is re-broadcast per micro-batch, emission
+    * is trigger-invariant, so the replay carries the batch SQL
+    * verbatim and the driver's t2 hash-verifies the streaming
+    * stream-static join path itself.
+    */
+  def anomalyGate(stream: DataFrame, stats: DataFrame): DataFrame =
+    stream
+      .join(broadcast(stats), col("event_type") === col("g"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mu")) / col("sigma"), 6).as("z"),
+        (abs(col("value") - col("mu")) > lit(2.0) * col("sigma")).as("is_anomaly"))
+
+  val qStreamAnomaly: graft.ops.Q = graft.ops.Q(
+    "q_stream_anomaly",
+    (s, d) =>
+      replayToParquet(
+        anomalyGate(
+          readEvents(s, s"$d/events*.parquet"),
+          graft.ops.Sampling.eventTypeStats(graft.ops.Tables.events(s, d))),
+        java.nio.file.Files.createTempDirectory("replay-anom-out-").toString
+      ).orderBy("event_id"),
+    Some("""WITH stats AS (
+              SELECT event_type AS g,
+                     CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mu,
+                     sqrt(CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+                          - (CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*))
+                            * (CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*))) AS sigma
+              FROM events GROUP BY event_type)
+            SELECT event_id, event_type, value,
+                   round((value - mu) / sigma, 6) AS z,
+                   (abs(value - mu) > 2.0 * sigma) AS is_anomaly
+            FROM events JOIN stats ON event_type = g
+            ORDER BY event_id""")
+  )
+
   /** Streaming INCREMENTAL DEDUP (E10 × E14) — exact corpus dedup as a
     * dedup-on-ingest operator: state is the set of content keys ever
     * admitted, a document is emitted iff its content was never seen,

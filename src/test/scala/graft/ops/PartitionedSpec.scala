@@ -133,6 +133,24 @@ class PartitionedSpec extends SparkSpec {
     assert(dvDf.distinct().count() == deleted)
   }
 
+  test("q_dv_compact: fold-in pays the DV debt — no join, few files, identical rows") {
+    val out = Partitioned.dvCompactedLayout(spark, sf0001)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    assert(files <= 4, s"fold-in produced $files files (range clustering lost)")
+    // the folded read needs NO DV anti join — that IS the paid debt
+    val plan = Partitioned.qDvCompact.fn(spark, sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Join"), "the folded layout still joins DVs")
+    // byte-identical survivors vs the merge-on-read path
+    val folded = Partitioned.qDvCompact.fn(spark, sf0001).collect()
+    val mor = Partitioned.qDeletionVectors.fn(spark, sf0001).collect()
+    assert(folded.nonEmpty && folded.toSeq == mor.toSeq,
+      "fold-in changed the surviving rows")
+  }
+
   test("q_time_travel: snapshot isolation and version immutability") {
     import org.apache.spark.sql.functions.col
     val root = Partitioned.eventsVersioned(spark, sf0001)
