@@ -31,7 +31,8 @@ object PlanDump {
       "q_merge_upsert", "q_prototype_prune", "q_change_feed", "q_ivm_join",
       "q_hilbert_key",
       "q_corr", "q_chunk_overlap", "q_epoch_shuffle", "q_ann_sq8",
-      "q_deletion_vectors", "q_jaccard", "q_scd2"
+      "q_deletion_vectors", "q_jaccard", "q_scd2",
+      "q_dv_compact", "q_graph_sample", "q_negative_sampling"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -217,7 +218,21 @@ object PlanDump {
       "q_khop_round" ->
         ("ONE BFS round (the declared query repeats 4x behind Materialize): edges⋈frontier " +
           "ShuffledHashJoin on src, map-side-combined expansion distinct, LeftAnti against " +
-          "the visited set — work ∝ frontier-incident edges, never the visited set.")
+          "the visited set — work ∝ frontier-incident edges, never the visited set."),
+      "q_dv_compact" ->
+        ("the folded layout reads as a PLAIN 4-file scan — no DV anti join in the plan at " +
+          "all: that is the paid merge-on-read debt (compare q_deletion_vectors); the " +
+          "range-clustered rewrite happened once at maintenance time."),
+      "q_graph_sample" ->
+        ("per-parent neighbor caps are rank windows rewritten to WindowGroupLimit — each " +
+          "partition keeps its local top-k per parent, so k·|frontier| rows cross the " +
+          "exchange, never a celebrity node's full adjacency; both hop joins are " +
+          "ShuffledHashJoin (the frontier never broadcasts at GNN scale)."),
+      "q_negative_sampling" ->
+        ("probes are a ×k explode projection; rank→doc resolution is ONE ShuffledHashJoin " +
+          "on the target rank (both sides corpus-scale); the numbering underneath is the " +
+          "two-pass range-partition + broadcast-offset scheme — no global row_number window; " +
+          "the 1-row corpus count is the only broadcast.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

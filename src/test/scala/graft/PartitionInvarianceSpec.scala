@@ -36,7 +36,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     // wedge-join link prediction, entity-window history, ADC funnel,
     // DV anti-join
     "q_corr", "q_khop", "q_jaccard", "q_scd2", "q_ann_sq8",
-    "q_deletion_vectors"
+    "q_deletion_vectors", "q_dv_compact", "q_graph_sample",
+    "q_negative_sampling"
   )
 
   test("q_global_rownum identical at range-partition counts 3 and 32") {

@@ -580,6 +580,30 @@ class QueriesPlanSpec extends SparkSpec {
     assert(shuffles(p) <= 2, "entity window + output sort only")
   }
 
+  test("q_graph_sample: per-parent rank prunes to WindowGroupLimit, frontier joins shuffled") {
+    val p = plan("q_graph_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "neighbor cap lost its group-limit rewrite — full adjacency fan-out crosses the shuffle")
+    assert(p.contains("ShuffledHashJoin"), "frontier joins must not broadcast")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_negative_sampling: rank lookup is a shuffled equi-join, only the 1-row count broadcasts") {
+    val p = plan("q_negative_sampling")
+    assert(p.contains("ShuffledHashJoin"), "rank table must not broadcast (corpus-scale)")
+    // exactly ONE nested-loop node is expected and correct: the 1-row
+    // corpus count joins as BroadcastNestedLoopJoin Cross
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(p).size == 1)
+    assert(p.linesIterator.filter(_.contains("NestedLoop"))
+      .forall(_.contains("BroadcastNestedLoopJoin")),
+      "a data-scale join degenerated to a nested loop")
+    // the numbering must stay two-pass: any windowspec here is the
+    // |parts|-row offset prefix-sum, never a corpus-scale global window
+    assert(!p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("doc_id")),
+      "global row_number window reappeared (one-partition funnel)")
+  }
+
   test("q_khop round: frontier join shuffled, expansion dedup map-side, anti join keyed") {
     val p = graft.ops.Graph.khopRound(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
