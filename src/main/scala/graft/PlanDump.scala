@@ -32,7 +32,8 @@ object PlanDump {
       "q_hilbert_key",
       "q_corr", "q_chunk_overlap", "q_epoch_shuffle", "q_ann_sq8",
       "q_deletion_vectors", "q_jaccard", "q_scd2",
-      "q_dv_compact", "q_graph_sample", "q_negative_sampling"
+      "q_dv_compact", "q_graph_sample", "q_negative_sampling",
+      "q_cogroup", "q_text_normalize"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -232,7 +233,15 @@ object PlanDump {
         ("probes are a ×k explode projection; rank→doc resolution is ONE ShuffledHashJoin " +
           "on the target rank (both sides corpus-scale); the numbering underneath is the " +
           "two-pass range-partition + broadcast-offset scheme — no global row_number window; " +
-          "the 1-row corpus count is the only broadcast.")
+          "the 1-row corpus count is the only broadcast."),
+      "q_cogroup" ->
+        ("the CoGroup node sits over two co-partitioned exchanges on the key (a full-outer " +
+          "SMJ's shuffle shape) with PRE-PROJECTED inputs — Catalyst cannot prune through " +
+          "the typed lambda, so the 2+1-column projections before groupByKey are load-bearing."),
+      "q_text_normalize" ->
+        ("two codegen'd regexp_replace passes + token counts in one projection over the " +
+          "scan — the canonicalization every dedup/shingle stage assumes runs at scan " +
+          "speed with no shuffle before the output sort.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

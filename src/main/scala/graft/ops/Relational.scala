@@ -492,6 +492,53 @@ object Relational {
             FROM c ORDER BY l_returnflag""")
   )
 
+  /** TYPED COGROUP (r7) — the `Dataset.cogroup` surface completing the
+    * typed-API matrix (Aggregator: q_auto_date_agg / q_topk_per_key;
+    * flatMapGroupsWithState: streaming; mapPartitions: multimodal;
+    * cogroup: HERE): per order key, both sides' groups handed to one
+    * typed function — the escape hatch for per-key reconciliation
+    * logic a relational join can't express (here deliberately simple —
+    * count + status per key — so the FULL OUTER JOIN oracle pins the
+    * cogroup semantics themselves, including keys present on only one
+    * side).
+    *
+    * Scale: cogroup plans one co-partitioned shuffle per side on the
+    * key (exactly a full-outer SMJ's exchanges) and streams each key's
+    * two iterators through the lambda — per-key memory is the key's
+    * group, so cap hot keys upstream. The documented trade: Catalyst
+    * cannot push filters/prune columns THROUGH the lambda (the typed
+    * boundary) — project to the needed columns BEFORE grouping, as
+    * here (2+1 columns, not full rows).
+    */
+  val qCogroup = Q(
+    "q_cogroup",
+    (s, d) => {
+      import s.implicits._
+      val os = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Double)].groupByKey(_._1)
+      val ls = lineitem(s, d).select(col("l_orderkey")).as[Long].groupByKey(identity)
+      os.cogroup(ls) { (k, o, l) =>
+        val ov = o.toSeq
+        val n = l.size
+        val status =
+          if (ov.nonEmpty && n > 0) "matched"
+          else if (ov.nonEmpty) "order_only"
+          else "items_only"
+        Iterator.single((k, ov.size, n, status))
+      }.toDF("o_orderkey", "n_orders", "n_items", "status")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT coalesce(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+                   CAST(count(DISTINCT o.o_orderkey) AS INTEGER) AS n_orders,
+                   CAST(count(l.l_orderkey) AS INTEGER) AS n_items,
+                   CASE WHEN count(DISTINCT o.o_orderkey) > 0 AND count(l.l_orderkey) > 0
+                        THEN 'matched'
+                        WHEN count(DISTINCT o.o_orderkey) > 0 THEN 'order_only'
+                        ELSE 'items_only' END AS status
+            FROM orders o FULL OUTER JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1 ORDER BY 1""")
+  )
+
   private val viewId = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Run `sql` with per-invocation UNIQUE temp-view names (dropped once
@@ -1062,7 +1109,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qFilter,
     qJoinBroadcast, qJoinSmj, qJoinSalted, qJoinMulti, qSemi, qAnti, qRangeJoin,
-    qAsofJoin, qJoinOuter,
+    qAsofJoin, qJoinOuter, qCogroup,
     qAggHash, qAggDistinct, qCorr, qRollup, qCube, qGroupingSets, qQuantiles, qQuantilesExact,
     qApproxDistinct,
     qWindowRank, qWindowRunning, qWindowLag, qWindowPercent, qWindowRange,

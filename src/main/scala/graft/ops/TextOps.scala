@@ -502,8 +502,44 @@ object TextOps {
             FROM st ORDER BY doc_id, chunk_idx""")
   )
 
+  /** TEXT NORMALIZATION (r7) — the canonicalization pass every dedup/
+    * shingle/tokenize stage assumes upstream (C4/RefinedWeb "cleaning"):
+    * lowercase → non-alphanumerics to spaces → whitespace squeezed →
+    * trimmed, plus the before/after token counts as the audit trail.
+    * Dedup keys computed on RAW text miss trivially-reformatted
+    * duplicates; this is the operator that closes that hole.
+    *
+    * Pure per-row codegen'd regexp/string projection — NO shuffle, scan
+    * speed at any corpus size; the canonical text feeds q_fingerprint /
+    * q_dedup_* / q_bpe_* unchanged. Both engines apply the same two
+    * regexes globally (Spark replaces all matches by default, DuckDB
+    * via the 'g' option — same semantics, spec'd by the hash).
+    */
+  val qTextNormalize = Q(
+    "q_text_normalize",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tok_raw"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +", " ")).as("norm_text"))
+        .withColumn("n_tok_norm", size(split(col("norm_text"), " ")))
+        .select("doc_id", "norm_text", "n_tok_raw", "n_tok_norm")
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                     ' +', ' ', 'g')) AS norm_text,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok_raw,
+                   CAST(len(string_split(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                     ' +', ' ', 'g')), ' ')) AS INTEGER) AS n_tok_norm
+            FROM documents ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
       qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms,
-      qChunkOverlap)
+      qChunkOverlap, qTextNormalize)
 }

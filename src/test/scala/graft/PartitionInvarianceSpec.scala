@@ -37,7 +37,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     // DV anti-join
     "q_corr", "q_khop", "q_jaccard", "q_scd2", "q_ann_sq8",
     "q_deletion_vectors", "q_dv_compact", "q_graph_sample",
-    "q_negative_sampling"
+    "q_negative_sampling", "q_cogroup"
   )
 
   test("q_global_rownum identical at range-partition counts 3 and 32") {

@@ -604,6 +604,23 @@ class QueriesPlanSpec extends SparkSpec {
       "global row_number window reappeared (one-partition funnel)")
   }
 
+  test("q_cogroup: two co-partitioned exchanges, typed boundary fed by pruned projections") {
+    val p = plan("q_cogroup")
+    assert(p.contains("CoGroup"), "typed cogroup operator missing")
+    assert(shuffles(p) <= 3, "cogroup grew extra exchanges (2 inputs + output sort)")
+    // the typed boundary must read pruned inputs, not full rows
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      "orders side lost its pre-cogroup projection")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      "lineitem side lost its pre-cogroup projection")
+  }
+
+  test("q_text_normalize: pure per-row projection — no shuffle before the output sort") {
+    val p = plan("q_text_normalize")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") && !p.contains("Window"))
+    assert(shuffles(p) <= 1, "normalization acquired a shuffle")
+  }
+
   test("q_khop round: frontier join shuffled, expansion dedup map-side, anti join keyed") {
     val p = graft.ops.Graph.khopRound(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))

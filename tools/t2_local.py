@@ -101,8 +101,15 @@ def main(sf_dir: str, out_dir: str, timeout_sec: float | None = None) -> int:
             proc.start()
             proc.join(timeout_sec)
             if proc.is_alive():
+                # SIGTERM first, but a DuckDB native loop never services
+                # Python signal handlers — escalate to SIGKILL or the
+                # un-budgeted join below hangs the whole run on the
+                # first over-budget oracle
                 proc.terminate()
-                proc.join()
+                proc.join(5)
+                if proc.is_alive():
+                    proc.kill()
+                    proc.join()
                 skipped.append(name)
                 print(f"SKIP {name}: oracle exceeded {timeout_sec:.0f}s budget")
                 continue
