@@ -995,10 +995,110 @@ object Sampling {
             ORDER BY event_id""")
   )
 
+  /** PREFERENCE-PAIR MINING (r7) — the DPO/RLHF data-construction
+    * primitive: per group (source), emit the (chosen, rejected) document
+    * pair — best vs worst by a quality score — with the score margin.
+    * Pair mining over model-scored candidates is exactly this shape with
+    * `source` = prompt id and the score a reward-model output.
+    *
+    * Exact-arithmetic ranking: the quality score is integer
+    * `(10^6 · n_stopwords) div n_tokens` (the q_quality_score ratio in
+    * fixed-point), and argmax/argmin are ONE packed-BIGINT max/min per
+    * group — `score·10^8 + doc_id` makes (score, doc_id) lexicographic
+    * order a single integer order, so the survivor rule is total and
+    * engine-independent (the q_dedup_survivor packing idiom).
+    *
+    * Scale: one map-side-combined groupBy to |sources| rows — the agg
+    * carries two BIGINTs per group regardless of corpus size; no
+    * window, no join, no explode. Groups with <2 docs can't form a
+    * pair and are dropped by a post-agg HAVING.
+    */
+  private val stopSql =
+    "size(filter(split(text, ' '), t -> t IN ('the','a','of','and')))"
+  private val toksSql = "size(split(text, ' '))"
+  private val stopSqlDuck =
+    "CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and'))) AS BIGINT)"
+  private val toksSqlDuck = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+
+  val qPreferencePairs = Q(
+    "q_preference_pairs",
+    (s, d) => {
+      documents(s, d)
+        .select(col("source"), col("doc_id"),
+          expr(s"(1000000 * ${stopSql}) div ${toksSql}").as("score"))
+        .withColumn("pack", col("score") * lit(100000000L) + col("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          max("pack").as("mx"), min("pack").as("mn"))
+        .where(col("n_docs") >= 2)
+        .selectExpr("source", "n_docs",
+          "mx % 100000000 AS chosen_doc", "mx div 100000000 AS chosen_score",
+          "mn % 100000000 AS rejected_doc", "mn div 100000000 AS rejected_score",
+          "mx div 100000000 - mn div 100000000 AS margin")
+        .orderBy("source")
+    },
+    Some(s"""WITH scored AS (
+               SELECT source, doc_id,
+                      (1000000 * ${stopSqlDuck}) // ${toksSqlDuck} AS score
+               FROM documents),
+             packed AS (
+               SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      max(score * 100000000 + doc_id) AS mx,
+                      min(score * 100000000 + doc_id) AS mn
+               FROM scored GROUP BY source HAVING count(*) >= 2)
+             SELECT source, n_docs,
+                    mx % 100000000 AS chosen_doc, mx // 100000000 AS chosen_score,
+                    mn % 100000000 AS rejected_doc, mn // 100000000 AS rejected_score,
+                    mx // 100000000 - mn // 100000000 AS margin
+             FROM packed ORDER BY source""")
+  )
+
+  /** WEIGHT-PROPORTIONAL SAMPLING (r7) — documents drawn with
+    * probability ∝ an integer weight (token count, capped at 8): the
+    * training-mix primitive when "sample by tokens, not by documents"
+    * is the requirement (a 10k-token doc should be 10× likelier in a
+    * token-budgeted subsample than a 1k one). Classic replication
+    * min-hash: conceptually replicate each doc w times, give every
+    * replica an independent Knuth hash, and keep the k docs with the
+    * SMALLEST minimum — a doc's priority is min of w i.i.d.-like draws,
+    * so selection probability rises with w (exactly the bottom-k sketch
+    * over a replicated stream). Deterministic: no rand(), the q_sample_
+    * hash audit property holds (membership re-derivable from doc_id+w).
+    *
+    * Scale: the "replication" never materializes — priority is
+    * `array_min` over a per-row generated sequence (fan-out ≤ 8 INSIDE
+    * one projection), so the whole operator is a shuffle-free scan +
+    * top-20 TakeOrderedAndProject funnel. Monotone coupling law
+    * (raising w can only lower priority — min over a superset) is
+    * spec-proven in SamplingSpec.
+    */
+  val qWeightedSample = Q(
+    "q_weighted_sample",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          least(size(split(col("text"), " ")).cast("long"), lit(8L)).as("w"))
+        .withColumn("priority",
+          array_min(transform(sequence(lit(0L), col("w") - 1),
+            r => (col("doc_id") * 8L + r) % 2147483647L *
+              2654435761L % 4294967296L)))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(20),
+    Some("""SELECT doc_id, lang,
+                   least(CAST(len(string_split(text,' ')) AS BIGINT), 8) AS w,
+                   list_min(list_transform(
+                     range(0, least(CAST(len(string_split(text,' ')) AS BIGINT), 8)),
+                     r -> (doc_id * 8 + r) % 2147483647 * 2654435761 % 4294967296))
+                     AS priority
+            FROM documents
+            ORDER BY priority, doc_id LIMIT 20""")
+  )
+
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave, qEpochShuffle,
       qNegativeSampling,
       qPivot, qUnpivot, qPack, qHeavyHitters, qAnomaly, qNtile, qZorderKey,
       qGlobalRownum, qMixBalance, qMixTemperature, qIncrementalAgg,
-      qSequenceAssemble, qIvmJoin, qHilbertKey, qNormalize, qWinsorize)
+      qSequenceAssemble, qIvmJoin, qHilbertKey, qNormalize, qWinsorize,
+      qPreferencePairs, qWeightedSample)
 }

@@ -538,8 +538,159 @@ object TextOps {
             FROM documents ORDER BY doc_id""")
   )
 
+  /** BM25 RETRIEVAL SCORING (r7) — Robertson/Okapi BM25 (k1=1.2, b=0.75),
+    * the lexical-retrieval baseline every RAG pipeline ranks against
+    * (and the hard-negative miner for embedding training). Exact-
+    * arithmetic form per the repo's no-transcendentals discipline: the
+    * tf saturation term is cleared of fractions by multiplying through
+    * by 20·Σdl —
+    *   tf·(k1+1) / (tf + k1(1−b+b·dl/avgdl))
+    *     = 44·tf·Σdl / (20·tf·Σdl + 6·Σdl + 18·dl·N)
+    * (avgdl = Σdl/N), and the idf is the rational Robertson form
+    * WITHOUT the log: (N−df+½)/(df+½) = (2N−2df+1)/(2df+1) — exact
+    * BIGINTs everywhere, each term's score ONE division×division×
+    * multiply IEEE chain written token-identically in both dialects,
+    * summed in fixed left-to-right term order. Monotonicity vs the
+    * log form differs only in scale compression, not ranking direction
+    * per term (both decrease in df) — the q_tfidf linear-idf trade.
+    *
+    * Scale: corpus stats (N, Σdl, per-term df) are ONE map-side-combined
+    * aggregation to a SINGLE row broadcast back onto the scan; per-doc
+    * tf is an array-filter projection (no explode, no shuffle); the
+    * ranking is a top-20 TakeOrderedAndProject — never a global sort.
+    * At 100 TB: stats row is O(|query|), the scan runs at full speed,
+    * and the only data-scale movement is the top-k funnel's k rows per
+    * partition. Overflow bound: 20·tf·Σdl ≤ 20·dl_max·Σdl — at Σdl =
+    * 10^13 tokens and dl_max 10^4 that is 2·10^18 < 2^63; shard the
+    * corpus (per-split stats) before that point.
+    */
+  val qBm25 = Q(
+    "q_bm25",
+    (s, d) => {
+      val qterms = Seq("dup", "query", "batch", "vector")
+      val base = documents(s, d).select(
+        (col("doc_id") +:
+          size(split(col("text"), " ")).cast("long").as("dl") +:
+          qterms.map(t =>
+            size(filter(split(col("text"), " "), x => x === lit(t)))
+              .cast("long").as(s"tf_$t"))): _*)
+      val aggs =
+        sum(col("dl")).as("sum_dl") +:
+          qterms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val stats = base.agg(count(lit(1)).as("n_docs"), aggs: _*)
+      def termScore(t: String) = {
+        val tf = col(s"tf_$t"); val df = col(s"df_$t")
+        val num = lit(44L) * tf * col("sum_dl")
+        val den = lit(20L) * tf * col("sum_dl") + lit(6L) * col("sum_dl") +
+          lit(18L) * col("dl") * col("n_docs")
+        (num.cast("double") / den.cast("double")) *
+          ((lit(2L) * col("n_docs") - lit(2L) * df + lit(1L)).cast("double") /
+            (lit(2L) * df + lit(1L)).cast("double"))
+      }
+      base.crossJoin(broadcast(stats))
+        .select(
+          (col("doc_id") +: col("dl") +:
+            qterms.map(t => col(s"tf_$t")) :+
+            qterms.map(termScore).reduceLeft(_ + _).as("score")): _*)
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH base AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'dup')) AS BIGINT) AS tf_dup,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'query')) AS BIGINT) AS tf_query,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'batch')) AS BIGINT) AS tf_batch,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'vector')) AS BIGINT) AS tf_vector
+              FROM documents),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl,
+                     CAST(sum(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_dup,
+                     CAST(sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_query,
+                     CAST(sum(CASE WHEN tf_batch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_batch,
+                     CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+              FROM base)
+            SELECT doc_id, dl, tf_dup, tf_query, tf_batch, tf_vector,
+                   (CAST(44*tf_dup*sum_dl AS DOUBLE) / CAST(20*tf_dup*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
+                     * (CAST(2*n_docs - 2*df_dup + 1 AS DOUBLE) / CAST(2*df_dup + 1 AS DOUBLE))
+                 + (CAST(44*tf_query*sum_dl AS DOUBLE) / CAST(20*tf_query*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
+                     * (CAST(2*n_docs - 2*df_query + 1 AS DOUBLE) / CAST(2*df_query + 1 AS DOUBLE))
+                 + (CAST(44*tf_batch*sum_dl AS DOUBLE) / CAST(20*tf_batch*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
+                     * (CAST(2*n_docs - 2*df_batch + 1 AS DOUBLE) / CAST(2*df_batch + 1 AS DOUBLE))
+                 + (CAST(44*tf_vector*sum_dl AS DOUBLE) / CAST(20*tf_vector*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
+                     * (CAST(2*n_docs - 2*df_vector + 1 AS DOUBLE) / CAST(2*df_vector + 1 AS DOUBLE))
+                   AS score
+            FROM base, stats
+            ORDER BY score DESC, doc_id LIMIT 20""")
+  )
+
+  /** INVERTED-INDEX BUILD (r7) — blocked delta-encoded posting lists,
+    * the physical layout a lexical search index (Lucene-style) actually
+    * materializes: per term, doc ids sorted ascending, stored as GAPS
+    * (first posting absolute, then successive differences — the
+    * varint-compression substrate), split into 128-posting BLOCKS so no
+    * output row grows with corpus size. Term universe bounded to the
+    * top-12 terms by (df DESC, term) so the declared query's output is
+    * stable; the build shape is term-agnostic.
+    *
+    * Scale: (term, doc) distinct is one map-side-combined shuffle; the
+    * df ranking is a TakeOrdered(12) funnel broadcast back as a semi
+    * filter; numbering+gaps share ONE term-keyed Window exchange and
+    * the block groupBy reuses that partitioning (partial agg on sorted
+    * runs). Per-row width is capped at 128 gaps by construction — a
+    * celebrity term becomes many blocks, never one giant row.
+    */
+  val qInvertedIndex = Q(
+    "q_inverted_index",
+    (s, d) => {
+      val postings = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+      val top = postings.groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), col("term")).limit(12).select("term")
+      val w = Window.partitionBy("term").orderBy("doc_id")
+      postings.join(broadcast(top), "term")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("gap",
+          col("doc_id") - coalesce(lag("doc_id", 1).over(w), lit(0L)))
+        .withColumn("block_id",
+          floor((col("rn") - 1) / lit(128.0)).cast("int"))
+        .groupBy(col("term"), col("block_id"))
+        .agg(
+          count(lit(1)).cast("int").as("n_in_block"),
+          min("doc_id").as("first_doc"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("rn"), col("gap")))),
+              x => x.getField("gap").cast("string")),
+            ",").as("gaps_csv"))
+        .orderBy("term", "block_id")
+    },
+    Some("""WITH postings AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS term
+              FROM documents),
+            top AS (
+              SELECT term FROM postings GROUP BY term
+              ORDER BY count(*) DESC, term LIMIT 12),
+            numbered AS (
+              SELECT p.term, p.doc_id,
+                     row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id) AS rn,
+                     p.doc_id - coalesce(lag(p.doc_id) OVER (PARTITION BY p.term ORDER BY p.doc_id), 0) AS gap
+              FROM postings p JOIN top t ON p.term = t.term)
+            SELECT term,
+                   CAST(floor((rn - 1) / 128.0) AS INTEGER) AS block_id,
+                   CAST(count(*) AS INTEGER) AS n_in_block,
+                   min(doc_id) AS first_doc,
+                   string_agg(CAST(gap AS VARCHAR), ',' ORDER BY rn) AS gaps_csv
+            FROM numbered
+            GROUP BY term, CAST(floor((rn - 1) / 128.0) AS INTEGER)
+            ORDER BY term, block_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
       qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms,
-      qChunkOverlap, qTextNormalize)
+      qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex)
 }
