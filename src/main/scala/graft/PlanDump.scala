@@ -33,7 +33,8 @@ object PlanDump {
       "q_corr", "q_chunk_overlap", "q_epoch_shuffle", "q_ann_sq8",
       "q_deletion_vectors", "q_jaccard", "q_scd2",
       "q_dv_compact", "q_graph_sample", "q_negative_sampling",
-      "q_cogroup", "q_text_normalize"
+      "q_cogroup", "q_text_normalize",
+      "q_bm25", "q_inverted_index", "q_preference_pairs", "q_weighted_sample"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -241,7 +242,24 @@ object PlanDump {
       "q_text_normalize" ->
         ("two codegen'd regexp_replace passes + token counts in one projection over the " +
           "scan — the canonicalization every dedup/shingle stage assumes runs at scan " +
-          "speed with no shuffle before the output sort.")
+          "speed with no shuffle before the output sort."),
+      "q_bm25" ->
+        ("corpus stats collapse to ONE row (map-side-combined agg, the query's only " +
+          "exchange) and rejoin as an IdentityBroadcastMode cross join; per-doc tf is an " +
+          "array-filter projection (no Generate), ranking a top-20 TakeOrderedAndProject."),
+      "q_inverted_index" ->
+        ("the df top-12 is a TakeOrdered funnel broadcast back as the term filter; " +
+          "row_number + lag share ONE term-keyed Window exchange and the (term, block_id) " +
+          "groupBy is co-partitioned with it — no hash exchange ever carries block_id; " +
+          "per-row width capped at 128 gaps by construction."),
+      "q_preference_pairs" ->
+        ("ONE map-side-combined HashAggregate (partial_max/partial_min on the packed " +
+          "BIGINT) to |sources| rows; the 10^12 id-range guard is a projection-level " +
+          "raise_error — no join, no window, no explode anywhere."),
+      "q_weighted_sample" ->
+        ("ZERO exchanges: the w-way replication stays inside one projection " +
+          "(array_min over a generated sequence) and the only data movement is the " +
+          "top-20 TakeOrderedAndProject funnel's k rows per partition.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

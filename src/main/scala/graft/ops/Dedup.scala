@@ -884,7 +884,16 @@ object Dedup {
     * the same total order every CDC query here uses. valid_to is the
     * NEXT version's valid_from (half-open intervals tile the timeline
     * with no gaps/overlaps by construction — lead() cannot disagree
-    * with itself). Shape: ONE entity-keyed window shuffle carries both
+    * with itself). PRECONDITION for the tiling claim: ts is strictly
+    * increasing per entity. Two versions with IDENTICAL ts (ordered by
+    * the event_id tiebreak) yield a ZERO-WIDTH [t, t) interval for the
+    * earlier one — every version is still emitted and the history is
+    * still loss-free, but a point-in-time join (`ts_q ∈ [from, to)`)
+    * can never land inside a zero-width interval, so only the LAST
+    * same-ts version is point-in-time visible (the standard warehouse
+    * last-writer-wins read at a tie). Callers needing every same-ts
+    * version visible must join on (ts, version) order, not ts alone.
+    * Shape: ONE entity-keyed window shuffle carries both
     * lead and row_number (same partitioning, one Exchange), then a
     * per-row projection; |history| = |change stream| rows out, no
     * second pass. At 100 TB the entity hash-partitioning is the same

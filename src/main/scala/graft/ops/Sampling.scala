@@ -1004,9 +1004,19 @@ object Sampling {
     * Exact-arithmetic ranking: the quality score is integer
     * `(10^6 · n_stopwords) div n_tokens` (the q_quality_score ratio in
     * fixed-point), and argmax/argmin are ONE packed-BIGINT max/min per
-    * group — `score·10^8 + doc_id` makes (score, doc_id) lexicographic
+    * group — `score·10^12 + doc_id` makes (score, doc_id) lexicographic
     * order a single integer order, so the survivor rule is total and
     * engine-independent (the q_dedup_survivor packing idiom).
+    *
+    * PRECONDITION (the packing idiom's id bound, r8): correctness
+    * requires `0 ≤ doc_id < 10^12` — a larger id would bleed into the
+    * score digits and silently mis-attribute chosen/rejected. The bound
+    * is ENFORCED in the pack projection (`raise_error` on violation, a
+    * loud abort, never a wrong pair), and the headroom is exact:
+    * score ≤ 10^6, so pack ≤ 10^6·10^12 + 10^12 < 2^63. A corpus with
+    * ≥ 10^12 docs re-keys (dense ids) or switches to a max-of-struct
+    * aggregate. Spec: SamplingSpec "packed argmax survives doc_id ≥
+    * 10^8 / aborts at the 10^12 guard".
     *
     * Scale: one map-side-combined groupBy to |sources| rows — the agg
     * carries two BIGINTs per group regardless of corpus size; no
@@ -1026,15 +1036,20 @@ object Sampling {
       documents(s, d)
         .select(col("source"), col("doc_id"),
           expr(s"(1000000 * ${stopSql}) div ${toksSql}").as("score"))
-        .withColumn("pack", col("score") * lit(100000000L) + col("doc_id"))
+        .withColumn("pack",
+          when(col("doc_id").between(0L, 999999999999L),
+            col("score") * lit(1000000000000L) + col("doc_id"))
+            .otherwise(raise_error(
+              concat(lit("q_preference_pairs: doc_id out of pack range [0, 10^12): "),
+                col("doc_id").cast("string"))).cast("long")))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           max("pack").as("mx"), min("pack").as("mn"))
         .where(col("n_docs") >= 2)
         .selectExpr("source", "n_docs",
-          "mx % 100000000 AS chosen_doc", "mx div 100000000 AS chosen_score",
-          "mn % 100000000 AS rejected_doc", "mn div 100000000 AS rejected_score",
-          "mx div 100000000 - mn div 100000000 AS margin")
+          "mx % 1000000000000 AS chosen_doc", "mx div 1000000000000 AS chosen_score",
+          "mn % 1000000000000 AS rejected_doc", "mn div 1000000000000 AS rejected_score",
+          "mx div 1000000000000 - mn div 1000000000000 AS margin")
         .orderBy("source")
     },
     Some(s"""WITH scored AS (
@@ -1043,13 +1058,13 @@ object Sampling {
                FROM documents),
              packed AS (
                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                      max(score * 100000000 + doc_id) AS mx,
-                      min(score * 100000000 + doc_id) AS mn
+                      max(score * 1000000000000 + doc_id) AS mx,
+                      min(score * 1000000000000 + doc_id) AS mn
                FROM scored GROUP BY source HAVING count(*) >= 2)
              SELECT source, n_docs,
-                    mx % 100000000 AS chosen_doc, mx // 100000000 AS chosen_score,
-                    mn % 100000000 AS rejected_doc, mn // 100000000 AS rejected_score,
-                    mx // 100000000 - mn // 100000000 AS margin
+                    mx % 1000000000000 AS chosen_doc, mx // 1000000000000 AS chosen_score,
+                    mn % 1000000000000 AS rejected_doc, mn // 1000000000000 AS rejected_score,
+                    mx // 1000000000000 - mn // 1000000000000 AS margin
              FROM packed ORDER BY source""")
   )
 

@@ -37,7 +37,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // DV anti-join
     "q_corr", "q_khop", "q_jaccard", "q_scd2", "q_ann_sq8",
     "q_deletion_vectors", "q_dv_compact", "q_graph_sample",
-    "q_negative_sampling", "q_cogroup"
+    "q_negative_sampling", "q_cogroup",
+    // round-8 hardening: the snapshot-four's shuffle-bearers —
+    // q_inverted_index's collect_list accumulates in partition order
+    // (array_sort restores determinism: exactly the claim to prove),
+    // q_preference_pairs' packed argmax rides one hash agg, q_bm25's
+    // stats row is a SinglePartition exchange
+    "q_inverted_index", "q_preference_pairs", "q_bm25"
   )
 
   test("q_global_rownum identical at range-partition counts 3 and 32") {

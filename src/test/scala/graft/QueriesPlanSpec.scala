@@ -621,6 +621,68 @@ class QueriesPlanSpec extends SparkSpec {
     assert(shuffles(p) <= 1, "normalization acquired a shuffle")
   }
 
+  test("q_bm25: 1-row stats broadcast onto the scan, top-20 TakeOrdered, no explode") {
+    val p = plan("q_bm25")
+    // the corpus-stats side is ONE row: it joins back as an identity-
+    // broadcast cross join — the only join this query may ever have
+    assert(p.contains("BroadcastNestedLoopJoin"), "stats side lost its 1-row broadcast")
+    assert(p.contains("IdentityBroadcastMode"), "stats broadcast regressed to a hashed build")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a data-scale join appeared — the scan side must never shuffle")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+    assert(!p.contains("Generate"), "per-term explode appeared (tf must stay an array-filter projection)")
+    assert(shuffles(p) <= 1, "only the 1-row stats agg may exchange")
+  }
+
+  test("q_inverted_index: block groupBy reuses the term-keyed window exchange, top-12 TakeOrdered") {
+    val p = plan("q_inverted_index")
+    assert(p.contains("TakeOrderedAndProject"), "df top-12 must be a funnel, not a global sort")
+    assert(p.contains("BroadcastHashJoin"), "the 12-term filter must broadcast")
+    // numbering + gaps share ONE term-keyed Window
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window\s*""")) == 1,
+      "row_number and lag split into two Window nodes")
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("term#")), "the window lost its term partitioning")
+    // the (term, block_id) groupBy is co-partitioned with the window:
+    // no NEW hash exchange may carry block_id — the only post-window
+    // exchange is the output range sort
+    assert(!p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("block_id")),
+      "block groupBy repartitioned instead of reusing the term exchange")
+    assert(shuffles(p) <= 5, "inverted-index build grew extra exchanges")
+  }
+
+  test("q_preference_pairs: ONE map-side-combined agg over the packed BIGINT, no join/window") {
+    val p = plan("q_preference_pairs")
+    assert(p.contains("partial_max(pack") && p.contains("partial_min(pack"),
+      "argmax/argmin lost their map-side combine")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("Generate"),
+      "pair mining must stay a single aggregation")
+    assert(shuffles(p) <= 2, "source agg + output sort only")
+  }
+
+  test("q_weighted_sample: shuffle-free scan + top-20 funnel — the replication never materializes") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") && !p.contains("Window"))
+    assert(!p.contains("Generate"),
+      "the w-replica fan-out exploded into rows (must stay inside one projection)")
+    assert(shuffles(p) == 0, "weighted sampling acquired a shuffle")
+  }
+
+  test("q_stream_anomaly gate: profile side broadcasts — the stream never shuffles for the join") {
+    // pin the batch shape of the stream-static join (trigger-invariant;
+    // the streaming plan wraps exactly this)
+    val ev = graft.ops.Tables.events(spark, sf0001)
+    val p = graft.streaming.Replay
+      .anomalyGate(ev, graft.ops.Sampling.eventTypeStats(ev))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), "profile join must broadcast the stats side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the unbounded stream side may never shuffle into a stateful join here")
+    assert(shuffles(p) <= 1, "only the |event_type|-row stats agg may exchange")
+  }
+
   test("q_khop round: frontier join shuffled, expansion dedup map-side, anti join keyed") {
     val p = graft.ops.Graph.khopRound(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -285,4 +285,83 @@ class SamplingSpec extends SparkSpec {
       assert(zs.max - zs.min == (1L << (2 * k)) - 1, s"box ($bx,$by)")
     }
   }
+
+  /** The priority the q_weighted_sample scaladoc defines, re-derived in
+    * BigInt so no IEEE/overflow behavior of the engine is trusted:
+    * min over replicas r ∈ [0, w) of ((id·8+r) mod p)·A mod 2^32.
+    */
+  private def wsPriority(docId: Long, w: Long): BigInt =
+    (0L until w).map { r =>
+      (BigInt(docId) * 8 + r).mod(2147483647L) * BigInt(2654435761L) mod BigInt(4294967296L)
+    }.min
+
+  test("weighted sample: BigInt priority re-derivation + full bottom-20 membership from (doc_id, w) alone") {
+    // per-doc weights from the raw table (the same capped token count)
+    val wByDoc = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        least(size(split(col("text"), " ")).cast("long"), lit(8L)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Sampling.qWeightedSample.fn(spark, sf0001).collect()
+    assert(out.length == 20)
+    // 1) every emitted priority equals the BigInt re-derivation
+    for (r <- out) {
+      val (id, w, p) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(w == wByDoc(id), s"doc $id weight drifted")
+      assert(BigInt(p) == wsPriority(id, w), s"doc $id priority mismatch")
+    }
+    // 2) membership: the bottom-20 by (priority, doc_id) over the WHOLE
+    //    corpus, derived driver-side from (doc_id, w) alone, IS the output
+    val expect = wByDoc.toSeq
+      .map { case (id, w) => (wsPriority(id, w), id) }
+      .sortBy(identity).take(20).map(_._2)
+    assert(out.map(_.getLong(0)).toSeq == expect, "bottom-20 membership not re-derivable")
+  }
+
+  test("weighted sample: monotone coupling — raising w can only lower priority (min over a superset)") {
+    for (id <- Seq(0L, 1L, 7L, 499L, 123456789L, 99999999999L); w <- 1L until 8L)
+      assert(wsPriority(id, w + 1) <= wsPriority(id, w),
+        s"priority rose with weight at (id=$id, w=$w)")
+  }
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prefpair-docs-").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("preference pairs: packed argmax survives doc_id >= 10^8 (the old multiplier's corruption zone)") {
+    // ids straddling 1e8..1e11: under the old 1e8 pack these would bleed
+    // into the score digits and mis-attribute chosen/rejected
+    val dir = docsDir(Seq(
+      (100000005L, "the the the of x", "s1"), // stop-heavy -> high score
+      (99999999999L, "alpha beta gamma delta", "s1"), // no stopwords -> score 0
+      (123456789L, "a of y z", "s1"),
+      (100000001L, "plain words only here", "s2"),
+      (200000002L, "the of and a", "s2")))
+    val rows = Sampling.qPreferencePairs.fn(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("s1", "s2"))
+    val s1 = rows(0)
+    assert(s1.getLong(2) == 100000005L, "chosen_doc mis-attributed") // 4 stop / 5 toks
+    assert(s1.getLong(4) == 99999999999L, "rejected_doc mis-attributed")
+    val s2 = rows(1)
+    assert(s2.getLong(2) == 200000002L && s2.getLong(4) == 100000001L)
+    // margin = chosen_score - rejected_score, exact fixed-point
+    assert(s1.getLong(6) == 1000000L * 4 / 5 - 0L)
+  }
+
+  test("preference pairs: the 10^12 id-range guard aborts loudly, never packs wrong") {
+    val dir = docsDir(Seq(
+      (1000000000000L, "the of", "s1"), // exactly at the bound -> out of range
+      (7L, "plain", "s1")))
+    val e = intercept[Exception] {
+      Sampling.qPreferencePairs.fn(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("doc_id out of pack range")),
+      s"guard did not fire: ${messages(e).mkString(" | ")}")
+  }
 }
