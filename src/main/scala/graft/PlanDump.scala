@@ -34,7 +34,8 @@ object PlanDump {
       "q_deletion_vectors", "q_jaccard", "q_scd2",
       "q_dv_compact", "q_graph_sample", "q_negative_sampling",
       "q_cogroup", "q_text_normalize",
-      "q_bm25", "q_inverted_index", "q_preference_pairs", "q_weighted_sample"
+      "q_bm25", "q_inverted_index", "q_preference_pairs", "q_weighted_sample",
+      "q_bm25_postings", "q_pit_join", "q_length_batching"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -259,7 +260,29 @@ object PlanDump {
       "q_weighted_sample" ->
         ("ZERO exchanges: the w-way replication stays inside one projection " +
           "(array_min over a generated sequence) and the only data movement is the " +
-          "top-20 TakeOrderedAndProject funnel's k rows per partition.")
+          "top-20 TakeOrderedAndProject funnel's k rows per partition."),
+      "q_bm25_postings" ->
+        ("the probe path reads INDEX files only (postings/dict/stats — documents.parquet " +
+          "appears nowhere): term IN (...) pushes into the postings scan, candidates pivot " +
+          "through ONE doc_id groupBy, df + corpus constants join as two 1-row identity " +
+          "broadcasts, ranking is the top-20 TakeOrderedAndProject; work ∝ matching " +
+          "postings, never corpus size — the scale twin of full-scan q_bm25."),
+      "q_pit_join" ->
+        ("the q_asof_join union-merge shape on the SCD-2 entity key: NO join node ever " +
+          "exists (per-key probe × version fan-out is structurally impossible), history " +
+          "and probes union into ONE entity-keyed window whose running last(value, " +
+          "ignoreNulls) is the point-in-time feature; the interval-join ORACLE proves " +
+          "the merge implements half-open [from, to) semantics incl. the zero-width tie."),
+      "q_length_batching" ->
+        ("ONE bucket-keyed window exchange carries the in-bucket numbering AND the " +
+          "(bucket, batch_id) groupBy (subset clustering — exchange reuse); buckets " +
+          "batch independently, no global numbering, so the operator is one shuffle + " +
+          "the output sort at any corpus size."),
+      "q_random_walk_round" ->
+        ("ONE walk step (repeats WALK_STEPS times, Materialize-checkpointed): degree " +
+          "lookup then single-rank adjacency probe, BOTH keyed shuffle_hash equi-joins " +
+          "emitting exactly one row per walk — a celebrity node's adjacency is probed " +
+          "at one rank, never fanned out and filtered; work ∝ |walks|, not degree.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")
@@ -291,6 +314,9 @@ object PlanDump {
         .explainString(ExplainMode.fromString("formatted")))
     section("q_khop_round",
       graft.ops.Graph.khopRound(spark, d).queryExecution
+        .explainString(ExplainMode.fromString("formatted")))
+    section("q_random_walk_round",
+      graft.ops.Graph.walkRound(spark, d).queryExecution
         .explainString(ExplainMode.fromString("formatted")))
     // Streaming: the per-micro-batch IncrementalExecution plans — the
     // declared queries return the parquet-sink read-back, so the

@@ -927,8 +927,76 @@ object Dedup {
             ORDER BY user_id, event_type, version""")
   )
 
+  /** POINT-IN-TIME FEATURE JOIN (r8) — the leakage guard [[qScd2]]'s
+    * scaladoc promises: each training example joins the feature version
+    * that was valid AT ITS SAMPLING TIME, never a later one. Examples =
+    * every 7th event, probed 30 s after its own timestamp (strictly
+    * inside the next version's risk window); features = the SCD-2
+    * history of (user_id, event_type) → value. An example sampled
+    * before the entity's first version gets NULL — the honest answer,
+    * not the later value a naive latest-wins join would leak.
+    *
+    * Shape: the q_asof_join union-merge idiom, NOT an interval join —
+    * history rows and probe rows union into ONE entity-keyed window
+    * where last(value, ignoreNulls) carries the newest version at or
+    * before each probe (at equal ts the history row sorts first:
+    * version-visible-at-its-own-instant, and among same-ts versions the
+    * HIGHEST version wins — exactly the zero-width-interval
+    * last-writer-wins read the SCD-2 precondition note documents) and
+    * the version number is the RUNNING COUNT of history rows in the
+    * same window — no pre-numbered history pass, so the whole operator
+    * is ONE entity-keyed exchange + one Window. NO join node: per-key
+    * fan-out (probe × every earlier version) never exists. The ORACLE
+    * is the half-open INTERVAL JOIN over the lead()-reconstructed
+    * history — the hash match proves merge ≡ interval semantics,
+    * including the zero-width tie rule and the pre-history NULL.
+    */
+  val qPitJoin = Q(
+    "q_pit_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val hist = ev.select(
+        col("user_id"), col("event_type"), col("ts"),
+        lit(0).as("tag"), col("event_id"), col("value"))
+      val probes = ev.where(col("event_id") % 7 === 0)
+        .select(col("user_id"), col("event_type"),
+          (col("ts") + expr("INTERVAL 30 SECONDS")).as("ts"),
+          lit(1).as("tag"), col("event_id"),
+          lit(null).cast("double").as("value"))
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.unionAll(probes)
+        .withColumn("feature_value", last(col("value"), ignoreNulls = true).over(w))
+        .withColumn("feature_version",
+          sum(when(col("tag") === 0, 1)).over(w).cast("int"))
+        .where(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts").as("probe_ts"), col("feature_value"), col("feature_version"))
+        .orderBy("event_id")
+    },
+    Some("""WITH hist AS (
+              SELECT user_id, event_type, value,
+                     CAST(row_number() OVER w AS INTEGER) AS version,
+                     ts AS valid_from, lead(ts) OVER w AS valid_to
+              FROM events
+              WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC)),
+            probes AS (
+              SELECT event_id, user_id, event_type,
+                     ts + INTERVAL 30 SECOND AS probe_ts
+              FROM events WHERE event_id % 7 = 0)
+            SELECT p.event_id, p.user_id, p.event_type, p.probe_ts,
+                   h.value AS feature_value, h.version AS feature_version
+            FROM probes p LEFT JOIN hist h
+              ON p.user_id = h.user_id AND p.event_type = h.event_type
+             AND h.valid_from <= p.probe_ts
+             AND (p.probe_ts < h.valid_to OR h.valid_to IS NULL)
+            ORDER BY event_id""")
+  )
+
   val all: Seq[Q] =
-    Seq(qDedupExact, qDedupKey, qCdcApply, qScd2, qDedupNgram, qDedupMinhash, qDedupSimhash,
+    Seq(qDedupExact, qDedupKey, qCdcApply, qScd2, qPitJoin, qDedupNgram, qDedupMinhash,
+      qDedupSimhash,
       qDedupCc, qDecontaminate, qDecontaminateBloom, qIncrementalDedup, qDedupSurvivor,
       qSubstringDedup)
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** E18 — graph analytics over relationally-derived graphs: the three
@@ -494,6 +495,34 @@ object Graph {
       .join(visited.hint("shuffle_hash"), Seq("node"), "left_anti")
   }
 
+  /** Plan-audit hook: ONE random-walk step as a LAZY DataFrame — the
+    * two keyed shuffle_hash equi-joins (degree lookup, then the
+    * single-rank adjacency probe) the declared query repeats behind
+    * per-round Materialize. One row per walk crosses each exchange —
+    * never a node's fan-out.
+    */
+  private[graft] def walkRound(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .join(lineitem(s, d).hint("shuffle_hash"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val edges = base.select(col("c").as("src"), col("sp").as("dst"))
+      .union(base.select(col("sp").as("src"), col("c").as("dst")))
+    val ranked = edges.withColumn("rnk",
+      row_number().over(Window.partitionBy("src").orderBy("dst")) - 1)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val walks = deg.select(col("src").as("node")).where(col("node") % 40 === 0)
+      .select(col("node").as("walk_id"), lit(0).as("step"), col("node").as("cur"))
+    walks
+      .join(deg.hint("shuffle_hash"), col("cur") === col("src"))
+      .select(col("walk_id"), lit(1).as("step"), col("cur"),
+        (walkChoice(col("walk_id"), lit(1L), col("cur")) % col("deg")).as("r"))
+      .join(ranked.hint("shuffle_hash"),
+        col("cur") === ranked("src") && col("r") === ranked("rnk"))
+      .select(col("walk_id"), col("step"), col("dst").as("cur"))
+  }
+
   /** One code path emits the BFS round CTEs (q_pagerank discipline):
     * frontier f_k = unvisited neighbors of f_{k-1}; visited v_k
     * accumulates (node, k).
@@ -672,6 +701,99 @@ object Graph {
              ORDER BY root, hop, parent, child""")
   )
 
+  /** Steps per walk (DeepWalk/node2vec use 40–80; 4 keeps the declared
+    * query's oracle a 4-deep CTE chain while exercising the identical
+    * per-step plan).
+    */
+  private val WALK_STEPS = 4
+
+  /** The per-step neighbor choice, shared verbatim (modulo dialect
+    * integer division/modulo spelling — none needed: `%` and `*` parse
+    * identically) between the Spark expression and the DuckDB CTE:
+    * rank = ((walk·1000003 + step·7919 + cur·31) mod p) · A mod 2^32
+    * mod deg. All operands non-negative, every intermediate < 2^63
+    * (pre-mod sum < 10^12·|nodes|; post-mod < 10^9+7; ·A < 2.7·10^18).
+    */
+  private def walkChoice(walk: Column, step: Column, cur: Column): Column =
+    ((walk * lit(1000003L) + step * lit(7919L) + cur * lit(31L))
+      % lit(1000000007L)) * lit(2654435761L) % lit(4294967296L)
+
+  /** DETERMINISTIC RANDOM WALKS (r8) — the DeepWalk/node2vec corpus
+    * generator: from every sampled start node, a WALK_STEPS-step walk
+    * whose step-i choice is a hash of (walk_id, i, current node) taken
+    * mod the node's degree — no rand(), so walks are reproducible,
+    * partition-invariant, and ORACLE-able (the q_sample_hash
+    * discipline applied to graph traversal). Neighbor ranks come from
+    * one src-keyed window over the sorted adjacency (rank 0..deg−1 by
+    * dst), the same total order in both engines.
+    *
+    * Scale shape: each step is TWO keyed shuffle_hash equi-joins —
+    * walks⋈degree (to compute the target rank) then walks⋈ranked
+    * adjacency on (src, rnk) — each emitting EXACTLY ONE row per walk:
+    * a celebrity node's adjacency is probed at one rank, never fanned
+    * out and filtered (work ∝ |walks|·steps, independent of degree
+    * skew). Rounds Materialize like q_pagerank/q_khop. The oracle is a
+    * recursive CTE carrying the identical choice expression.
+    */
+  val qRandomWalk = Q(
+    "q_random_walk",
+    (s, d) => {
+      val base = orders(s, d)
+        .join(lineitem(s, d).hint("shuffle_hash"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
+        .distinct()
+      val edges = base.select(col("c").as("src"), col("sp").as("dst"))
+        .union(base.select(col("sp").as("src"), col("c").as("dst")))
+      val ranked = Materialize(edges
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy("src").orderBy("dst")) - 1))
+      val deg = Materialize(edges.groupBy("src").agg(count(lit(1)).as("deg")))
+      val starts = deg.select(col("src").as("node")).where(col("node") % 40 === 0)
+      var walks = Materialize(
+        starts.select(col("node").as("walk_id"), lit(0).as("step"), col("node").as("cur")))
+      var out = walks
+      for (i <- 1 to WALK_STEPS) {
+        walks = Materialize(
+          walks
+            .join(deg.hint("shuffle_hash"), col("cur") === col("src"))
+            .select(col("walk_id"), lit(i).as("step"), col("cur"),
+              (walkChoice(col("walk_id"), lit(i.toLong), col("cur")) % col("deg")).as("r"))
+            .join(ranked.hint("shuffle_hash"),
+              col("cur") === ranked("src") && col("r") === ranked("rnk"))
+            .select(col("walk_id"), col("step"), col("dst").as("cur")))
+        out = out.union(walks)
+      }
+      out.select(col("walk_id"), col("step"), col("cur").as("node"))
+        .orderBy("walk_id", "step")
+    },
+    Some("""WITH RECURSIVE
+            base AS (
+              SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            edges AS (
+              SELECT c AS src, sp AS dst FROM base
+              UNION ALL SELECT sp AS src, c AS dst FROM base),
+            ranked AS (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk
+              FROM edges),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+            starts AS (SELECT src AS node FROM deg WHERE src % 40 = 0),
+            walk(walk_id, step, cur) AS (
+              SELECT node, CAST(0 AS INTEGER), node FROM starts
+              UNION ALL
+              SELECT w.walk_id, CAST(w.step + 1 AS INTEGER), r.dst
+              FROM walk w
+              JOIN deg g ON g.src = w.cur
+              JOIN ranked r ON r.src = w.cur
+               AND r.rnk = (w.walk_id * 1000003 + (w.step + 1) * 7919 + w.cur * 31)
+                            % 1000000007 * 2654435761 % 4294967296 % g.deg
+              WHERE w.step < 4)
+            SELECT walk_id, step, cur AS node FROM walk
+            ORDER BY walk_id, step""")
+  )
+
   val all: Seq[Q] = Seq(qCooccur, qPmi, qTriangles, qPagerank, qLabelProp, qKhop,
-    qJaccard, qGraphSample)
+    qJaccard, qGraphSample, qRandomWalk)
 }

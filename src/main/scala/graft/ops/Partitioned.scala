@@ -25,7 +25,7 @@ object Partitioned {
     * never serve (it would silently diverge from the oracle, which
     * always reads the live file).
     */
-  private def sourceKey(paths: Seq[String]): String = {
+  private[ops] def sourceKey(paths: Seq[String]): String = {
     val sig = paths.map { p =>
       val f = java.nio.file.Paths.get(p)
       val (sz, mt) =

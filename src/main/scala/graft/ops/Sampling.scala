@@ -1109,11 +1109,68 @@ object Sampling {
             ORDER BY priority, doc_id LIMIT 20""")
   )
 
+  /** LENGTH-BUCKETED BATCHING (r8) — dynamic batching, the training-
+    * efficiency op every sequence-model input pipeline runs: group
+    * documents of similar length into fixed-size batches so padding-to-
+    * max inside a batch wastes little compute (batching at random
+    * wastes ~the length spread; batching within 64-token buckets
+    * bounds waste by the bucket width). Deterministic assignment: docs
+    * sort by doc_id WITHIN their 64-token length bucket, consecutive
+    * runs of 8 form a batch; the output is the per-batch audit row —
+    * size, max length, token sum, and the padded-waste the batch pays
+    * (n·max − Σ), the number a capacity planner actually reads.
+    *
+    * Shape: ONE bucket-keyed window exchange carries the numbering and
+    * the (bucket, batch_id) groupBy reuses that partitioning (subset
+    * clustering — the q_scd2 exchange-reuse idiom), so the whole
+    * operator is one shuffle + the output sort. Buckets are
+    * data-parallel (no global numbering): at 100 TB each length bucket
+    * batches independently wherever its rows hash.
+    */
+  val qLengthBatching = Q(
+    "q_length_batching",
+    (s, d) => {
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("bucket", expr("n_toks div 64").cast("int"))
+        .withColumn("batch_id",
+          expr("(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) div 8")
+            .cast("int"))
+        .groupBy("bucket", "batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          max("n_toks").as("max_toks"),
+          sum("n_toks").as("sum_toks"),
+          (count(lit(1)) * max("n_toks") - sum("n_toks")).as("padded_waste"))
+        .orderBy("bucket", "batch_id")
+    },
+    Some("""WITH docs AS (
+              SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks
+              FROM documents),
+            b AS (
+              SELECT doc_id, n_toks, CAST(n_toks // 64 AS INTEGER) AS bucket
+              FROM docs),
+            r AS (
+              SELECT bucket, n_toks,
+                     CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8
+                          AS INTEGER) AS batch_id
+              FROM b)
+            SELECT bucket, batch_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   max(n_toks) AS max_toks,
+                   CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+                   CAST(count(*) * max(n_toks) - sum(n_toks) AS BIGINT) AS padded_waste
+            FROM r
+            GROUP BY bucket, batch_id
+            ORDER BY bucket, batch_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave, qEpochShuffle,
       qNegativeSampling,
       qPivot, qUnpivot, qPack, qHeavyHitters, qAnomaly, qNtile, qZorderKey,
       qGlobalRownum, qMixBalance, qMixTemperature, qIncrementalAgg,
       qSequenceAssemble, qIvmJoin, qHilbertKey, qNormalize, qWinsorize,
-      qPreferencePairs, qWeightedSample)
+      qPreferencePairs, qWeightedSample, qLengthBatching)
 }

@@ -689,8 +689,148 @@ object TextOps {
             ORDER BY term, block_id""")
   )
 
+  /** Materialized inverted-index LAYOUT for the probe-path retriever
+    * ([[qBm25Postings]]) — the three files a lexical index actually
+    * ships, built ONCE per corpus (memoized via the [[Partitioned]]
+    * content-key idiom) and read by every query after:
+    *
+    *  - `postings.parquet` (term, doc_id, tf, dl): one row per distinct
+    *    (term, doc) with the term frequency and the doc length
+    *    DENORMALIZED into the posting (Lucene stores norms in a
+    *    sidecar; relational probing wants them in the row so scoring
+    *    never joins a corpus-wide norms table);
+    *  - `dict.parquet` (term, df): the term dictionary with document
+    *    frequencies — probe-time idf needs df without touching postings
+    *    twice;
+    *  - `stats.parquet` (n_docs, sum_dl): ONE row of corpus constants.
+    *
+    * Build cost is one explode + one (term, doc_id) groupBy over the
+    * corpus — the same work `q_inverted_index` already pays — plus two
+    * cheap rollups; at 100 TB this is the offline index build every
+    * search system amortizes across queries.
+    */
+  def invertedIndexLayout(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_" +
+      Partitioned.sourceKey(Seq(s"$d/documents.parquet"))
+    val parts = Seq("postings.parquet", "dict.parquet", "stats.parquet")
+    if (!parts.forall(p => Partitioned.successExists(s, s"$out/$p"))) {
+      val posts = documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"),
+          explode(split(col("text"), " ")).as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      posts.write.mode("overwrite").parquet(s"$out/postings.parquet")
+      s.read.parquet(s"$out/postings.parquet")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$out/dict.parquet")
+      documents(s, d)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+        .write.mode("overwrite").parquet(s"$out/stats.parquet")
+    }
+    out
+  }
+
+  /** BM25 OVER POSTINGS (r8) — the production lexical retriever:
+    * [[qBm25]] proved the scoring math by scanning every document;
+    * THIS query scores only documents the index says match, which is
+    * the shape that works at 100 TB (the knn_join / knn_join_ann
+    * pairing, applied to retrieval). Probe algebra: read the
+    * [[invertedIndexLayout]] postings for the query terms ONLY (the
+    * `term IN (...)` predicate pushes into the parquet scan — the
+    * corpus text is never read), pivot the matched postings to one row
+    * per candidate doc, join the TWO one-row broadcast sides (df
+    * vector from the dictionary, corpus constants from stats), and
+    * score with the exact-rational q_bm25 formula in the same fixed
+    * left-to-right term order — a term the doc lacks contributes
+    * exactly +0.0 (num = 44·0·Σdl = 0), so probe scores are
+    * bit-identical to full-scan scores and the ORACLE IS the q_bm25
+    * scan algebra restricted to matching docs: the hash match proves
+    * probe ≡ scan, the q_deletion_vectors trick.
+    *
+    * Scale: the probe plan touches index files only — postings scan
+    * pruned to |postings(q)| rows by pushdown, ONE doc_id groupBy
+    * (map-side combined, ≤ |q| rows per doc), two 1-row broadcasts,
+    * top-20 TakeOrderedAndProject. Work ∝ matching postings, never
+    * corpus size — the gap VERDICT r7 called the one remaining
+    * documented-shape-without-shipped-scale-path.
+    */
+  val qBm25Postings = Q(
+    "q_bm25_postings",
+    (s, d) => {
+      val qterms = Seq("dup", "query", "batch", "vector")
+      val ix = invertedIndexLayout(s, d)
+      val posts = s.read.parquet(s"$ix/postings.parquet")
+        .where(col("term").isin(qterms: _*))
+      val aggs =
+        max("dl").as("dl") +:
+          (qterms.map(t =>
+            coalesce(sum(when(col("term") === lit(t), col("tf"))), lit(0L))
+              .as(s"tf_$t")) :+
+            count(lit(1)).as("n_terms"))
+      val cand = posts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val dfRow = s.read.parquet(s"$ix/dict.parquet")
+        .where(col("term").isin(qterms: _*))
+        .agg(
+          coalesce(sum(when(col("term") === lit(qterms.head), col("df"))), lit(0L))
+            .as(s"df_${qterms.head}"),
+          qterms.tail.map(t =>
+            coalesce(sum(when(col("term") === lit(t), col("df"))), lit(0L))
+              .as(s"df_$t")): _*)
+      val stats = s.read.parquet(s"$ix/stats.parquet")
+      def termScore(t: String) = {
+        val tf = col(s"tf_$t"); val df = col(s"df_$t")
+        val num = lit(44L) * tf * col("sum_dl")
+        val den = lit(20L) * tf * col("sum_dl") + lit(6L) * col("sum_dl") +
+          lit(18L) * col("dl") * col("n_docs")
+        (num.cast("double") / den.cast("double")) *
+          ((lit(2L) * col("n_docs") - lit(2L) * df + lit(1L)).cast("double") /
+            (lit(2L) * df + lit(1L)).cast("double"))
+      }
+      cand.crossJoin(broadcast(dfRow)).crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl"), col("n_terms"),
+          qterms.map(termScore).reduceLeft(_ + _).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH base AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'dup')) AS BIGINT) AS tf_dup,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'query')) AS BIGINT) AS tf_query,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'batch')) AS BIGINT) AS tf_batch,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'vector')) AS BIGINT) AS tf_vector
+              FROM documents),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl,
+                     CAST(sum(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_dup,
+                     CAST(sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_query,
+                     CAST(sum(CASE WHEN tf_batch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_batch,
+                     CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+              FROM base)
+            SELECT doc_id, dl,
+                   CAST((CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN tf_query > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN tf_batch > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+                   (CAST(44*tf_dup*sum_dl AS DOUBLE) / CAST(20*tf_dup*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
+                     * (CAST(2*n_docs - 2*df_dup + 1 AS DOUBLE) / CAST(2*df_dup + 1 AS DOUBLE))
+                 + (CAST(44*tf_query*sum_dl AS DOUBLE) / CAST(20*tf_query*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
+                     * (CAST(2*n_docs - 2*df_query + 1 AS DOUBLE) / CAST(2*df_query + 1 AS DOUBLE))
+                 + (CAST(44*tf_batch*sum_dl AS DOUBLE) / CAST(20*tf_batch*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
+                     * (CAST(2*n_docs - 2*df_batch + 1 AS DOUBLE) / CAST(2*df_batch + 1 AS DOUBLE))
+                 + (CAST(44*tf_vector*sum_dl AS DOUBLE) / CAST(20*tf_vector*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
+                     * (CAST(2*n_docs - 2*df_vector + 1 AS DOUBLE) / CAST(2*df_vector + 1 AS DOUBLE))
+                   AS score
+            FROM base, stats
+            WHERE tf_dup + tf_query + tf_batch + tf_vector > 0
+            ORDER BY score DESC, doc_id LIMIT 20""")
+  )
+
   val all: Seq[Q] =
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
       qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms,
-      qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex)
+      qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex, qBm25Postings)
 }

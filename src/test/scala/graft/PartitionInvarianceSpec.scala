@@ -43,7 +43,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // (array_sort restores determinism: exactly the claim to prove),
     // q_preference_pairs' packed argmax rides one hash agg, q_bm25's
     // stats row is a SinglePartition exchange
-    "q_inverted_index", "q_preference_pairs", "q_bm25"
+    "q_inverted_index", "q_preference_pairs", "q_bm25",
+    // round-8 additions: probe-path retrieval, entity-window PIT join,
+    // bucket-window batching, iterative hash-choice walks
+    "q_bm25_postings", "q_pit_join", "q_length_batching", "q_random_walk"
   )
 
   test("q_global_rownum identical at range-partition counts 3 and 32") {

@@ -670,6 +670,24 @@ class QueriesPlanSpec extends SparkSpec {
     assert(shuffles(p) == 0, "weighted sampling acquired a shuffle")
   }
 
+  test("q_bm25_postings: probe touches index files only — no corpus scan, term filter pushed") {
+    val p = plan("q_bm25_postings")
+    // the whole point: the probe path never reads the document corpus
+    assert(!p.contains("documents.parquet"),
+      "probe plan scans the corpus — the index is being ignored")
+    assert(p.contains("postings.parquet") && p.contains("dict.parquet")
+      && p.contains("stats.parquet"), "an index file dropped out of the probe")
+    assert(p.contains("PushedFilters: [In(term, [batch,dup,query,vector])]"),
+      "query-term predicate must prune the postings scan")
+    // two 1-row broadcast sides, one doc_id groupBy, top-20 funnel
+    assert("IdentityBroadcastMode".r.findAllIn(p).size == 2,
+      "df/stats sides must join as 1-row identity broadcasts")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a data-scale join appeared in the probe path")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+    assert(shuffles(p) <= 2, "doc_id pivot + 1-row dict agg only")
+  }
+
   test("q_stream_anomaly gate: profile side broadcasts — the stream never shuffles for the join") {
     // pin the batch shape of the stream-static join (trigger-invariant;
     // the streaming plan wraps exactly this)
@@ -681,6 +699,43 @@ class QueriesPlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the unbounded stream side may never shuffle into a stateful join here")
     assert(shuffles(p) <= 1, "only the |event_type|-row stats agg may exchange")
+  }
+
+  test("q_pit_join: union-merge, no join node — one entity exchange carries the whole operator") {
+    val p = plan("q_pit_join")
+    assert(!p.contains("Join"), "point-in-time join regressed to a real join (probe × version fan-out)")
+    assert(p.contains("Union"), "history/probe union-merge input missing")
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(s => s.contains("user_id") && s.contains("event_type")),
+      "a window lost its entity partitioning")
+    assert(shuffles(p) == 2, "entity window + output sort only")
+    assert(!p.contains("BroadcastExchange"),
+      "nothing here may broadcast when events is the 100 TB fact")
+  }
+
+  test("q_length_batching: (bucket, batch) groupBy reuses the bucket window exchange") {
+    val p = plan("q_length_batching")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window\s*""")) == 1)
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("bucket#")), "numbering lost its bucket partitioning")
+    assert(p.contains("partial_count(1)") && p.contains("partial_max(n_toks"),
+      "batch stats lost their map-side combine")
+    assert(!p.contains("Join") && !p.contains("Generate"))
+    assert(shuffles(p) <= 2, "bucket window + output sort only — the groupBy must reuse the exchange")
+  }
+
+  test("q_random_walk round: two keyed equi-joins, one row per walk — no fan-out, no broadcast") {
+    val p = graft.ops.Graph.walkRound(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+      "degree lookup and rank probe must both stay keyed shuffle joins")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "a data-scale join degenerated")
+    // the adjacency probe is an EQUI join on (src, rnk): no post-join
+    // rank filter may exist (that shape fans out a celebrity adjacency
+    // before filtering)
+    assert(!p.contains("BroadcastHashJoin"),
+      "corpus-scale walk state / adjacency must never broadcast")
   }
 
   test("q_khop round: frontier join shuffled, expansion dedup map-side, anti join keyed") {

@@ -171,4 +171,31 @@ class DedupSpec extends SparkSpec {
     val res = Dedup.qDedupExact.fn(spark, sf0001)
     assert(res.select(org.apache.spark.sql.functions.sum("n_copies")).head.getLong(0) == total)
   }
+
+  test("q_pit_join: no future leakage — every feature was valid at its probe time (brute force)") {
+    // single Long key for a timestamp incl. sub-millisecond precision
+    def tsKey(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000000L + t.getNanos
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "event_type", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+    // history versions per entity in (ts, event_id) order, version = idx+1
+    val hist = ev.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      k -> es.sortBy(e => (tsKey(e._3), e._4)).zipWithIndex
+    }
+    val out = Dedup.qPitJoin.fn(spark, sf0001).collect()
+    assert(out.length == ev.count(_._4 % 7 == 0), "one output row per example")
+    for (r <- out) {
+      val (eid, uid, etype) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val probe = tsKey(r.getTimestamp(3))
+      val visible = hist((uid, etype)).filter(v => tsKey(v._1._3) <= probe)
+      assert(visible.nonEmpty, s"example $eid probes after its own event — must see >= 1 version")
+      val (latest, idx) = visible.maxBy(v => (tsKey(v._1._3), v._2))
+      // the joined version is the NEWEST one valid at probe time — a
+      // version from the probe's future here would be training leakage
+      assert(r.getInt(5) == idx + 1, s"feature_version leak at example $eid")
+      assert(r.getDouble(4) == latest._5, s"feature_value leak at example $eid")
+    }
+  }
 }

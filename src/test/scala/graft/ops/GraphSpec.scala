@@ -162,4 +162,45 @@ class GraphSpec extends SparkSpec {
     val avgCust = byKind("customer").sum / byKind("customer").length
     assert(avgSupp > 10 * avgCust, s"supplier avg $avgSupp vs customer avg $avgCust")
   }
+
+  test("q_random_walk: equals a brute-force adjacency-map walk with the same hash choice") {
+    // independent re-derivation: sorted adjacency lists + the scaladoc's
+    // choice rule in BigInt — every emitted step must follow a real edge
+    // picked at exactly the hashed rank
+    val base = Tables.orders(spark, sf0001)
+      .join(Tables.lineitem(spark, sf0001), col("o_orderkey") === col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = (base ++ base.map(_.swap)).toSeq
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).sorted }
+    def choice(walk: Long, step: Long, cur: Long, deg: Int): Int = {
+      val h = (BigInt(walk) * 1000003 + BigInt(step) * 7919 + BigInt(cur) * 31)
+        .mod(BigInt(1000000007L))
+      (h * BigInt(2654435761L)).mod(BigInt(4294967296L)).mod(BigInt(deg)).toInt
+    }
+    val starts = adj.keys.filter(_ % 40 == 0).toSeq.sorted
+    assert(starts.nonEmpty, "fixture must yield at least one walk start")
+    val expect = starts.flatMap { s0 =>
+      var cur = s0
+      (0 to 4).map { i =>
+        if (i > 0) {
+          val nbrs = adj(cur)
+          cur = nbrs(choice(s0, i, cur, nbrs.length))
+        }
+        (s0, i, cur)
+      }
+    }.sorted
+    val got = Graph.qRandomWalk.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(got.nonEmpty && got.toSeq == expect,
+      "engine walks diverged from the brute-force hash-choice walk")
+    // every consecutive step is a real edge (the walk never teleports)
+    got.groupBy(_._1).foreach { case (_, steps) =>
+      steps.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, a), (_, _, b)) =>
+          assert(adj(a).contains(b), s"step $a -> $b is not an edge")
+        case _ =>
+      }
+    }
+  }
 }

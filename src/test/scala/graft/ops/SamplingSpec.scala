@@ -352,6 +352,28 @@ class SamplingSpec extends SparkSpec {
     assert(s1.getLong(6) == 1000000L * 4 / 5 - 0L)
   }
 
+  test("length batching: full batches of 8, dense ids, waste bounded by the bucket width") {
+    val rows = Sampling.qLengthBatching.fn(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    for ((b, bs) <- rows.groupBy(_.getInt(0))) {
+      val ordered = bs.sortBy(_.getInt(1))
+      assert(ordered.map(_.getInt(1)).toSeq == ordered.indices, s"bucket $b: batch ids not dense")
+      // all but the bucket's last batch are exactly the batch size
+      assert(ordered.init.forall(_.getLong(2) == 8L), s"bucket $b: interior batch not full")
+      for (r <- ordered) {
+        val (n, mx, sm, waste) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        assert(n >= 1 && n <= 8)
+        assert(waste == n * mx - sm, s"bucket $b: waste arithmetic broken")
+        // every doc in a 64-token bucket is within 63 tokens of the max:
+        // the bound that makes length batching pay
+        assert(waste < 64 * n, s"bucket $b: padding waste exceeds the bucket width")
+        assert(mx / 64 == b, s"bucket $b: a doc crossed its length bucket")
+      }
+    }
+    // completeness: every document lands in exactly one batch
+    assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf0001).count())
+  }
+
   test("preference pairs: the 10^12 id-range guard aborts loudly, never packs wrong") {
     val dir = docsDir(Seq(
       (1000000000000L, "the of", "s1"), // exactly at the bound -> out of range

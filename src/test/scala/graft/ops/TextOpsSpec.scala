@@ -50,4 +50,79 @@ class TextOpsSpec extends SparkSpec {
       assert(df.columns.sameElements(Array("doc_id", "term", "tf", "df", "score")))
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("inverted index: gap decode round-trips to the sorted posting list, blocks exactly 128") {
+    import org.apache.spark.sql.functions._
+    // ground truth: the distinct (term, doc) postings straight off the corpus
+    val truth = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct().collect()
+      .groupBy(_.getString(1))
+      .map { case (t, rs) => t -> rs.map(_.getLong(0)).sorted.toSeq }
+    val blocks = TextOps.qInvertedIndex.fn(spark, sf0001).collect()
+    assert(blocks.nonEmpty)
+    val byTerm = blocks.groupBy(_.getString(0))
+    assert(byTerm.size == 12, "term universe must be the df top-12")
+    for ((term, bs) <- byTerm) {
+      val ordered = bs.sortBy(_.getInt(1))
+      // block ids are dense from 0
+      assert(ordered.map(_.getInt(1)).toSeq == ordered.indices, s"$term: block ids not dense")
+      // every block is exactly 128 postings except a shorter last one
+      val sizes = ordered.map(_.getInt(2)).toSeq
+      assert(sizes.init.forall(_ == 128), s"$term: interior block not 128")
+      assert(sizes.last >= 1 && sizes.last <= 128, s"$term: bad tail block")
+      // decode: cumulative sum of gaps, seeded at 0 (first gap is absolute)
+      val gaps = ordered.flatMap(_.getString(4).split(",").map(_.toLong))
+      val decoded = gaps.scanLeft(0L)(_ + _).drop(1)
+      assert(decoded.toSeq == truth(term),
+        s"$term: gap decode diverged from the corpus posting list")
+      // first_doc is the block's first decoded posting
+      val starts = sizes.scanLeft(0)(_ + _).init
+      assert(ordered.map(_.getLong(3)).toSeq == starts.map(decoded(_)),
+        s"$term: first_doc drifted from the decode")
+      // postings strictly ascending => every gap after the first positive
+      assert(decoded.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+        s"$term: decoded postings not strictly ascending")
+    }
+  }
+
+  /** The q_bm25 rational tf-saturation term, re-derived as an exact
+    * BigInt fraction (num, den): 44·tf·S / (20·tf·S + 6·S + 18·dl·N).
+    */
+  private def satTerm(tf: Long, dl: Long, n: Long, s: Long): (BigInt, BigInt) =
+    (BigInt(44) * tf * s, BigInt(20) * tf * s + BigInt(6) * s + BigInt(18) * dl * n)
+
+  test("bm25 ranking law: adding an occurrence of a query term never lowers its score (df fixed)") {
+    // adding one occurrence bumps BOTH tf and dl; cross-multiplied BigInt
+    // comparison — no IEEE rounding trusted. Holds because tf ≤ dl.
+    for {
+      n <- Seq(1L, 10L, 1000L, 1000000L)
+      s <- Seq(50L, 5000L, 50000000L)
+      dl <- Seq(1L, 8L, 100L, 10000L)
+      tf <- Seq(0L, 1L, 3L, dl / 2, dl).distinct if tf <= dl && dl <= s
+    } {
+      val (na, da) = satTerm(tf, dl, n, s)
+      val (nb, db) = satTerm(tf + 1, dl + 1, n, s + 1)
+      // compare vs the SAME corpus constants first (the pure per-doc law)
+      val (nb2, db2) = satTerm(tf + 1, dl + 1, n, s)
+      assert(nb2 * da >= na * db2, s"score dropped on +1 occurrence at (tf=$tf,dl=$dl,n=$n,s=$s)")
+      // and monotone in tf at fixed dl (the saturation curve rises)
+      val (nc, dc) = satTerm(tf + 1, dl, n, s)
+      assert(nc * da >= na * dc, s"saturation term fell in tf at (tf=$tf,dl=$dl,n=$n,s=$s)")
+      // growing the rest of the corpus (S+1) keeps the law: the added
+      // occurrence is also corpus growth when the doc is in-corpus
+      assert(nb * da >= na * db, s"score dropped on +1 occurrence incl. S at (tf=$tf,dl=$dl,n=$n,s=$s)")
+    }
+  }
+
+  test("bm25_postings probe equals full-scan bm25 on matched docs (the hash-oracle claim, locally)") {
+    val probe = TextOps.qBm25Postings.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    val full = TextOps.qBm25.fn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(6))).toMap
+    assert(probe.nonEmpty)
+    for ((id, score) <- probe)
+      assert(full.get(id).contains(score),
+        s"doc $id: probe score $score != full-scan ${full.get(id)} (bit equality required)")
+  }
 }
