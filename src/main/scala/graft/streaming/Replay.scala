@@ -1053,4 +1053,122 @@ object Replay {
     graft.FsUtil.deleteRecursively(ckpt)
     spark.read.parquet(outDir).as[Session]
   }
+
+  /** Shard count for the streaming sampler's bottom-k state — the
+    * parallelism knob: state is k rows PER SHARD, shards hash across
+    * the state-store partitions, and the final merge reads shards·k
+    * rows. 8 matches the replay harness (ReplayStatePartitions); a
+    * production deployment sizes it to its executor count.
+    */
+  private val SampleShards = 8L
+
+  final case class WDoc(doc_id: Long, w: Long, priority: Long)
+
+  /** Stage a documents replay dir with a DRAIN sentinel file: the data
+    * file first, then (strictly later mtime, so `maxFilesPerTrigger=1`
+    * delivers it as its own FINAL micro-batch) one sentinel row per
+    * shard (doc_id −1…−SampleShards covers every pmod class). The
+    * [[sentinelReplayDir]] discipline for a source with no event time:
+    * a watermark can't signal end-of-stream here, so the drain marker
+    * rides the DATA path and is recognized by its impossible id.
+    */
+  private def docSentinelDir(s: SparkSession, d: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val live = Files.createTempDirectory("replay-docsent-in-")
+    Files.copy(Paths.get(s"$d/documents.parquet"), live.resolve("00.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(live.resolve("00.parquet"), FileTime.fromMillis(1000000000000L))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.List.of((0L until SampleShards).map(i =>
+        org.apache.spark.sql.Row(-1L - i, "drain", "xx", "drain", 0L)): _*)
+    val tmp = Files.createTempDirectory("docsent-file-")
+    s.createDataFrame(rows, docSchema).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
+      finally listing.close()
+    Files.move(part, live.resolve("01.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(live.resolve("01.parquet"), FileTime.fromMillis(1000000060000L))
+    graft.FsUtil.deleteRecursively(tmp)
+    live
+  }
+
+  /** Sharded streaming BOTTOM-K state fold: per shard keep the k docs
+    * with the smallest (priority, doc_id) seen so far — a commutative,
+    * idempotent-on-merge monoid (the TopKAgg bound, held as streaming
+    * state), flushed when the shard's drain sentinel arrives. Emission
+    * only at drain is what makes Append mode correct: a bottom-k
+    * member can be displaced by a later batch, so nothing may be
+    * emitted while data still flows.
+    */
+  def sampleStream(docs: Dataset[WDoc], k: Int): Dataset[WDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(dd => ((dd.doc_id % SampleShards) + SampleShards) % SampleShards)
+      .flatMapGroupsWithState[List[WDoc], WDoc](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { (_: Long, it: Iterator[WDoc], state: GroupState[List[WDoc]]) =>
+        def ins(buf: List[WDoc], e: WDoc): List[WDoc] = {
+          val (pre, post) = buf.span(x =>
+            x.priority < e.priority || (x.priority == e.priority && x.doc_id < e.doc_id))
+          val m = pre ::: (e :: post)
+          if (m.length > k) m.take(k) else m
+        }
+        val (drains, data) = it.toSeq.partition(_.doc_id < 0)
+        val buf = data.foldLeft(state.getOption.getOrElse(Nil))(ins)
+        state.update(buf)
+        if (drains.nonEmpty) buf.iterator else Iterator.empty
+      }
+  }
+
+  /** STREAMING WEIGHTED SAMPLE (E16 × E14) — q_weighted_sample as a
+    * sample-on-ingest operator: the replication-min-hash priority is a
+    * pure per-row expression (identical Column tree to the batch
+    * query), so the bottom-k BY PRIORITY is a deterministic set and
+    * the streaming fold just maintains it — per shard, k rows of
+    * state, O(shards·k) total regardless of stream length. The final
+    * batch step merges the 8 shard flushes (≤ 8k rows) into the global
+    * bottom-20, which equals the batch bottom-20 because each shard's
+    * global members are necessarily within that shard's own bottom-k.
+    * ORACLED with q_weighted_sample's own algebra (minus the lang
+    * column the state never carries): the hash match proves the
+    * streamed sample IS the batch sample — trigger-split invariance
+    * comes free from determinism, and ReplaySpec adds the two-phase
+    * displacement law (a later batch's lower priority evicts an
+    * earlier batch's member).
+    */
+  val qStreamSample: graft.ops.Q = graft.ops.Q(
+    "q_stream_sample",
+    (s, d) => {
+      import s.implicits._
+      val live = docSentinelDir(s, d)
+      try {
+        val docs = s.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$live/*.parquet")
+          .select(col("doc_id"),
+            least(size(split(col("text"), " ")).cast("long"), lit(8L)).as("w"))
+          .withColumn("priority",
+            array_min(transform(sequence(lit(0L), col("w") - 1),
+              r => (col("doc_id") * 8L + r) % 2147483647L *
+                2654435761L % 4294967296L)))
+          .as[WDoc]
+        replayToParquet(
+          sampleStream(docs, 20).toDF(),
+          java.nio.file.Files.createTempDirectory("replay-wsample-out-").toString)
+          .orderBy("priority", "doc_id").limit(20)
+          .select("doc_id", "w", "priority")
+      } finally graft.FsUtil.deleteRecursively(live)
+    },
+    Some("""SELECT doc_id,
+                   least(CAST(len(string_split(text,' ')) AS BIGINT), 8) AS w,
+                   list_min(list_transform(
+                     range(0, least(CAST(len(string_split(text,' ')) AS BIGINT), 8)),
+                     r -> (doc_id * 8 + r) % 2147483647 * 2654435761 % 4294967296))
+                     AS priority
+            FROM documents
+            ORDER BY priority, doc_id LIMIT 20""")
+  )
 }

@@ -392,4 +392,33 @@ class ReplaySpec extends SparkSpec {
     assert(replay() == Seq(1L, 3L, 4L),
       "cross-restart dedup state lost, or survivor rule wrong")
   }
+
+  test("streaming sample: a later batch's lower priority displaces an earlier member") {
+    import spark.implicits._
+    import graft.streaming.Replay.WDoc
+    // crafted priorities on one shard (ids ≡ 0 mod 8): k=2, phase-1
+    // members (10,20) must yield to the phase-2 priority-5 arrival —
+    // proving the bottom-k state is maintained ACROSS micro-batches and
+    // nothing was emitted prematurely (Append-mode correctness)
+    val live = Files.createTempDirectory("wsample-live-")
+    def deliver(name: String, idx: Int, docs: Seq[WDoc]): Unit = {
+      val dest = live.resolve(name).toString
+      docs.toDF().coalesce(1).write.mode("overwrite").parquet(dest)
+      Files.setLastModifiedTime(Paths.get(dest),
+        FileTime.fromMillis(1000000000000L + idx * 60000L))
+    }
+    deliver("00.parquet", 0, Seq(WDoc(8, 1, 10), WDoc(16, 1, 20), WDoc(24, 1, 30)))
+    deliver("01.parquet", 1, Seq(WDoc(32, 1, 5)))
+    deliver("02.parquet", 2, Seq(WDoc(-8, 0, 0))) // shard-0 drain sentinel
+    val docs = spark.readStream
+      .schema("doc_id LONG, w LONG, priority LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$live/*.parquet")
+      .as[WDoc]
+    val out = Files.createTempDirectory("wsample-out-").toString + "/rows"
+    val got = Replay.replayToParquet(Replay.sampleStream(docs, 2).toDF(), out)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(got == Seq((8L, 10L), (32L, 5L)),
+      s"bottom-2 after displacement must be {32@5, 8@10}, got $got")
+  }
 }
