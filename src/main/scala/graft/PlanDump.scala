@@ -35,7 +35,8 @@ object PlanDump {
       "q_dv_compact", "q_graph_sample", "q_negative_sampling",
       "q_cogroup", "q_text_normalize",
       "q_bm25", "q_inverted_index", "q_preference_pairs", "q_weighted_sample",
-      "q_bm25_postings", "q_pit_join", "q_length_batching"
+      "q_bm25_postings", "q_pit_join", "q_length_batching",
+      "q_maxsim", "q_gini_diversity", "q_feature_hash"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -282,7 +283,19 @@ object PlanDump {
         ("ONE walk step (repeats WALK_STEPS times, Materialize-checkpointed): degree " +
           "lookup then single-rank adjacency probe, BOTH keyed shuffle_hash equi-joins " +
           "emitting exactly one row per walk — a celebrity node's adjacency is probed " +
-          "at one rank, never fanned out and filtered; work ∝ |walks|, not degree.")
+          "at one rank, never fanned out and filtered; work ∝ |walks|, not degree."),
+      "q_maxsim" ->
+        ("all 16 sub-vector cosines (4 query × 4 doc slices) evaluate inside ONE " +
+          "codegen projection over the scan — greatest + fixed-order sum, no explode, " +
+          "no shuffle; ranking is the top-10 TakeOrderedAndProject funnel."),
+      "q_gini_diversity" ->
+        ("explode → (doc, term) count → per-doc moment agg: two map-side-combined hash " +
+          "aggregations and nothing else — the diversity ratios are one IEEE division " +
+          "each over exact BIGINT moments, computed in the final projection."),
+      "q_feature_hash" ->
+        ("the doc sample filter sits on the scan, the md5-bucket mapping is a per-row " +
+          "projection, and the (doc, bucket) count is ONE map-side-combined hash agg — " +
+          "output bounded at 64 rows per sampled doc, vocabulary-independent.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

@@ -287,7 +287,99 @@ object Quality {
     None // HLL++ estimates are engine-specific — law-verified in spec
   )
 
+  /** LEXICAL DIVERSITY (r8) — the concentration signals a quality
+    * filter reads to catch low-diversity boilerplate (keyword-stuffed
+    * spam, template pages, log spew) that LENGTH rules miss entirely:
+    *
+    *  - type–token ratio `types/n` — the classic vocabulary-richness
+    *    measure;
+    *  - Simpson diversity `1 − Σc²/n²` — the probability two randomly
+    *    drawn tokens DIFFER (the complement of the repeat probability;
+    *    1 − Gini impurity's complement, exact-rational unlike Shannon
+    *    entropy, which needs the banned ln).
+    *
+    * Both are ONE IEEE division/subtraction over exact BIGINT moments
+    * (n, types, Σc²), rounded once — the q_tfidf no-transcendental
+    * trade. Shape: explode → (doc, term) count (map-side combined) →
+    * per-doc moment agg; the second groupBy's doc_id keys are a PREFIX
+    * of the first's (doc, term) hash — at 100 TB both are plain
+    * hash-agg shuffles with no join anywhere. A shuffle-free variant
+    * (sorted-array run-length fold in one projection) exists but has
+    * no shared-dialect spelling; the explode form is the honest
+    * map-combinable shape.
+    */
+  val qGiniDiversity = Q(
+    "q_gini_diversity",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_toks"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("sum_c2"))
+        .select(col("doc_id"), col("n_toks"), col("n_types"),
+          round(col("n_types").cast("double") / col("n_toks").cast("double"), 6)
+            .as("ttr"),
+          round(lit(1.0) - col("sum_c2").cast("double") /
+            (col("n_toks") * col("n_toks")).cast("double"), 6).as("simpson"))
+        .orderBy("doc_id"),
+    Some("""WITH tf AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            cnt AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+              FROM tf GROUP BY doc_id, term),
+            m AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_toks,
+                     CAST(count(*) AS BIGINT) AS n_types,
+                     CAST(sum(c * c) AS BIGINT) AS sum_c2
+              FROM cnt GROUP BY doc_id)
+            SELECT doc_id, n_toks, n_types,
+                   round(CAST(n_types AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS ttr,
+                   round(1.0 - CAST(sum_c2 AS DOUBLE) / CAST(n_toks * n_toks AS DOUBLE), 6) AS simpson
+            FROM m ORDER BY doc_id""")
+  )
+
+  /** FEATURE HASHING (r8) — the hashing trick (Weinberger et al. 2009):
+    * tokens map to a FIXED 64-bucket feature space via a hash, so the
+    * featurizer needs no vocabulary, no fit pass, no broadcast dict —
+    * the always-online featurization a streaming classifier or an
+    * online quality model consumes. Collisions are the accepted trade
+    * (two tokens sharing a bucket add their counts); the dimensionality
+    * is a constant independent of corpus vocabulary — the property that
+    * makes the op trivially 100 TB-safe.
+    *
+    * Cross-engine hash: the first 4 hex digits of md5(token) parsed as
+    * an integer, mod 64 — md5 is bit-identical everywhere (the
+    * q_fingerprint anchor), and 16 bits ≫ 6 bucket bits keeps the
+    * parse exact. Shape: pushed-filter doc sample → explode → ONE
+    * (doc, bucket) hash agg, map-side combined; ≤ 64 rows out per doc.
+    */
+  val qFeatureHash = Q(
+    "q_feature_hash",
+    (s, d) =>
+      documents(s, d)
+        .where(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % 64)
+            .as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket"),
+    Some("""WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id % 25 = 0)
+            SELECT doc_id,
+                   ('0x' || substr(md5(term), 1, 4))::BIGINT % 64 AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM toks
+            GROUP BY doc_id, ('0x' || substr(md5(term), 1, 4))::BIGINT % 64
+            ORDER BY doc_id, bucket""")
+  )
+
   val all: Seq[Q] =
     Seq(qRepetition, qPiiRedact, qLengthHistogram, qQualityClassifier, qProfile,
-      qProfileApprox)
+      qProfileApprox, qGiniDiversity, qFeatureHash)
 }

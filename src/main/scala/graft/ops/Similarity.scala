@@ -1394,8 +1394,67 @@ object Similarity {
              ORDER BY rrf DESC, id ASC""")
   )
 
+  /** LATE-INTERACTION SCORING (r8) — the ColBERT/multi-vector retrieval
+    * model: a document is FOUR 16-dim sub-vectors (the 64-dim embedding
+    * sliced — the multi-vector layout per-token encoders produce), the
+    * query likewise, and relevance is MaxSim: for each query sub-vector
+    * take the best-matching document sub-vector's cosine, then sum over
+    * the query's four — finer-grained than single-vector cosine because
+    * one strong facet match can't be averaged away by the other facets.
+    *
+    * Exactness: all 16 cosines are the same [[dot]] codegen fold the
+    * kNN family uses (sequential sum ≡ DuckDB list_sum), `greatest`
+    * over 4 doubles and the fixed left-to-right 4-term sum are
+    * order-pinned in both dialects, round(,6) only at the end. The
+    * oracle's 16 cosine terms are GENERATED by the same Scala loop that
+    * builds the Spark expression (the q_zorder_key one-code-path
+    * discipline), so the two dialects cannot drift.
+    *
+    * Scale: per-row projection (16 dots over the scan) + top-10
+    * TakeOrderedAndProject — shuffle-free like q_knn_cosine; the ANN
+    * front (IVF/LSH bucket the FIRST sub-vector, rescore candidates
+    * with full MaxSim) composes exactly like q_knn_join_ann.
+    */
+  val qMaxsim = Q(
+    "q_maxsim",
+    (s, d) => {
+      val emb = embeddings(s, d).select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = queryVec(emb)
+      def dsub(j: Int): Column = slice(col("v"), j * 16 + 1, 16)
+      def cosIj(i: Int, j: Int): Column = {
+        val qs = typedLit(q.slice(16 * i, 16 * i + 16))
+        dot(qs, dsub(j)) / (sqrt(norm2(qs)) * sqrt(norm2(dsub(j))))
+      }
+      val score = (0 until 4)
+        .map(i => greatest((0 until 4).map(j => cosIj(i, j)): _*))
+        .reduceLeft(_ + _)
+      emb.where(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(score, 6).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some {
+      def cosIj(i: Int, j: Int): String = {
+        val (oi, oj) = (16 * i, 16 * j)
+        s"""(list_sum([qv[$oi + t] * v[$oj + t] for t in range(1, 17)]) /
+            (sqrt(list_sum([qv[$oi + t] * qv[$oi + t] for t in range(1, 17)])) *
+             sqrt(list_sum([v[$oj + t] * v[$oj + t] for t in range(1, 17)]))))"""
+      }
+      val score = (0 until 4)
+        .map(i => s"greatest(${(0 until 4).map(j => cosIj(i, j)).mkString(", ")})")
+        .mkString(" + ")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
+          SELECT vec_id, round($score, 6) AS maxsim
+          FROM e, q
+          ORDER BY maxsim DESC, vec_id ASC
+          LIMIT 10"""
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qKnnJoin, qKnnJoinAnn, qSemdedup, qPrototypePrune, qKmeans, qDedupEmbedding,
       qEmbeddingCc, qAnnIvf, qAnnPq, qAnnSq8, qAnnLsh, qPairwiseNear, qRankFusion, qMultimodalJoin,
-      qMultimodalMeta)
+      qMultimodalMeta, qMaxsim)
 }

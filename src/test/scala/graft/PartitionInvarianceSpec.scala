@@ -46,7 +46,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_inverted_index", "q_preference_pairs", "q_bm25",
     // round-8 additions: probe-path retrieval, entity-window PIT join,
     // bucket-window batching, iterative hash-choice walks
-    "q_bm25_postings", "q_pit_join", "q_length_batching", "q_random_walk"
+    "q_bm25_postings", "q_pit_join", "q_length_batching", "q_random_walk",
+    "q_gini_diversity", "q_feature_hash"
   )
 
   test("q_global_rownum identical at range-partition counts 3 and 32") {

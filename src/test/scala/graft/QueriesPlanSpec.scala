@@ -724,6 +724,27 @@ class QueriesPlanSpec extends SparkSpec {
     assert(shuffles(p) <= 2, "bucket window + output sort only — the groupBy must reuse the exchange")
   }
 
+  test("q_maxsim: 16 cosines in one shuffle-free projection, top-10 TakeOrdered") {
+    val p = plan("q_maxsim")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
+    assert(!p.contains("HashAggregate") && !p.contains("Window") && !p.contains("Generate"))
+    assert(shuffles(p) == 0, "late-interaction scoring acquired a shuffle")
+  }
+
+  test("q_gini_diversity: two map-side-combined hash aggs, no join") {
+    val p = plan("q_gini_diversity")
+    assert(p.contains("partial_count(1)"), "term counts lost their map-side combine")
+    assert(!p.contains("Join"), "diversity moments must not join")
+    assert(shuffles(p) <= 3, "term agg + doc agg + output sort only")
+  }
+
+  test("q_feature_hash: one hash agg over the exploded sample, no join, no window") {
+    val p = plan("q_feature_hash")
+    assert(p.contains("partial_count(1)"), "bucket counts lost their map-side combine")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(shuffles(p) <= 2, "bucket agg + output sort only")
+  }
+
   test("q_random_walk round: two keyed equi-joins, one row per walk — no fan-out, no broadcast") {
     val p = graft.ops.Graph.walkRound(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
