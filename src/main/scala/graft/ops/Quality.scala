@@ -303,10 +303,11 @@ object Quality {
     * trade. Shape: explode → (doc, term) count (map-side combined) →
     * per-doc moment agg; the second groupBy's doc_id keys are a PREFIX
     * of the first's (doc, term) hash — at 100 TB both are plain
-    * hash-agg shuffles with no join anywhere. A shuffle-free variant
-    * (sorted-array run-length fold in one projection) exists but has
-    * no shared-dialect spelling; the explode form is the honest
-    * map-combinable shape.
+    * hash-agg shuffles with no join anywhere. The SHUFFLE-FREE twin
+    * ([[giniPerRow]] — sorted-array run-length fold in one projection,
+    * zero exchanges) is shipped and spec-proven identical
+    * (QualityProfileSpec); it has no shared-dialect spelling, so the
+    * explode form stays the declared/oracled query.
     */
   val qGiniDiversity = Q(
     "q_gini_diversity",
@@ -341,6 +342,40 @@ object Quality {
                    round(1.0 - CAST(sum_c2 AS DOUBLE) / CAST(n_toks * n_toks AS DOUBLE), 6) AS simpson
             FROM m ORDER BY doc_id""")
   )
+
+  /** The 100 TB form of [[qGiniDiversity]]: the SAME (n, types, Σc²)
+    * moments from a run-length fold over the SORTED token array — one
+    * per-row projection, ZERO exchanges, scan speed at any corpus
+    * size. The fold closes each run when the token changes (adding
+    * run² to Σc² and 1 to types) and the finish lambda closes the last
+    * run. HOF `aggregate` is CodegenFallback (documented E11 trade) —
+    * still per-row and shuffle-free, which is what matters at scale.
+    * QualityProfileSpec proves row-for-row equality with the declared
+    * two-shuffle form, so the twin inherits its oracle transitively.
+    */
+  def giniPerRow(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        expr("""aggregate(
+                  array_sort(split(text, ' ')),
+                  named_struct('prev', CAST(NULL AS STRING),
+                               'run', 0L, 'types', 0L, 'sumc2', 0L),
+                  (a, x) -> IF(a.prev IS NOT NULL AND x = a.prev,
+                    named_struct('prev', x, 'run', a.run + 1L,
+                                 'types', a.types, 'sumc2', a.sumc2),
+                    named_struct('prev', x, 'run', 1L,
+                                 'types', a.types + 1L,
+                                 'sumc2', a.sumc2 + a.run * a.run)),
+                  a -> named_struct('types', a.types,
+                                    'sumc2', a.sumc2 + a.run * a.run))""").as("m"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .select(col("doc_id"), col("n_toks"),
+        col("m.types").as("n_types"),
+        round(col("m.types").cast("double") / col("n_toks").cast("double"), 6)
+          .as("ttr"),
+        round(lit(1.0) - col("m.sumc2").cast("double") /
+          (col("n_toks") * col("n_toks")).cast("double"), 6).as("simpson"))
+      .orderBy("doc_id")
 
   /** FEATURE HASHING (r8) — the hashing trick (Weinberger et al. 2009):
     * tokens map to a FIXED 64-bucket feature space via a hash, so the

@@ -976,11 +976,24 @@ object Sampling {
         .agg(expr("percentile(value, array(0.05, 0.95))").as("p"))
         .select(col("event_type").as("g"),
           element_at(col("p"), 1).as("lo"), element_at(col("p"), 2).as("hi"))
+      // was_clipped derives from the ROUNDED quantities, never from a
+      // raw double vs the raw interpolated percentile: the two engines'
+      // quantile interpolations can differ by an ulp, and a data value
+      // within that ulp of the boundary would flip a raw `value < lo`
+      // (observed at sf1, row 4872 — 1e6 samples land one value on the
+      // knife edge that 1e5 never hit). round(value,6) == clipped is
+      // engine-deterministic by construction: both operands are already
+      // hash-stable columns; a knife-edge row (|value − lo| < 5e-7)
+      // counts as NOT clipped in both engines — the documented
+      // boundary-tolerance trade, same spirit as q_dedup_embedding's
+      // threshold-clearance rule.
       events(s, d)
         .join(broadcast(stats), col("event_type") === col("g"))
         .select(col("event_id"), col("event_type"),
           round(greatest(col("lo"), least(col("hi"), col("value"))), 6).as("clipped"),
-          (col("value") < col("lo") || col("value") > col("hi")).as("was_clipped"))
+          (round(col("value"), 6) =!=
+            round(greatest(col("lo"), least(col("hi"), col("value"))), 6))
+            .as("was_clipped"))
         .orderBy("event_id")
     },
     Some("""WITH stats AS (
@@ -990,7 +1003,7 @@ object Sampling {
               FROM events GROUP BY event_type)
             SELECT event_id, event_type,
                    round(greatest(lo, least(hi, value)), 6) AS clipped,
-                   (value < lo OR value > hi) AS was_clipped
+                   (round(value, 6) <> round(greatest(lo, least(hi, value)), 6)) AS was_clipped
             FROM events JOIN stats ON event_type = g
             ORDER BY event_id""")
   )

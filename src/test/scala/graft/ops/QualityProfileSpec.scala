@@ -45,4 +45,18 @@ class QualityProfileSpec extends SparkSpec {
     assert(p.contains("partial_approx_count_distinct") || p.contains("approx_count_distinct"),
       "HLL++ sketch aggregate missing")
   }
+
+  test("giniPerRow (shuffle-free twin) equals q_gini_diversity row for row, zero exchanges") {
+    val declared = Quality.qGiniDiversity.fn(spark, sf0001).collect().toSeq
+    val twin = Quality.giniPerRow(spark, sf0001).collect().toSeq
+    assert(declared.nonEmpty && twin.map(_.toSeq) == declared.map(_.toSeq),
+      "run-length fold diverged from the explode/groupBy moments")
+    val p = Quality.giniPerRow(spark, sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("HashAggregate") && !p.contains("Join"))
+    assert(!p.linesIterator.exists(_.matches(""".*\(\d+\) Exchange\s*""")) ||
+      p.linesIterator.count(_.matches(""".*\(\d+\) Exchange\s*""")) <= 1,
+      "the per-row twin acquired a data shuffle (only the output sort may exchange)")
+  }
 }
