@@ -221,5 +221,106 @@ object Curation {
             FROM counts ORDER BY lang, source""")
   )
 
-  val all: Seq[Q] = Seq(qCurationPipeline, qDomainFilter, qNucleusSources)
+  /** DATA-CONTRACT EXPECTATIONS (r8) — declarative ingest-time quality
+    * gates with a per-rule violation audit, the Delta-Live-Tables /
+    * Great-Expectations shape: a rule set is declared ONCE, every row
+    * is flagged against all rules in a single pass, and the output is
+    * the audit relation a pipeline owner alerts on (rule, violation
+    * count, rate, first/last offending id). The same per-row flags ARE
+    * the quarantine router — `WHERE NOT v_any` is the clean stream,
+    * `WHERE v_any` the quarantine sink — so enforcement costs nothing
+    * beyond this audit's one scan.
+    *
+    * The four rules cover the contract classes a real gate needs:
+    * range (`value <= 300`), enum/denylist (`event_type <> 'error'`),
+    * nested-field (`props.k < 90` out of the JSON payload — the
+    * q_scalar_json extraction), and referential integrity (`user_id`
+    * must resolve to an ACTIVE customer, c_acctbal > 0 — a LEFT join
+    * against the dim whose null side is the violation). `z_any_rule`
+    * aggregates the union.
+    *
+    * Scale shape: ONE corpus scan → per-row flag projection (the dim
+    * join is broadcast — dim-bounded build side, the always-correct
+    * broadcast) → ONE map-side-combined 1-row aggregate (16 sums/
+    * mins/maxes) → a 5-row explode. No corpus-sized shuffle anywhere:
+    * at 100 TB the audit is scan + broadcast + partial-agg merge.
+    * Exactness: counts/ids are exact BIGINTs; each rate is ONE IEEE
+    * division from two exact longs, round(,6).
+    *
+    * One-code-path discipline: the Spark struct array and the oracle's
+    * UNION ALL branches are generated from the same [[expectRules]]
+    * list, so rule names/order can never drift between dialects.
+    */
+  private val expectRules: Seq[(String, Int)] = Seq(
+    "r1_value_le_300" -> 1,
+    "r2_type_not_error" -> 2,
+    "r3_props_k_lt_90" -> 3,
+    "r4_user_active" -> 4,
+    "z_any_rule" -> 0
+  )
+
+  val qExpectations = Q(
+    "q_expectations",
+    (s, d) => {
+      val active = customer(s, d)
+        .where(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("uid"))
+      val flagged = events(s, d)
+        .join(broadcast(active), col("user_id") === col("uid"), "left")
+        .select(
+          col("event_id"),
+          (col("value") > 300).as("v1"),
+          (col("event_type") === "error").as("v2"),
+          (get_json_object(col("props"), "$.k").cast("long") >= 90).as("v3"),
+          col("uid").isNull.as("v4"))
+        .withColumn("v0", col("v1") || col("v2") || col("v3") || col("v4"))
+      val perRule = expectRules.map(_._2).flatMap { i =>
+        Seq(
+          sum(when(col(s"v$i"), 1L).otherwise(0L)).as(s"n$i"),
+          min(when(col(s"v$i"), col("event_id"))).as(s"lo$i"),
+          max(when(col(s"v$i"), col("event_id"))).as(s"hi$i"))
+      }
+      val agg = flagged.agg(count(lit(1)).as("n_rows"), perRule: _*)
+      agg
+        .select(explode(array(expectRules.map { case (nm, i) =>
+          struct(
+            lit(nm).as("rule"),
+            col(s"n$i").as("n_violations"),
+            round(col(s"n$i").cast("double") / col("n_rows").cast("double"), 6)
+              .as("violation_rate"),
+            col(s"lo$i").as("first_bad_id"),
+            col(s"hi$i").as("last_bad_id"))
+        }: _*)).as("r"))
+        .select(col("r.*"))
+        .orderBy("rule")
+    },
+    Some {
+      val branches = expectRules.map { case (nm, i) =>
+        s"""SELECT '$nm' AS rule, n$i AS n_violations,
+                   round(CAST(n$i AS DOUBLE) / n_rows, 6) AS violation_rate,
+                   lo$i AS first_bad_id, hi$i AS last_bad_id FROM a"""
+      }.mkString("\n            UNION ALL\n            ")
+      val aggCols = expectRules.map(_._2).map { i =>
+        s"""CAST(sum(CASE WHEN v$i THEN 1 ELSE 0 END) AS BIGINT) AS n$i,
+            min(CASE WHEN v$i THEN event_id END) AS lo$i,
+            max(CASE WHEN v$i THEN event_id END) AS hi$i"""
+      }.mkString(",\n                   ")
+      s"""WITH active AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0),
+          f AS (SELECT event_id,
+                       (value > 300) AS v1,
+                       (event_type = 'error') AS v2,
+                       (CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 90) AS v3,
+                       (c_custkey IS NULL) AS v4
+                FROM events LEFT JOIN active ON user_id = c_custkey),
+          g AS (SELECT *, (v1 OR v2 OR v3 OR v4) AS v0 FROM f),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   $aggCols
+                FROM g)
+          $branches
+          ORDER BY rule"""
+    }
+  )
+
+  val all: Seq[Q] =
+    Seq(qCurationPipeline, qDomainFilter, qNucleusSources, qExpectations)
 }

@@ -994,9 +994,111 @@ object Dedup {
             ORDER BY event_id""")
   )
 
+  /** KMV CORPUS-OVERLAP ESTIMATION (r8) — the K-minimum-values sketch
+    * (Beyer et al. 2007) answering the decontamination team's sizing
+    * question — "HOW overlapped are train and eval?" — at the cost of a
+    * DISTINCT instead of the corpus join the exact answer
+    * (q_decontaminate) costs. Each corpus keeps only its k=64 SMALLEST
+    * distinct 48-bit shingle hashes; because a uniform hash makes the
+    * k-th minimum a cardinality pivot, the two 64-row sketches yield
+    * distinct-shingle estimates (`(k−1)·2⁴⁸ div kth_min`) AND a
+    * Jaccard estimate (share of the union's 64 smallest present in
+    * both sketches) without ever materializing an intersection.
+    *
+    * Exactness: the sketch is DETERMINISTIC — bottom-k of md5-derived
+    * integers (the q_feature_hash cross-engine hash: first 12 hex
+    * digits as a 48-bit BIGINT) — so every output column is exact
+    * integer arithmetic except `jaccard_est`, ONE IEEE division,
+    * round(,6); the oracle reproduces the sketch bit-for-bit.
+    *
+    * Scale shape: corpus-sized work is the shingle explode + ONE
+    * map-side-combinable DISTINCT on (corpus, h); the per-corpus
+    * bottom-64 is a rank-window Spark rewrites to WindowGroupLimit —
+    * each map partition forwards ≤64 rows per corpus — and everything
+    * downstream touches ≤128 rows. The sketch is a MERGEABLE monoid
+    * (bottom-k of a union = bottom-k of the sketches' union — spec law
+    * in KmvSpec), so shard sketches combine without re-scanning: the
+    * property that lets a 100 TB train corpus be compared against
+    * every eval suite from one pass.
+    */
+  val qKmvOverlap = Q(
+    "q_kmv_overlap",
+    (s, d) => {
+      val k = 64
+      val estNum = 63L * (1L << 48) // (k-1)·2^48, exact in a BIGINT
+      val sh = fanOut(documents(s, d))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 3)
+        .select(
+          when(col("doc_id") % 10 < 8, "train").otherwise("eval").as("corpus"),
+          explode(array_distinct(expr(
+            """transform(sequence(1, size(w) - 2),
+                 i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+                                element_at(w, i + 2)))"""))).as("sh"))
+      val hashed = sh
+        .select(col("corpus"),
+          conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+        .distinct()
+      val sketch = hashed
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("corpus").orderBy("h")))
+        .where(col("rn") <= k)
+        .select("corpus", "h")
+      val m = sketch
+        .groupBy("h")
+        .agg(
+          max(when(col("corpus") === "train", 1L).otherwise(0L)).as("in_a"),
+          max(when(col("corpus") === "eval", 1L).otherwise(0L)).as("in_b"))
+        .orderBy("h")
+        .limit(k)
+      val shared = m.agg(sum(col("in_a") * col("in_b")).as("n_shared"))
+      val aKth = sketch.where(col("corpus") === "train").agg(max("h").as("a_kth"))
+      val bKth = sketch.where(col("corpus") === "eval").agg(max("h").as("b_kth"))
+      shared
+        .crossJoin(broadcast(aKth))
+        .crossJoin(broadcast(bKth))
+        .select(
+          lit(k.toLong).as("k"),
+          col("a_kth"), col("b_kth"),
+          expr(s"CAST($estNum DIV a_kth AS BIGINT)").as("a_card_est"),
+          expr(s"CAST($estNum DIV b_kth AS BIGINT)").as("b_card_est"),
+          col("n_shared"),
+          round(col("n_shared").cast("double") / k, 6).as("jaccard_est"))
+        .orderBy("k")
+    },
+    Some {
+      val estNum = 63L * (1L << 48)
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents WHERE len(string_split(text, ' ')) >= 3),
+          sh AS (SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'eval' END AS corpus,
+                        unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                              for i in range(1, len(w) - 1)])) AS s
+                 FROM toks),
+          hashed AS (SELECT DISTINCT corpus,
+                            ('0x' || substr(md5(s), 1, 12))::BIGINT AS h FROM sh),
+          ranked AS (SELECT corpus, h,
+                            row_number() OVER (PARTITION BY corpus ORDER BY h) AS rn
+                     FROM hashed),
+          sk AS (SELECT corpus, h FROM ranked WHERE rn <= 64),
+          m AS (SELECT h,
+                       max(CASE WHEN corpus = 'train' THEN 1 ELSE 0 END) AS in_a,
+                       max(CASE WHEN corpus = 'eval' THEN 1 ELSE 0 END) AS in_b
+                FROM sk GROUP BY h ORDER BY h LIMIT 64),
+          stats AS (SELECT CAST(sum(in_a * in_b) AS BIGINT) AS n_shared FROM m),
+          a AS (SELECT max(h) AS a_kth FROM sk WHERE corpus = 'train'),
+          b AS (SELECT max(h) AS b_kth FROM sk WHERE corpus = 'eval')
+          SELECT CAST(64 AS BIGINT) AS k, a_kth, b_kth,
+                 $estNum // a_kth AS a_card_est,
+                 $estNum // b_kth AS b_card_est,
+                 n_shared,
+                 round(CAST(n_shared AS DOUBLE) / 64, 6) AS jaccard_est
+          FROM stats, a, b ORDER BY k"""
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qDedupExact, qDedupKey, qCdcApply, qScd2, qPitJoin, qDedupNgram, qDedupMinhash,
       qDedupSimhash,
       qDedupCc, qDecontaminate, qDecontaminateBloom, qIncrementalDedup, qDedupSurvivor,
-      qSubstringDedup)
+      qSubstringDedup, qKmvOverlap)
 }

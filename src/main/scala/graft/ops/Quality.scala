@@ -414,7 +414,76 @@ object Quality {
             ORDER BY doc_id, bucket""")
   )
 
+  /** FROZEN INTEGER MLP QUALITY SCORER (r8) — the nonlinear step up
+    * from [[qQualityClassifier]]'s linear model: a 2-layer
+    * 64→8→1 ReLU network over [[qFeatureHash]]'s hashed features,
+    * quantized to INTEGER weights — the quantized-distillation serving
+    * shape (score with a tiny integer student, not the teacher LLM).
+    * Every hidden pre-activation is an exact BIGINT sum, ReLU is
+    * `greatest(0, ·)`, and the output layer a fixed 8-term integer
+    * combination — NO floats anywhere, so the score is hash-exact with
+    * no rounding discipline needed at all.
+    *
+    * Weights are formula-frozen (`w1(b,j) = (13b+5j) mod 7 − 3`,
+    * `b1(j) = j mod 3 − 1`, `w2(j) = 3j mod 5 − 2`) so BOTH dialects
+    * derive them from the same integers — the q_ann_lsh frozen-literal
+    * discipline without shipping 520 literals; the Scala loop that
+    * builds the Spark columns GENERATES the oracle's sums (the
+    * q_zorder_key one-code-path rule), so layer shapes cannot drift.
+    *
+    * Scale shape: explode → ONE map-side-combined 8-sum aggregate
+    * (the hidden layer IS the aggregate — each token row contributes
+    * w1(bucket, j) to 8 partial sums) → a per-row output projection.
+    * No join, no vocabulary, no broadcast: featurizer (hashing trick)
+    * and model (integer formulas) are both corpus-independent
+    * constants, which is what makes inference at 100 TB exactly one
+    * scan + one |docs|-row shuffle. MlpSpec re-derives scores from
+    * raw text in plain Scala.
+    */
+  val qMlpScore = Q(
+    "q_mlp_score", {
+      (s, d) =>
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .select(col("doc_id"),
+            (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % 64)
+              .as("b"))
+        val hidden = toks.groupBy("doc_id").agg(
+          sum((col("b") * 13 + lit(0 * 5)) % 7 - 3).as("a0"),
+          (1 until 8).map(j =>
+            sum((col("b") * 13 + lit(j * 5)) % 7 - 3).as(s"a$j")): _*)
+        val score = (0 until 8)
+          .map(j =>
+            greatest(lit(0L), col(s"a$j") + lit(j % 3 - 1).cast("long")) *
+              lit((j * 3) % 5 - 2).cast("long"))
+          .reduceLeft(_ + _)
+        hidden
+          .select(col("doc_id"), score.as("mlp_score"),
+            (score > 0).as("accept"))
+          .orderBy("doc_id")
+    },
+    Some {
+      val sums = (0 until 8)
+        .map(j => s"CAST(sum((b * 13 + ${j * 5}) % 7 - 3) AS BIGINT) AS a$j")
+        .mkString(",\n                   ")
+      val score = (0 until 8)
+        .map(j => s"greatest(CAST(0 AS BIGINT), a$j + ${j % 3 - 1}) * ${(j * 3) % 5 - 2}")
+        .mkString(" + ")
+      s"""WITH toks AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(term), 1, 4))::BIGINT % 64 AS b
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)),
+          f AS (SELECT doc_id,
+                   $sums
+                FROM toks GROUP BY doc_id)
+          SELECT doc_id, CAST($score AS BIGINT) AS mlp_score,
+                 ($score) > 0 AS accept
+          FROM f ORDER BY doc_id"""
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qRepetition, qPiiRedact, qLengthHistogram, qQualityClassifier, qProfile,
-      qProfileApprox, qGiniDiversity, qFeatureHash)
+      qProfileApprox, qGiniDiversity, qFeatureHash, qMlpScore)
 }

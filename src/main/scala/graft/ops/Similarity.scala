@@ -1415,39 +1415,154 @@ object Similarity {
     * front (IVF/LSH bucket the FIRST sub-vector, rescore candidates
     * with full MaxSim) composes exactly like q_knn_join_ann.
     */
+  /** The MaxSim score over `col("v")` for a driver-known query vector —
+    * shared by [[qMaxsim]] (full scan) and [[qMaxsimAnn]] (routed), so
+    * the two paths cannot diverge by construction.
+    */
+  private def maxsimCol(q: Seq[Double]): Column = {
+    def dsub(j: Int): Column = slice(col("v"), j * 16 + 1, 16)
+    def cosIj(i: Int, j: Int): Column = {
+      val qs = typedLit(q.slice(16 * i, 16 * i + 16))
+      dot(qs, dsub(j)) / (sqrt(norm2(qs)) * sqrt(norm2(dsub(j))))
+    }
+    (0 until 4)
+      .map(i => greatest((0 until 4).map(j => cosIj(i, j)): _*))
+      .reduceLeft(_ + _)
+  }
+
+  /** The oracle's 16 cosine terms over `qv`/`v`, generated by the same
+    * index loops as [[maxsimCol]] (one-code-path discipline).
+    */
+  private def duckMaxsim: String = {
+    def cosIj(i: Int, j: Int): String = {
+      val (oi, oj) = (16 * i, 16 * j)
+      s"""(list_sum([qv[$oi + t] * v[$oj + t] for t in range(1, 17)]) /
+          (sqrt(list_sum([qv[$oi + t] * qv[$oi + t] for t in range(1, 17)])) *
+           sqrt(list_sum([v[$oj + t] * v[$oj + t] for t in range(1, 17)]))))"""
+    }
+    (0 until 4)
+      .map(i => s"greatest(${(0 until 4).map(j => cosIj(i, j)).mkString(", ")})")
+      .mkString(" + ")
+  }
+
   val qMaxsim = Q(
     "q_maxsim",
     (s, d) => {
       val emb = embeddings(s, d).select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val q = queryVec(emb)
-      def dsub(j: Int): Column = slice(col("v"), j * 16 + 1, 16)
-      def cosIj(i: Int, j: Int): Column = {
-        val qs = typedLit(q.slice(16 * i, 16 * i + 16))
-        dot(qs, dsub(j)) / (sqrt(norm2(qs)) * sqrt(norm2(dsub(j))))
-      }
-      val score = (0 until 4)
-        .map(i => greatest((0 until 4).map(j => cosIj(i, j)): _*))
-        .reduceLeft(_ + _)
+      val score = maxsimCol(queryVec(emb))
       emb.where(col("vec_id") =!= 0)
         .select(col("vec_id"), round(score, 6).as("maxsim"))
         .orderBy(col("maxsim").desc, col("vec_id").asc)
         .limit(10)
     },
     Some {
-      def cosIj(i: Int, j: Int): String = {
-        val (oi, oj) = (16 * i, 16 * j)
-        s"""(list_sum([qv[$oi + t] * v[$oj + t] for t in range(1, 17)]) /
-            (sqrt(list_sum([qv[$oi + t] * qv[$oi + t] for t in range(1, 17)])) *
-             sqrt(list_sum([v[$oj + t] * v[$oj + t] for t in range(1, 17)]))))"""
-      }
-      val score = (0 until 4)
-        .map(i => s"greatest(${(0 until 4).map(j => cosIj(i, j)).mkString(", ")})")
-        .mkString(" + ")
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
           e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0)
-          SELECT vec_id, round($score, 6) AS maxsim
+          SELECT vec_id, round($duckMaxsim, 6) AS maxsim
           FROM e, q
+          ORDER BY maxsim DESC, vec_id ASC
+          LIMIT 10"""
+    }
+  )
+
+  /** The 8 facet hyperplanes routing [[qMaxsimAnn]]: 16-dim Gaussians
+    * (seed 7 — distinct from [[lshPlanes]]' seed 42), applied to EVERY
+    * 16-dim facet of every vector, so one shared coarse quantizer
+    * serves all four facet subspaces (the PLAID single-centroid-space
+    * layout, sign-LSH instead of k-means).
+    */
+  private lazy val facetPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(8)(Seq.fill(16)(rnd.nextGaussian()))
+  }
+
+  private lazy val duckFacetPlaneRows: String =
+    facetPlanes.zipWithIndex.map { case (pl, p) =>
+      s"(${1L << p}, [${pl.mkString(",")}])"
+    }.mkString(", ")
+
+  /** ROUTED LATE-INTERACTION RETRIEVAL (r8) — the ANN front
+    * [[qMaxsim]]'s scaladoc promises, completing the exact/approximate
+    * pairing the repo ships for every similarity family
+    * (knn_join/knn_join_ann, bm25/bm25_postings): ColBERT-style
+    * multi-vector search routes on COARSE FACET BUCKETS, then rescores
+    * candidates with the full MaxSim.
+    *
+    * Routing: every 16-dim facet of every vector gets an 8-bit sign
+    * signature against the frozen [[facetPlanes]] (so a document posts
+    * FOUR bucket ids — one per facet, the "index every token vector"
+    * ColBERT layout); the query probes its own four buckets EXPANDED
+    * to Hamming distance ≤ 1 (multi-probe LSH, Lv et al. 2007 — 9
+    * buckets per query facet), and any facet collision makes the
+    * document a candidate. Candidates get the exact [[maxsimCol]]
+    * score, top-10. AnnSpec pins recall vs the exact top-10.
+    *
+    * Exactness: signatures are sign tests on the same plane literals
+    * in both dialects (the q_ann_lsh discipline); the probe set is
+    * XOR-expanded from the query signatures; candidate membership and
+    * the rescore are therefore bit-reproducible end to end — the whole
+    * routed path is HASH-ORACLED including its approximation boundary
+    * (docs the router misses are missing from BOTH engines).
+    *
+    * Scale shape: ZERO exchanges — per-row signature filter (32 plane
+    * dots) → per-row MaxSim on survivors → TakeOrderedAndProject. The
+    * query-side buckets are driver-computed literals (the q_ann_pq
+    * probe idiom), so the filter is `bucket ∈ probe-set` — with the
+    * postings materialized bucket-partitioned (the q_bm25_postings
+    * layout trick), that literal IN-list is PARTITION PRUNING and the
+    * scan touches only probed buckets; the in-query form keeps the
+    * routing semantics declared and hash-verified.
+    */
+  val qMaxsimAnn = Q(
+    "q_maxsim_ann",
+    (s, d) => {
+      val emb = embeddings(s, d).select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = queryVec(emb)
+      // driver-side query signatures: same sequential dot as the codegen
+      // fold and the oracle's list_sum — bit-identical sign tests
+      def qBucket(i: Int): Long =
+        facetPlanes.zipWithIndex.map { case (pl, p) =>
+          var a = 0.0; var t = 0
+          while (t < 16) { a += q(16 * i + t) * pl(t); t += 1 }
+          if (a >= 0.0) 1L << p else 0L
+        }.sum
+      val probe: Seq[Long] = (for {
+        i <- 0 until 4
+        m <- 0L +: (0 until 8).map(p => 1L << p)
+      } yield qBucket(i) ^ m).distinct.sorted
+      def docBucket(j: Int): Column =
+        facetPlanes.zipWithIndex.map { case (pl, p) =>
+          when(dot(typedLit(pl), slice(col("v"), j * 16 + 1, 16)) >= 0.0,
+            lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      val probeLit = typedLit(probe)
+      val isCand = (0 until 4)
+        .map(j => array_contains(probeLit, docBucket(j)))
+        .reduce(_ || _)
+      emb.where(col("vec_id") =!= 0 && isCand)
+        .select(col("vec_id"), round(maxsimCol(q), 6).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some {
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          planes(wt, p) AS (VALUES $duckFacetPlaneRows),
+          sigs AS (SELECT e.vec_id, f.f AS facet,
+                          CAST(sum(CASE WHEN list_sum([e.v[16 * f.f + i] * planes.p[i]
+                                                       for i in range(1, 17)]) >= 0.0
+                                        THEN planes.wt ELSE 0 END) AS BIGINT) AS bucket
+                   FROM e, planes, (VALUES (0), (1), (2), (3)) AS f(f)
+                   GROUP BY e.vec_id, f.f),
+          qb AS (SELECT DISTINCT bucket FROM sigs WHERE vec_id = 0),
+          masks(m) AS (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)),
+          probe AS (SELECT DISTINCT xor(qb.bucket, CAST(m.m AS BIGINT)) AS b FROM qb, masks m),
+          cands AS (SELECT DISTINCT s.vec_id FROM sigs s JOIN probe ON s.bucket = probe.b
+                    WHERE s.vec_id <> 0),
+          q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+          SELECT c.vec_id AS vec_id, round($duckMaxsim, 6) AS maxsim
+          FROM cands c JOIN e ON c.vec_id = e.vec_id, q
           ORDER BY maxsim DESC, vec_id ASC
           LIMIT 10"""
     }
@@ -1456,5 +1571,5 @@ object Similarity {
   val all: Seq[Q] =
     Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qKnnJoin, qKnnJoinAnn, qSemdedup, qPrototypePrune, qKmeans, qDedupEmbedding,
       qEmbeddingCc, qAnnIvf, qAnnPq, qAnnSq8, qAnnLsh, qPairwiseNear, qRankFusion, qMultimodalJoin,
-      qMultimodalMeta, qMaxsim)
+      qMultimodalMeta, qMaxsim, qMaxsimAnn)
 }
