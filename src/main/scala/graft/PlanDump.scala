@@ -36,7 +36,9 @@ object PlanDump {
       "q_cogroup", "q_text_normalize",
       "q_bm25", "q_inverted_index", "q_preference_pairs", "q_weighted_sample",
       "q_bm25_postings", "q_pit_join", "q_length_batching",
-      "q_maxsim", "q_gini_diversity", "q_feature_hash"
+      "q_maxsim", "q_gini_diversity", "q_feature_hash",
+      "q_expectations", "q_kmv_overlap", "q_kmv_merge", "q_mlp_score",
+      "q_maxsim_ann", "q_maxsim_postings"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -295,7 +297,41 @@ object PlanDump {
       "q_feature_hash" ->
         ("the doc sample filter sits on the scan, the md5-bucket mapping is a per-row " +
           "projection, and the (doc, bucket) count is ONE map-side-combined hash agg — " +
-          "output bounded at 64 rows per sampled doc, vocabulary-independent.")
+          "output bounded at 64 rows per sampled doc, vocabulary-independent."),
+      "q_expectations" ->
+        ("the referential-integrity dim (SF-scaled customers) joins as ShuffledHashJoin " +
+          "LeftOuter — NEVER broadcast (the q_pmi rule; an SF-scaled build side OOMs at " +
+          "100×); all 16 audit sums ride ONE map-side-combined 1-row aggregate and the " +
+          "5-rule explode fans out AFTER the corpus has collapsed to one row."),
+      "q_kmv_overlap" ->
+        ("both per-corpus bottom-64 rank windows rewrite to WindowGroupLimit (pinned — " +
+          "with only 2 partition values the un-rewritten plan is a full distinct-shingle " +
+          "sort on 2 tasks); the ≤128-row sketch materializes ONCE (Scan ExistingRDD) and " +
+          "its three consumers never re-touch the corpus."),
+      "q_kmv_merge" ->
+        ("the per-(corpus, shard) sketches and their re-rank merge BOTH plan as " +
+          "WindowGroupLimit — map tasks forward ≤64 rows per group at each level, the " +
+          "mergeable-monoid build a 100 TB pass uses; the 3 pairwise comparisons read " +
+          "one ≤192-row checkpoint, so corpus work happens exactly once."),
+      "q_mlp_score" ->
+        ("the hidden layer IS the aggregate: each exploded token row contributes " +
+          "w1(bucket, j) to 8 partial sums, so the whole 64→8→1 network costs ONE " +
+          "map-side-combined doc_id aggregate + a per-row output projection — no join, " +
+          "no window, no vocabulary, weights are formula literals."),
+      "q_maxsim_ann" ->
+        ("routing filter (4 facet signatures vs the driver-computed Hamming≤1 probe " +
+          "IN-list) and the exact 16-cosine rescore fuse into ONE shuffle-free codegen " +
+          "projection; top-10 is TakeOrderedAndProject — zero exchanges end to end."),
+      "q_maxsim_postings" ->
+        ("the probe reads the bucket-PARTITIONED materialized layout: the probe IN-list " +
+          "is a PartitionFilters INSET on the bucket directory column — directory-level " +
+          "pruning, embeddings.parquet absent from the plan; the only exchange is the " +
+          "multi-facet-hit distinct, then rescore + top-10 TakeOrderedAndProject."),
+      "q_stream_sample" ->
+        ("per-micro-batch shape of the sample-on-ingest bottom-k: flatMapGroupsWithState " +
+          "keyed on the shard carries O(shards·k) state rows at ANY stream length; the " +
+          "drain sentinel gates Append-mode emission to the final batch, so the plan's " +
+          "state store traffic is the sample, never the stream.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")
@@ -343,6 +379,15 @@ object PlanDump {
       graft.streaming.Replay.lastExecutionPlan(
         graft.streaming.Replay.dedupStream(graft.streaming.Replay.readEvents(spark, glob)),
         java.nio.file.Files.createTempDirectory("plandump-dedup-").toString))
+    locally {
+      val live = graft.streaming.Replay.docSentinelDir(spark, d)
+      try section("q_stream_sample (final micro-batch)",
+        graft.streaming.Replay.lastExecutionPlan(
+          graft.streaming.Replay.sampleStream(
+            graft.streaming.Replay.weightedDocStream(spark, live.toString), 20).toDF(),
+          java.nio.file.Files.createTempDirectory("plandump-sample-").toString))
+      finally graft.FsUtil.deleteRecursively(live)
+    }
     // the committed artifact is always the sf0.1 audit; an explicit dir
     // argument is a dev probe and goes to a scratch file instead
     val out = if (args.isEmpty) "/root/repo/PLANS.md" else "/tmp/PLANS_probe.md"

@@ -239,11 +239,15 @@ object Curation {
     * against the dim whose null side is the violation). `z_any_rule`
     * aggregates the union.
     *
-    * Scale shape: ONE corpus scan → per-row flag projection (the dim
-    * join is broadcast — dim-bounded build side, the always-correct
-    * broadcast) → ONE map-side-combined 1-row aggregate (16 sums/
-    * mins/maxes) → a 5-row explode. No corpus-sized shuffle anywhere:
-    * at 100 TB the audit is scan + broadcast + partial-agg merge.
+    * Scale shape: ONE corpus scan → per-row flag projection → ONE
+    * map-side-combined 1-row aggregate (16 sums/mins/maxes) → a 5-row
+    * explode. The referential-integrity dim is `customer` — SF-SCALED,
+    * so the q_pmi rule applies ("a corpus-scaled dimension never
+    * broadcasts"): the join is a keyed shuffle_hash with the dim as
+    * build side, and the events exchange it costs is the only
+    * corpus-sized shuffle in the audit. At 100 TB: scan + one keyed
+    * exchange + partial-agg merge — no broadcast of anything that
+    * grows with the data (plan-pinned in QueriesPlanSpec).
     * Exactness: counts/ids are exact BIGINTs; each rate is ONE IEEE
     * division from two exact longs, round(,6).
     *
@@ -266,7 +270,7 @@ object Curation {
         .where(col("c_acctbal") > 0)
         .select(col("c_custkey").as("uid"))
       val flagged = events(s, d)
-        .join(broadcast(active), col("user_id") === col("uid"), "left")
+        .join(active.hint("shuffle_hash"), col("user_id") === col("uid"), "left")
         .select(
           col("event_id"),
           (col("value") > 300).as("v1"),

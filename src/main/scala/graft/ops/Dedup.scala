@@ -1002,8 +1002,10 @@ object Dedup {
     * distinct 48-bit shingle hashes; because a uniform hash makes the
     * k-th minimum a cardinality pivot, the two 64-row sketches yield
     * distinct-shingle estimates (`(k−1)·2⁴⁸ div kth_min`) AND a
-    * Jaccard estimate (share of the union's 64 smallest present in
-    * both sketches) without ever materializing an intersection.
+    * Jaccard estimate (share of the union sketch's |m| = min(k, |A∪B|)
+    * smallest hashes present in both sketches — conditioned on |m|,
+    * not the fixed k, so a small corpus filling fewer than k slots is
+    * not biased low) without ever materializing an intersection.
     *
     * Exactness: the sketch is DETERMINISTIC — bottom-k of md5-derived
     * integers (the q_feature_hash cross-engine hash: first 12 hex
@@ -1021,29 +1023,82 @@ object Dedup {
     * property that lets a 100 TB train corpus be compared against
     * every eval suite from one pass.
     */
+  /** KMV k (slots per corpus sketch) and the exact-integer estimator
+    * numerator (k−1)·2⁴⁸ — shared by every KMV query and spec.
+    */
+  private[ops] val KMV_K = 64
+  private[ops] val KMV_EST_NUM = 63L * (1L << 48)
+
+  /** The corpus-sized stage of every KMV query: 3-shingle explode →
+    * 48-bit md5 hash (first 12 hex digits — the q_feature_hash
+    * cross-engine hash) → DISTINCT (corpus, h). `corpus` is any
+    * doc_id-derived labeling expression.
+    */
+  private def kmvHashed(s: SparkSession, d: String, corpus: org.apache.spark.sql.Column): DataFrame =
+    fanOut(documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(
+        corpus.as("corpus"),
+        explode(array_distinct(expr(
+          """transform(sequence(1, size(w) - 2),
+               i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+                              element_at(w, i + 2)))"""))).as("sh"))
+      .select(col("corpus"),
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+      .distinct()
+
+  /** Bottom-k smallest h per group — the rank-window spelling Spark
+    * rewrites to WindowGroupLimit, so each map task forwards ≤k rows
+    * per group (QueriesPlanSpec pins the node; without the rewrite
+    * this is a full sort of the distinct-shingle set on |groups|
+    * tasks).
+    */
+  private def kmvBottomK(hashed: DataFrame, k: Int, groups: String*): DataFrame =
+    hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(groups.map(col): _*).orderBy("h")))
+      .where(col("rn") <= k)
+      .select("corpus", "h")
+
+  /** Two-corpus (train/eval) per-corpus sketch, un-materialized — the
+    * [[qKmvOverlap]] input and the QueriesPlanSpec pin surface.
+    */
+  private[graft] def kmvSketch(s: SparkSession, d: String): DataFrame =
+    kmvBottomK(
+      kmvHashed(s, d, when(col("doc_id") % 10 < 8, "train").otherwise("eval")),
+      KMV_K, "corpus")
+
+  /** Three-corpus sketch built the way a 100 TB pass actually builds
+    * it: per-(corpus, SHARD) bottom-k sketches computed INDEPENDENTLY
+    * (shard = h mod 4 — any disjoint split works), then merged by
+    * re-ranking the union — the KMV monoid in the plan. [[qKmvMerge]]'s
+    * oracle computes the single-level sketch directly, so its hash
+    * match IS the merge law verified end-to-end (KmvSpec proves the
+    * same law driver-side on arbitrary splits).
+    */
+  private[graft] def kmvSketchSharded(s: SparkSession, d: String): DataFrame = {
+    val hashed = kmvHashed(s, d,
+      when(col("doc_id") % 10 < 8, "train")
+        .when(col("doc_id") % 10 === 8, "val").otherwise("eval"))
+      .withColumn("shard", pmod(col("h"), lit(4L)))
+    val shardSketches = hashed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("corpus", "shard").orderBy("h")))
+      .where(col("rn") <= KMV_K)
+      .select("corpus", "h")
+    kmvBottomK(shardSketches, KMV_K, "corpus")
+  }
+
   val qKmvOverlap = Q(
     "q_kmv_overlap",
     (s, d) => {
-      val k = 64
-      val estNum = 63L * (1L << 48) // (k-1)·2^48, exact in a BIGINT
-      val sh = fanOut(documents(s, d))
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 3)
-        .select(
-          when(col("doc_id") % 10 < 8, "train").otherwise("eval").as("corpus"),
-          explode(array_distinct(expr(
-            """transform(sequence(1, size(w) - 2),
-                 i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-                                element_at(w, i + 2)))"""))).as("sh"))
-      val hashed = sh
-        .select(col("corpus"),
-          conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
-        .distinct()
-      val sketch = hashed
-        .withColumn("rn",
-          row_number().over(Window.partitionBy("corpus").orderBy("h")))
-        .where(col("rn") <= k)
-        .select("corpus", "h")
+      val k = KMV_K
+      val estNum = KMV_EST_NUM // (k-1)·2^48, exact in a BIGINT
+      // the corpus-sized work runs ONCE: the ≤2k-row sketch is
+      // materialized and its three consumers (union-merge, kth-mins)
+      // read the checkpoint instead of re-deriving the corpus scan
+      val sketch = Materialize(kmvSketch(s, d))
       val m = sketch
         .groupBy("h")
         .agg(
@@ -1051,7 +1106,13 @@ object Dedup {
           max(when(col("corpus") === "eval", 1L).otherwise(0L)).as("in_b"))
         .orderBy("h")
         .limit(k)
-      val shared = m.agg(sum(col("in_a") * col("in_b")).as("n_shared"))
+      // divisor = |m| = min(k, |sketch union|): dividing by the fixed k
+      // would bias jaccard_est low whenever a small corpus fills fewer
+      // than k slots (standard KMV conditions the estimate on the
+      // union sketch actually held — Beyer et al. §5.2)
+      val shared = m.agg(
+        sum(col("in_a") * col("in_b")).as("n_shared"),
+        count(lit(1)).as("m_size"))
       val aKth = sketch.where(col("corpus") === "train").agg(max("h").as("a_kth"))
       val bKth = sketch.where(col("corpus") === "eval").agg(max("h").as("b_kth"))
       shared
@@ -1063,7 +1124,8 @@ object Dedup {
           expr(s"CAST($estNum DIV a_kth AS BIGINT)").as("a_card_est"),
           expr(s"CAST($estNum DIV b_kth AS BIGINT)").as("b_card_est"),
           col("n_shared"),
-          round(col("n_shared").cast("double") / k, 6).as("jaccard_est"))
+          round(col("n_shared").cast("double") / col("m_size").cast("double"), 6)
+            .as("jaccard_est"))
         .orderBy("k")
     },
     Some {
@@ -1084,15 +1146,113 @@ object Dedup {
                        max(CASE WHEN corpus = 'train' THEN 1 ELSE 0 END) AS in_a,
                        max(CASE WHEN corpus = 'eval' THEN 1 ELSE 0 END) AS in_b
                 FROM sk GROUP BY h ORDER BY h LIMIT 64),
-          stats AS (SELECT CAST(sum(in_a * in_b) AS BIGINT) AS n_shared FROM m),
+          stats AS (SELECT CAST(sum(in_a * in_b) AS BIGINT) AS n_shared,
+                           CAST(count(*) AS BIGINT) AS m_size FROM m),
           a AS (SELECT max(h) AS a_kth FROM sk WHERE corpus = 'train'),
           b AS (SELECT max(h) AS b_kth FROM sk WHERE corpus = 'eval')
           SELECT CAST(64 AS BIGINT) AS k, a_kth, b_kth,
                  $estNum // a_kth AS a_card_est,
                  $estNum // b_kth AS b_card_est,
                  n_shared,
-                 round(CAST(n_shared AS DOUBLE) / 64, 6) AS jaccard_est
+                 round(CAST(n_shared AS DOUBLE) / CAST(m_size AS DOUBLE), 6) AS jaccard_est
           FROM stats, a, b ORDER BY k"""
+    }
+  )
+
+  /** The (a, b, label) corpus pairs of [[qKmvMerge]], lexicographic so
+    * the output order is total; drives BOTH dialects (one-code-path).
+    */
+  private val kmvPairs = Seq(("eval", "train"), ("eval", "val"), ("train", "val"))
+
+  /** KMV SKETCH MERGE (r9) — the property that makes the KMV sketch
+    * worth shipping at 100 TB, exercised as a DECLARED QUERY instead of
+    * only a spec law: compare THREE corpora pairwise from per-shard
+    * sketches built independently and merged ([[kmvSketchSharded]] —
+    * bottom-k is a mergeable monoid: bottom-k(A∪B) =
+    * bottom-k(bottom-k(A) ∪ bottom-k(B))), the one-pass shape where a
+    * train corpus is sketched once per shard and then compared against
+    * every eval suite without re-scanning. The ORACLE builds each
+    * corpus sketch directly with no sharding, so the hash match proves
+    * the merge path ≡ the direct sketch end-to-end (the
+    * q_bm25_postings probe≡scan trick applied to sketch algebra).
+    *
+    * Exactness: identical discipline to [[qKmvOverlap]] — deterministic
+    * md5-derived 48-bit hashes, exact BIGINT estimator arithmetic, ONE
+    * IEEE division per pair rounded once.
+    *
+    * Scale shape: corpus-sized work is the shared shingle explode +
+    * one DISTINCT; both bottom-k levels are rank windows rewritten to
+    * WindowGroupLimit (pinned), so map tasks forward ≤k rows per
+    * (corpus, shard) and the merge re-rank touches ≤ shards·k rows per
+    * corpus. The ≤3k-row merged sketch is materialized once; the three
+    * pairwise comparisons read the checkpoint.
+    */
+  val qKmvMerge = Q(
+    "q_kmv_merge",
+    (s, d) => {
+      val estNum = KMV_EST_NUM
+      val sk = Materialize(kmvSketchSharded(s, d))
+      kmvPairs.map { case (a, b) =>
+        val m = sk.where(col("corpus").isin(a, b))
+          .groupBy("h")
+          .agg(
+            max(when(col("corpus") === a, 1L).otherwise(0L)).as("in_a"),
+            max(when(col("corpus") === b, 1L).otherwise(0L)).as("in_b"))
+          .orderBy("h")
+          .limit(KMV_K)
+        val stats = m.agg(
+          sum(col("in_a") * col("in_b")).as("n_shared"),
+          count(lit(1)).as("m_size"))
+        val aK = sk.where(col("corpus") === a).agg(max("h").as("a_kth"))
+        val bK = sk.where(col("corpus") === b).agg(max("h").as("b_kth"))
+        stats.crossJoin(broadcast(aK)).crossJoin(broadcast(bK))
+          .select(
+            lit(s"$a|$b").as("pair"),
+            expr(s"CAST($estNum DIV a_kth AS BIGINT)").as("a_card_est"),
+            expr(s"CAST($estNum DIV b_kth AS BIGINT)").as("b_card_est"),
+            col("n_shared"), col("m_size"),
+            round(col("n_shared").cast("double") / col("m_size").cast("double"), 6)
+              .as("jaccard_est"))
+      }.reduce(_ unionAll _).orderBy("pair")
+    },
+    Some {
+      val estNum = KMV_EST_NUM
+      val perPair = kmvPairs.zipWithIndex.map { case ((a, b), i) =>
+        s"""m_$i AS (SELECT h,
+                       max(CASE WHEN corpus = '$a' THEN 1 ELSE 0 END) AS in_a,
+                       max(CASE WHEN corpus = '$b' THEN 1 ELSE 0 END) AS in_b
+                FROM sk WHERE corpus IN ('$a', '$b')
+                GROUP BY h ORDER BY h LIMIT $KMV_K),
+          s_$i AS (SELECT CAST(sum(in_a * in_b) AS BIGINT) AS n_shared,
+                          CAST(count(*) AS BIGINT) AS m_size FROM m_$i),
+          a_$i AS (SELECT max(h) AS a_kth FROM sk WHERE corpus = '$a'),
+          b_$i AS (SELECT max(h) AS b_kth FROM sk WHERE corpus = '$b')"""
+      }.mkString(",\n          ")
+      val branches = kmvPairs.zipWithIndex.map { case ((a, b), i) =>
+        s"""SELECT '$a|$b' AS pair,
+                   $estNum // a_kth AS a_card_est,
+                   $estNum // b_kth AS b_card_est,
+                   n_shared, m_size,
+                   round(CAST(n_shared AS DOUBLE) / CAST(m_size AS DOUBLE), 6) AS jaccard_est
+            FROM s_$i, a_$i, b_$i"""
+      }.mkString("\n          UNION ALL\n          ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents WHERE len(string_split(text, ' ')) >= 3),
+          sh AS (SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+                             WHEN doc_id % 10 = 8 THEN 'val'
+                             ELSE 'eval' END AS corpus,
+                        unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                              for i in range(1, len(w) - 1)])) AS s
+                 FROM toks),
+          hashed AS (SELECT DISTINCT corpus,
+                            ('0x' || substr(md5(s), 1, 12))::BIGINT AS h FROM sh),
+          ranked AS (SELECT corpus, h,
+                            row_number() OVER (PARTITION BY corpus ORDER BY h) AS rn
+                     FROM hashed),
+          sk AS (SELECT corpus, h FROM ranked WHERE rn <= $KMV_K),
+          $perPair
+          $branches
+          ORDER BY pair"""
     }
   )
 
@@ -1100,5 +1260,5 @@ object Dedup {
     Seq(qDedupExact, qDedupKey, qCdcApply, qScd2, qPitJoin, qDedupNgram, qDedupMinhash,
       qDedupSimhash,
       qDedupCc, qDecontaminate, qDecontaminateBloom, qIncrementalDedup, qDedupSurvivor,
-      qSubstringDedup, qKmvOverlap)
+      qSubstringDedup, qKmvOverlap, qKmvMerge)
 }

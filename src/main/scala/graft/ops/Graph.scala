@@ -767,7 +767,10 @@ object Graph {
       out.select(col("walk_id"), col("step"), col("cur").as("node"))
         .orderBy("walk_id", "step")
     },
-    Some("""WITH RECURSIVE
+    // s-interpolated so the recursion bound derives from the ONE
+    // WALK_STEPS constant the Spark loop uses — a hardcoded `< 4`
+    // here would silently desynchronize the dialects on any change
+    Some(s"""WITH RECURSIVE
             base AS (
               SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sp
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -789,7 +792,7 @@ object Graph {
               JOIN ranked r ON r.src = w.cur
                AND r.rnk = (w.walk_id * 1000003 + (w.step + 1) * 7919 + w.cur * 31)
                             % 1000000007 * 2654435761 % 4294967296 % g.deg
-              WHERE w.step < 4)
+              WHERE w.step < $WALK_STEPS)
             SELECT walk_id, step, cur AS node FROM walk
             ORDER BY walk_id, step""")
   )

@@ -23,7 +23,10 @@ object Partitioned {
     * file's size and mtime — regenerated testdata at the same path gets
     * a fresh key, so a stale /tmp layout from a previous corpus can
     * never serve (it would silently diverge from the oracle, which
-    * always reads the live file).
+    * always reads the live file). Full md5 of the signature, not a
+    * 32-bit hash: at 2³² a birthday collision between two corpora is a
+    * real hazard for a shared tmpdir, and a collision here silently
+    * serves the WRONG index.
     */
   private[ops] def sourceKey(paths: Seq[String]): String = {
     val sig = paths.map { p =>
@@ -34,7 +37,31 @@ object Partitioned {
         else (0L, 0L)
       s"$p:$sz:$mt"
     }.mkString("|")
-    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Multi-file layout builds are NOT atomic by default: a concurrent
+    * builder of the same key (or a crash between part writes) could
+    * leave a partially-overwritten layout whose parts disagree. This
+    * helper gives the standard fix — build every part under a private
+    * temp dir, then RENAME the whole dir into place (one FS metadata op
+    * on a local/HDFS filesystem); a racer that finds the target already
+    * renamed discards its own build. Readers therefore only ever see a
+    * complete layout or none.
+    */
+  private[ops] def buildAtomically(s: SparkSession, out: String)(
+      build: String => Unit): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      out + ".build-" + java.util.UUID.randomUUID().toString)
+    build(tmp.toString)
+    // a pre-fix incomplete layout may occupy the target: clear it, then
+    // one rename publishes the finished build (or loses to a racer)
+    if (fs.exists(outPath)) fs.delete(outPath, true)
+    if (!fs.rename(tmp, outPath)) fs.delete(tmp, true)
   }
 
   /** Cached-layout guard through the HADOOP FileSystem, not java.io —

@@ -1149,8 +1149,7 @@ object Sampling {
           size(split(col("text"), " ")).cast("long").as("n_toks"))
         .withColumn("bucket", expr("n_toks div 64").cast("int"))
         .withColumn("batch_id",
-          expr("(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) div 8")
-            .cast("int"))
+          floor((row_number().over(w) - lit(1)) / lit(8)).cast("int"))
         .groupBy("bucket", "batch_id")
         .agg(count(lit(1)).as("n_docs"),
           max("n_toks").as("max_toks"),

@@ -1508,45 +1508,67 @@ object Similarity {
     * Scale shape: ZERO exchanges — per-row signature filter (32 plane
     * dots) → per-row MaxSim on survivors → TakeOrderedAndProject. The
     * query-side buckets are driver-computed literals (the q_ann_pq
-    * probe idiom), so the filter is `bucket ∈ probe-set` — with the
-    * postings materialized bucket-partitioned (the q_bm25_postings
-    * layout trick), that literal IN-list is PARTITION PRUNING and the
-    * scan touches only probed buckets; the in-query form keeps the
-    * routing semantics declared and hash-verified.
+    * probe idiom), so the filter is `bucket ∈ probe-set`; the
+    * materialized bucket-partitioned twin where that IN-list becomes
+    * PARTITION PRUNING ships as [[qMaxsimPostings]] (identical
+    * results, hash-proven by the shared oracle). AnnSpec pins this
+    * query's recall floor vs [[qMaxsim]]'s exact top-10.
     */
+  /** Facet-j 8-bit sign signature of `col("v")` against [[facetPlanes]]
+    * — the routing key shared by [[qMaxsimAnn]]'s in-query filter and
+    * [[maxsimBucketLayout]]'s posted `bucket` column, so the two
+    * routed paths cannot diverge by construction.
+    */
+  private def facetBucketCol(j: Int): Column =
+    facetPlanes.zipWithIndex.map { case (pl, p) =>
+      when(dot(typedLit(pl), slice(col("v"), j * 16 + 1, 16)) >= 0.0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Driver-side multi-probe bucket set for a known query vector: the
+    * four facet signatures (same sequential dot as the codegen fold
+    * and the oracle's list_sum — bit-identical sign tests) expanded to
+    * Hamming distance ≤ 1.
+    */
+  private def maxsimProbe(q: Seq[Double]): Seq[Long] = {
+    def qBucket(i: Int): Long =
+      facetPlanes.zipWithIndex.map { case (pl, p) =>
+        var a = 0.0; var t = 0
+        while (t < 16) { a += q(16 * i + t) * pl(t); t += 1 }
+        if (a >= 0.0) 1L << p else 0L
+      }.sum
+    (for {
+      i <- 0 until 4
+      m <- 0L +: (0 until 8).map(p => 1L << p)
+    } yield qBucket(i) ^ m).distinct.sorted
+  }
+
   val qMaxsimAnn = Q(
     "q_maxsim_ann",
     (s, d) => {
       val emb = embeddings(s, d).select(
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val q = queryVec(emb)
-      // driver-side query signatures: same sequential dot as the codegen
-      // fold and the oracle's list_sum — bit-identical sign tests
-      def qBucket(i: Int): Long =
-        facetPlanes.zipWithIndex.map { case (pl, p) =>
-          var a = 0.0; var t = 0
-          while (t < 16) { a += q(16 * i + t) * pl(t); t += 1 }
-          if (a >= 0.0) 1L << p else 0L
-        }.sum
-      val probe: Seq[Long] = (for {
-        i <- 0 until 4
-        m <- 0L +: (0 until 8).map(p => 1L << p)
-      } yield qBucket(i) ^ m).distinct.sorted
-      def docBucket(j: Int): Column =
-        facetPlanes.zipWithIndex.map { case (pl, p) =>
-          when(dot(typedLit(pl), slice(col("v"), j * 16 + 1, 16)) >= 0.0,
-            lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      val probeLit = typedLit(probe)
+      val probeLit = typedLit(maxsimProbe(q))
       val isCand = (0 until 4)
-        .map(j => array_contains(probeLit, docBucket(j)))
+        .map(j => array_contains(probeLit, facetBucketCol(j)))
         .reduce(_ || _)
       emb.where(col("vec_id") =!= 0 && isCand)
         .select(col("vec_id"), round(maxsimCol(q), 6).as("maxsim"))
         .orderBy(col("maxsim").desc, col("vec_id").asc)
         .limit(10)
     },
-    Some {
+    Some(maxsimAnnOracleSql)
+  )
+
+  /** The routed-retrieval oracle, shared VERBATIM by [[qMaxsimAnn]]
+    * and [[qMaxsimPostings]]: both engines enumerate candidates as
+    * "any facet signature lands in the Hamming≤1 probe expansion of
+    * the query's signatures", rescore with the exact 16-cosine MaxSim,
+    * and keep the top-10 — so the materialized probe path is
+    * hash-proven identical to the in-query routed form.
+    */
+  private def maxsimAnnOracleSql: String = {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           planes(wt, p) AS (VALUES $duckFacetPlaneRows),
           sigs AS (SELECT e.vec_id, f.f AS facet,
@@ -1565,11 +1587,78 @@ object Similarity {
           FROM cands c JOIN e ON c.vec_id = e.vec_id, q
           ORDER BY maxsim DESC, vec_id ASC
           LIMIT 10"""
+  }
+
+  /** Materialized bucket-PARTITIONED facet-signature layout — the
+    * `q_bm25_postings` layout trick applied to MaxSim (the form
+    * [[qMaxsimAnn]]'s scaladoc promises): every corpus vector posts
+    * FOUR rows (one per facet) keyed by its 8-bit facet signature,
+    * with the full vector DENORMALIZED into the posting (the
+    * norms-in-the-row discipline — rescoring never joins back to the
+    * embeddings table), written `partitionBy(bucket)` so a probe's
+    * driver-computed IN-list becomes PARTITION PRUNING: the scan
+    * touches only the ≤36 probed bucket directories out of ≤256,
+    * never the full corpus. Built once per corpus (content-keyed,
+    * atomic-rename publish), amortized across every query after —
+    * the offline index build of a ColBERT/PLAID serving stack.
+    */
+  def maxsimBucketLayout(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_maxsim_buckets_" +
+      Partitioned.sourceKey(Seq(s"$d/embeddings.parquet"))
+    if (!Partitioned.successExists(s, out)) {
+      Partitioned.buildAtomically(s, out) { tmp =>
+        embeddings(s, d)
+          .where(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"), col("v"),
+            explode(array((0 until 4).map(facetBucketCol): _*)).as("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      }
     }
+    out
+  }
+
+  /** ROUTED MAXSIM OVER THE MATERIALIZED LAYOUT (r9) — the production
+    * form of [[qMaxsimAnn]], completing the in-query/probe-path
+    * pairing exactly as q_bm25/q_bm25_postings: the probe reads the
+    * [[maxsimBucketLayout]] postings for the query's Hamming≤1 probe
+    * buckets ONLY (a literal IN-list over the PARTITION column — the
+    * plan shows `PartitionFilters`, and the embeddings corpus is
+    * absent from the probe plan entirely), dedups multi-facet hits,
+    * and rescores with the exact [[maxsimCol]]. Candidates are BY
+    * CONSTRUCTION the same set the in-query router admits (the posted
+    * bucket column and the filter use the one [[facetBucketCol]]
+    * expression), so the ORACLE is [[maxsimAnnOracleSql]] VERBATIM:
+    * the hash match proves probe ≡ routed scan, including the shared
+    * approximation boundary.
+    *
+    * Scale shape: scan ∝ probed buckets (directory-level pruning —
+    * at 100 TB with more planes the layout holds 2^bits partitions
+    * and a query touches its ~36), ONE (vec_id, v) distinct over
+    * candidate rows (≤4 copies each), per-row MaxSim, top-10
+    * TakeOrderedAndProject. The one-shot layout build is the same
+    * corpus projection [[qMaxsimAnn]] evaluates per query.
+    */
+  val qMaxsimPostings = Q(
+    "q_maxsim_postings",
+    (s, d) => {
+      val emb = embeddings(s, d).select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = queryVec(emb)
+      val lay = maxsimBucketLayout(s, d)
+      s.read.parquet(lay)
+        .where(col("bucket").isin(maxsimProbe(q): _*))
+        .select(col("vec_id"), col("v"))
+        .distinct()
+        .select(col("vec_id"), round(maxsimCol(q), 6).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("vec_id").asc)
+        .limit(10)
+    },
+    Some(maxsimAnnOracleSql)
   )
 
   val all: Seq[Q] =
     Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qKnnJoin, qKnnJoinAnn, qSemdedup, qPrototypePrune, qKmeans, qDedupEmbedding,
       qEmbeddingCc, qAnnIvf, qAnnPq, qAnnSq8, qAnnLsh, qPairwiseNear, qRankFusion, qMultimodalJoin,
-      qMultimodalMeta, qMaxsim, qMaxsimAnn)
+      qMultimodalMeta, qMaxsim, qMaxsimAnn, qMaxsimPostings)
 }

@@ -714,20 +714,24 @@ object TextOps {
       Partitioned.sourceKey(Seq(s"$d/documents.parquet"))
     val parts = Seq("postings.parquet", "dict.parquet", "stats.parquet")
     if (!parts.forall(p => Partitioned.successExists(s, s"$out/$p"))) {
-      val posts = documents(s, d)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("dl"),
-          explode(split(col("text"), " ")).as("term"))
-        .groupBy("term", "doc_id")
-        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-      posts.write.mode("overwrite").parquet(s"$out/postings.parquet")
-      s.read.parquet(s"$out/postings.parquet")
-        .groupBy("term").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$out/dict.parquet")
-      documents(s, d)
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
-        .write.mode("overwrite").parquet(s"$out/stats.parquet")
+      // all three parts build under a temp dir and publish in ONE
+      // rename — readers never see a layout whose parts disagree
+      Partitioned.buildAtomically(s, out) { tmp =>
+        val posts = documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("dl"),
+            explode(split(col("text"), " ")).as("term"))
+          .groupBy("term", "doc_id")
+          .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+        posts.write.mode("overwrite").parquet(s"$tmp/postings.parquet")
+        s.read.parquet(s"$tmp/postings.parquet")
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .write.mode("overwrite").parquet(s"$tmp/dict.parquet")
+        documents(s, d)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+          .write.mode("overwrite").parquet(s"$tmp/stats.parquet")
+      }
     }
     out
   }

@@ -1072,11 +1072,17 @@ object Replay {
     * a watermark can't signal end-of-stream here, so the drain marker
     * rides the DATA path and is recognized by its impossible id.
     */
-  private def docSentinelDir(s: SparkSession, d: String): java.nio.file.Path = {
+  private[graft] def docSentinelDir(s: SparkSession, d: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     val live = Files.createTempDirectory("replay-docsent-in-")
-    Files.copy(Paths.get(s"$d/documents.parquet"), live.resolve("00.parquet"),
+    val src = Paths.get(s"$d/documents.parquet")
+    // Files.copy on a DIRECTORY-style dataset would copy an empty dir
+    // entry and the replay source would silently read zero data rows —
+    // fail loudly instead (the successExists hadoop-FS discipline)
+    require(Files.isRegularFile(src),
+      s"replay fixture must be a single-file parquet dataset: $src")
+    Files.copy(src, live.resolve("00.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(live.resolve("00.parquet"), FileTime.fromMillis(1000000000000L))
     val rows: java.util.List[org.apache.spark.sql.Row] =
@@ -1139,22 +1145,30 @@ object Replay {
     * displacement law (a later batch's lower priority evicts an
     * earlier batch's member).
     */
+  /** The replication-min-hash priority stream over a staged sentinel
+    * dir — the q_stream_sample input, shared with the PlanDump audit
+    * hook so the plan on file is the plan the declared query runs.
+    */
+  private[graft] def weightedDocStream(s: SparkSession, live: String): Dataset[WDoc] = {
+    import s.implicits._
+    s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$live/*.parquet")
+      .select(col("doc_id"),
+        least(size(split(col("text"), " ")).cast("long"), lit(8L)).as("w"))
+      .withColumn("priority",
+        array_min(transform(sequence(lit(0L), col("w") - 1),
+          r => (col("doc_id") * 8L + r) % 2147483647L *
+            2654435761L % 4294967296L)))
+      .as[WDoc]
+  }
+
   val qStreamSample: graft.ops.Q = graft.ops.Q(
     "q_stream_sample",
     (s, d) => {
-      import s.implicits._
       val live = docSentinelDir(s, d)
       try {
-        val docs = s.readStream.schema(docSchema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(s"$live/*.parquet")
-          .select(col("doc_id"),
-            least(size(split(col("text"), " ")).cast("long"), lit(8L)).as("w"))
-          .withColumn("priority",
-            array_min(transform(sequence(lit(0L), col("w") - 1),
-              r => (col("doc_id") * 8L + r) % 2147483647L *
-                2654435761L % 4294967296L)))
-          .as[WDoc]
+        val docs = weightedDocStream(s, live.toString)
         replayToParquet(
           sampleStream(docs, 20).toDF(),
           java.nio.file.Files.createTempDirectory("replay-wsample-out-").toString)

@@ -9,10 +9,25 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 class QueriesPlanSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  /** Formats a declared query's physical plan AND records the name in
+    * the run ledger — the final meta test proves the recorded set
+    * equals [[QueriesPlanSpec.pinned]], so the companion list can
+    * neither under- nor over-claim coverage (InventorySpec audits
+    * every declared query against that list).
+    */
+  private def plan(name: String): String = {
+    QueriesPlanSpec.seen += name
     SparkEntry.queries(name)(spark, sf0001)
       .queryExecution
       .explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** For tests that pin a query's load-bearing shape through a helper
+    * (per-round bodies, stream-gate batch twins, sketch builders)
+    * rather than the declared query's own plan.
+    */
+  private def pinsViaHelper(names: String*): Unit =
+    QueriesPlanSpec.seen ++= names
 
   /** Shuffle-exchange count, robust to tree-branch glyphs: count the
     * formatted-mode detail headers `(N) Exchange` — exactly one per
@@ -418,6 +433,7 @@ class QueriesPlanSpec extends SparkSpec {
   }
 
   test("ingest plan is shuffle-free (scan -> cast, no Exchange)") {
+    pinsViaHelper("q_ingest_pp")
     val p = graft.ingest.Ingest
       .typed(graft.ingest.Ingest.readRaw(spark, graft.ops.IngestQueries.fixturePath))
       .queryExecution
@@ -460,6 +476,7 @@ class QueriesPlanSpec extends SparkSpec {
   }
 
   test("q_bpe_train round: one pair-count shuffle, argmax is TakeOrderedAndProject") {
+    pinsViaHelper("q_bpe_train")
     val p = graft.ops.Vocab.bpeRound(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("TakeOrderedAndProject"),
@@ -691,6 +708,7 @@ class QueriesPlanSpec extends SparkSpec {
   test("q_stream_anomaly gate: profile side broadcasts — the stream never shuffles for the join") {
     // pin the batch shape of the stream-static join (trigger-invariant;
     // the streaming plan wraps exactly this)
+    pinsViaHelper("q_stream_anomaly")
     val ev = graft.ops.Tables.events(spark, sf0001)
     val p = graft.streaming.Replay
       .anomalyGate(ev, graft.ops.Sampling.eventTypeStats(ev))
@@ -746,6 +764,7 @@ class QueriesPlanSpec extends SparkSpec {
   }
 
   test("q_random_walk round: two keyed equi-joins, one row per walk — no fan-out, no broadcast") {
+    pinsViaHelper("q_random_walk")
     val p = graft.ops.Graph.walkRound(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
@@ -760,10 +779,130 @@ class QueriesPlanSpec extends SparkSpec {
   }
 
   test("q_khop round: frontier join shuffled, expansion dedup map-side, anti join keyed") {
+    pinsViaHelper("q_khop")
     val p = graft.ops.Graph.khopRound(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("ShuffledHashJoin"), "edges⋈frontier must not broadcast the state")
     assert(p.contains("LeftAnti"), "visited-set subtraction lost its anti join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
+
+  test("q_expectations: dim side shuffles (SF-scaled customers never broadcast), one 1-row agg") {
+    val p = plan("q_expectations")
+    assert(p.contains("ShuffledHashJoin LeftOuter"),
+      "referential-integrity join must be a keyed shuffle join")
+    // the r8 scale-killer: broadcast(active) where active grows with SF
+    assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin"),
+      "customers are corpus-scaled — nothing here may broadcast")
+    assert(p.contains("partial_count(1)") && p.contains("partial_sum"),
+      "audit sums lost their map-side combine")
+    assert(shuffles(p) <= 3, "events key + dim key + 1-row agg merge only")
+  }
+
+  test("kmv sketch builders: bottom-k rank plans as WindowGroupLimit at BOTH levels") {
+    // the scaladoc's whole scale argument: with only |corpora| partition
+    // values, the rank filter is safe ONLY if map tasks forward ≤k rows
+    // per group — i.e. the WindowGroupLimit rewrite fires (the
+    // q_sample_per_key / q_knn_join precedent). Pinned on the
+    // un-materialized builders both declared queries consume.
+    pinsViaHelper("q_kmv_overlap", "q_kmv_merge")
+    val one = graft.ops.Dedup.kmvSketch(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(one.contains("WindowGroupLimit"),
+      "per-corpus bottom-64 lost its group-limit rewrite (full distinct-shingle sort on 2 tasks)")
+    assert(!one.contains("BroadcastExchange"), "nothing corpus-sized may broadcast")
+    val sharded = graft.ops.Dedup.kmvSketchSharded(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(sharded.linesIterator.count(_.matches(""".*\(\d+\) WindowGroupLimit\s*""")) >= 4,
+      "shard-level and merge-level bottom-64 must BOTH rewrite to WindowGroupLimit (2 phases each)")
+  }
+
+  test("q_kmv_overlap / q_kmv_merge: corpus work behind ONE checkpoint — no parquet scan downstream") {
+    for (q <- Seq("q_kmv_overlap", "q_kmv_merge")) {
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"), s"$q lost the sketch materialization")
+      assert(!p.contains("Scan parquet"),
+        s"$q re-derives the corpus scan per consumer (the sketch must be read from the checkpoint)")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q grew a data-scale join over the ≤3k-row sketch")
+    }
+  }
+
+  test("q_mlp_score: the hidden layer IS one map-side-combined aggregate — no join, no window") {
+    val p = plan("q_mlp_score")
+    assert(p.contains("partial_sum"), "hidden-layer sums lost their map-side combine")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "integer MLP inference must stay explode + one agg (weights are formula literals)")
+    assert(shuffles(p) <= 2, "doc_id agg + output sort only")
+  }
+
+  test("q_maxsim_ann: routed filter + rescore in one shuffle-free projection, top-10 TakeOrdered") {
+    val p = plan("q_maxsim_ann")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") && !p.contains("Window"))
+    assert(shuffles(p) == 0, "routed late-interaction scoring acquired a shuffle")
+  }
+
+  test("q_maxsim_postings: probe is partition pruning on the bucket layout — embeddings never scanned") {
+    val p = plan("q_maxsim_postings")
+    assert(!p.contains("embeddings.parquet"),
+      "probe plan scans the corpus — the materialized bucket layout is being ignored")
+    assert(p.contains("graft_maxsim_buckets_"), "bucket layout missing from the probe")
+    // the driver-computed probe IN-list must prune at the DIRECTORY
+    // level: a PartitionFilters INSET on bucket, never a data filter
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket#") && pf.contains("INSET"),
+      "probe buckets must prune partitions, not filter rows post-scan")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
+    assert(shuffles(p) <= 1, "only the multi-facet-hit distinct may exchange")
+  }
+
+  test("plan-pin ledger: the companion `pinned` set equals what this suite actually planned") {
+    // run LAST (registration order): `pinned` is the contract
+    // InventorySpec audits every declared query against — this test
+    // makes over- or under-claiming impossible (a pin test added
+    // without a ledger entry, or a ledger entry without a pin test,
+    // fails here).
+    assert(QueriesPlanSpec.seen.toSet == QueriesPlanSpec.pinned,
+      s"ledger drift — missing pins: ${QueriesPlanSpec.pinned -- QueriesPlanSpec.seen}; " +
+        s"unlisted pins: ${QueriesPlanSpec.seen.toSet -- QueriesPlanSpec.pinned}")
+  }
+}
+
+object QueriesPlanSpec {
+  /** Every query name a test above records via plan()/pinsViaHelper —
+    * the run-verified ledger (see the final meta test) InventorySpec
+    * uses to prove no declared query ships without either a plan pin
+    * or a documented exemption.
+    */
+  private[graft] val seen = scala.collection.mutable.Set[String]()
+
+  val pinned: Set[String] = Set(
+    "q_filter", "q_join_broadcast", "q_join_multi", "q_semi", "q_anti",
+    "q_topk", "q_asof_join", "q_partition_prune", "q_join_bucketed",
+    "q_join_salted", "q_range_join", "q_dedup_ngram", "q_dedup_minhash",
+    "q_dedup_simhash", "q_decontaminate", "q_repetition", "q_pii_redact",
+    "q_length_histogram", "q_global_rownum", "q_decontaminate_bloom",
+    "q_ntile", "q_incremental_dedup", "q_orc_roundtrip", "q_mix_balance",
+    "q_dedup_survivor", "q_substring_dedup", "q_quality_classifier",
+    "q_cosine_near_blocked", "q_ann_ivf", "q_cosine_near", "q_agg_hash",
+    "q_sample_hash", "q_sample_per_key", "q_interleave", "q_pivot",
+    "q_pack", "q_zorder_key", "q_tpch_shipping", "q_tpch_market",
+    "q_tpch_returns", "q_curation_pipeline", "q_cooccur", "q_triangles",
+    "q_knn_join", "q_knn_join_ann", "q_merge_upsert", "q_prototype_prune",
+    "q_change_feed", "q_ivm_join", "q_hilbert_key", "q_pmi",
+    "q_window_range", "q_domain_filter", "q_mix_temperature", "q_cms_terms",
+    "q_join_outer", "q_rank_fusion", "q_sequence_assemble", "q_funnel",
+    "q_nucleus_sources", "q_corr", "q_chunk_overlap", "q_epoch_shuffle",
+    "q_ann_sq8", "q_deletion_vectors", "q_jaccard", "q_scd2",
+    "q_graph_sample", "q_negative_sampling", "q_cogroup", "q_text_normalize",
+    "q_bm25", "q_inverted_index", "q_preference_pairs", "q_weighted_sample",
+    "q_bm25_postings", "q_pit_join", "q_length_batching", "q_maxsim",
+    "q_gini_diversity", "q_feature_hash",
+    // pinned through helper shapes (per-round bodies / batch twins)
+    "q_bpe_train", "q_random_walk", "q_khop", "q_stream_anomaly",
+    "q_ingest_pp",
+    // round-9 pins
+    "q_expectations", "q_kmv_overlap", "q_kmv_merge", "q_mlp_score",
+    "q_maxsim_ann", "q_maxsim_postings")
 }

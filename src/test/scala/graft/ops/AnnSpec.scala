@@ -168,6 +168,31 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"clustered-data recall $recall < 0.8 (${ann.length} vs ${exact.size} edges)")
   }
 
+  test("q_maxsim_ann recall floor vs the exact top-10 (the q_maxsim scaladoc promise)") {
+    // Hamming≤1 multiprobe over 4 facet signatures: on the fixture
+    // corpus the routed set currently recovers ALL 10 of the exact
+    // MaxSim top-10; the pinned floor is 7 — low enough to absorb a
+    // reshuffled fixture, high enough that a broken probe expansion
+    // (which lands ≤4/10) or a sign-test drift fails loudly.
+    val exact = ids("q_maxsim").toSet
+    val ann = ids("q_maxsim_ann")
+    assert(ann.length == 10 && exact.size == 10)
+    assert(ann.count(exact) >= 7, s"ann=$ann exact=$exact")
+  }
+
+  test("q_maxsim_postings ≡ q_maxsim_ann: the materialized probe path changes NOTHING") {
+    // same facetBucketCol posts the layout and filters the in-query
+    // form, so the candidate sets are equal by construction — assert
+    // the full (vec_id, maxsim) rows, not just ids, so a rescoring
+    // drift in the postings path (e.g. scoring a stale denormalized
+    // vector) also fails
+    val a = graft.SparkEntry.queries("q_maxsim_ann")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val p = graft.SparkEntry.queries("q_maxsim_postings")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == p, s"ann=$a postings=$p")
+  }
+
   test("q_ann_ivf: results are a correctly-reranked subset of the corpus") {
     val rows = graft.SparkEntry.queries("q_ann_ivf")(spark, sf0001).collect()
     assert(rows.length == 5)
