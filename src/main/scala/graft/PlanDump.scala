@@ -38,7 +38,9 @@ object PlanDump {
       "q_bm25_postings", "q_pit_join", "q_length_batching",
       "q_maxsim", "q_gini_diversity", "q_feature_hash",
       "q_expectations", "q_kmv_overlap", "q_kmv_merge", "q_mlp_score",
-      "q_maxsim_ann", "q_maxsim_postings"
+      "q_maxsim_ann", "q_maxsim_postings",
+      "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
+      "q_curriculum"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -331,7 +333,26 @@ object PlanDump {
         ("per-micro-batch shape of the sample-on-ingest bottom-k: flatMapGroupsWithState " +
           "keyed on the shard carries O(shards·k) state rows at ANY stream length; the " +
           "drain sentinel gates Append-mode emission to the final batch, so the plan's " +
-          "state store traffic is the sample, never the stream.")
+          "state store traffic is the sample, never the stream."),
+      "q_importance_sample" ->
+        ("the |langs|-row histogram and the 1-row total are the only BroadcastExchanges; " +
+          "membership is an exact-BIGINT cross-multiplied per-row filter and the weight ONE " +
+          "IEEE division — the corpus never shuffle-joins, the retarget is one scan."),
+      "q_grpo_advantage" ->
+        ("ONE user_id hash exchange carries the full-frame moment windows AND the " +
+          "preference-rank window (same partitioning, one sort); the advantage is a per-row " +
+          "IEEE chain over exact decimal moments — no join, no broadcast, no second " +
+          "data-scale shuffle."),
+      "q_hard_negatives" ->
+        ("shingle-keyed ShuffledHashJoin (both sides corpus-derived — never broadcast, " +
+          "never cartesian: fan-out per shingle = its df, naturally tiny for 3-grams); " +
+          "map-side-combined (query, candidate) count; per-query top-3 is a rank window " +
+          "rewritten to WindowGroupLimit, so ≤3 rows per query cross the final exchange."),
+      "q_curriculum" ->
+        ("shingle df aggregate's hash partitioning is REUSED by the rarity join (no second " +
+          "shingle exchange); the phase/rank pass is the q_ntile two-pass closed form — " +
+          "rangepartitioning(rarity, doc_id) + |partitions|-row broadcast offsets, never a " +
+          "global ntile window; only 1-row/offsets stats broadcast.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

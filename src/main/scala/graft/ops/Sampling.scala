@@ -1178,11 +1178,244 @@ object Sampling {
             ORDER BY bucket, batch_id""")
   )
 
+  /** The declared target mixture of [[qImportanceSample]], in
+    * PER-MILLE integer rationals so the keep test and the weight stay
+    * exact — ONE Scala value generates both dialects' CASE expression
+    * (the q_zorder_key one-code-path rule). Sums to 1000.
+    */
+  private val targetMix: Seq[(String, Long)] =
+    Seq("en" -> 400L, "zh" -> 250L, "de" -> 150L, "es" -> 100L, "fr" -> 100L)
+
+  private def targetCaseSql(langCol: String): String =
+    targetMix.map { case (l, t) => s"WHEN $langCol = '$l' THEN $t" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** IMPORTANCE-SAMPLED MIXTURE TARGETING (r9) — the general form the
+    * α-family ([[qMixBalance]] α=1, [[qMixTemperature]] α=½) special-
+    * cases: resample the corpus toward a DECLARED target mixture
+    * (en 40% / zh 25% / de 15% / es 10% / fr 10% — the DoReMi-style
+    * domain-weights handoff: upstream optimization produces weights,
+    * THIS operator applies them to 100 TB), downsampling over-
+    * represented languages by deterministic hash and carrying an
+    * IMPORTANCE WEIGHT ≥ 1 for under-represented ones a filter cannot
+    * upsample — the loss-side multiplier that makes the effective
+    * mixture hit the target exactly.
+    *
+    * Exactness: keep iff `h · n_lang < 1000 · t‰ · N` — pure BIGINT
+    * cross-multiplication (h < 10⁶, n_lang ≤ 10¹², t‰·N ≤ 4·10¹⁷ — all
+    * < 2⁶³); the weight is greatest(1, t‰·N / (1000·n_lang)): ONE IEEE
+    * division of two exact BIGINTs, round(,6).
+    *
+    * Scale shape (the q_mix_balance contract): one |langs|-row
+    * aggregate + the 1-row total, both broadcast — they grow with the
+    * GROUP universe, never the corpus — then a shuffle-free per-row
+    * integer compare at scan speed. At 100 TB the mixture retarget is
+    * exactly one corpus pass.
+    */
+  val qImportanceSample = Q(
+    "q_importance_sample",
+    (s, d) => {
+      val c = documents(s, d).groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val n = documents(s, d).agg(count(lit(1)).as("n_total"))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("t_pm", expr(targetCaseSql("lang")))
+        .join(broadcast(c), "lang")
+        .crossJoin(broadcast(n))
+        .where(bucket("doc_id", 424243L, 1000000L) * col("n_lang")
+          < lit(1000L) * col("t_pm") * col("n_total"))
+        .select(col("doc_id"), col("lang"),
+          round(greatest(lit(1.0),
+            (col("t_pm") * col("n_total")).cast("double") /
+              (lit(1000L) * col("n_lang")).cast("double")), 6).as("weight"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+             n AS (SELECT count(*) AS n_total FROM documents),
+             t AS (SELECT d.doc_id, d.lang, n_lang, n_total,
+                          ${targetCaseSql("d.lang")} AS t_pm
+                   FROM documents d JOIN c USING (lang), n)
+             SELECT doc_id, lang,
+                    round(greatest(1.0,
+                      CAST(t_pm * n_total AS DOUBLE) / CAST(1000 * n_lang AS DOUBLE)),
+                      6) AS weight
+             FROM t
+             WHERE ${bucketSql("doc_id", 424243L, 1000000L)} * n_lang
+                   < 1000 * t_pm * n_total
+             ORDER BY doc_id""")
+  )
+
+  /** GROUP-RELATIVE ADVANTAGE (r9) — the GRPO/RLOO batch-preparation
+    * step of an RLHF pipeline: rewards are comparable only WITHIN a
+    * prompt's completion group, so each reward is normalized against
+    * its own group's mean and spread — advantage = (r − μ_g)/σ_g —
+    * plus the within-group preference rank. Modeled on events: prompt
+    * = user_id, completion = event_id, reward = value.
+    *
+    * Engine-parity discipline (the q_corr float-sum rule): n, Σr, Σr²
+    * accumulate as EXACT decimals inside full-frame window aggregates
+    * (each r² is one deterministic IEEE multiply whose DECIMAL cast
+    * rounds identically in both engines), every moment is then cast to
+    * double ONCE, and the advantage is the fixed IEEE chain
+    * `(n·r − Σr) / sqrt(n·Σr² − (Σr)²)` written token-identically in
+    * both dialects (the √n scaling folds into a constant per group —
+    * comparisons within a group are unchanged), rounded once.
+    * Zero-variance groups are dropped by the same deterministic chain
+    * (`varn > 0` on bit-identical doubles), so the boundary is
+    * engine-deterministic.
+    *
+    * Scale shape: ONE prompt-keyed exchange carries BOTH full-frame
+    * moment windows AND the rank window (same partitioning, Spark
+    * evaluates them over one sort) — the whole normalization is one
+    * data-scale shuffle + a per-row projection; no join, no broadcast,
+    * state per key = that prompt's completions.
+    */
+  val qGrpoAdvantage = Q(
+    "q_grpo_advantage",
+    (s, d) => {
+      val g = Window.partitionBy("user_id")
+      val rk = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id"))
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("nd", count(lit(1)).over(g).cast("double"))
+        .withColumn("sr",
+          sum(col("value").cast("decimal(28,6)")).over(g).cast("double"))
+        .withColumn("srr",
+          sum((col("value") * col("value")).cast("decimal(38,6)")).over(g)
+            .cast("double"))
+        .withColumn("pref_rank", row_number().over(rk))
+        .withColumn("varn", col("nd") * col("srr") - col("sr") * col("sr"))
+        .where(col("varn") > 0)
+        .select(col("event_id"), col("user_id"),
+          round((col("nd") * col("value") - col("sr")) / sqrt(col("varn")), 6)
+            .as("advantage"),
+          col("pref_rank"))
+        .orderBy("event_id")
+    },
+    Some("""WITH m AS (
+              SELECT event_id, user_id, value,
+                     CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE) AS nd,
+                     CAST(sum(CAST(value AS DECIMAL(28,6)))
+                          OVER (PARTITION BY user_id) AS DOUBLE) AS sr,
+                     CAST(sum(CAST(value * value AS DECIMAL(38,6)))
+                          OVER (PARTITION BY user_id) AS DOUBLE) AS srr,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS pref_rank
+              FROM events),
+            v AS (
+              SELECT *, nd * srr - sr * sr AS varn FROM m)
+            SELECT event_id, user_id,
+                   round((nd * value - sr) / sqrt(varn), 6) AS advantage,
+                   CAST(pref_rank AS INTEGER) AS pref_rank
+            FROM v
+            WHERE varn > 0
+            ORDER BY event_id""")
+  )
+
+  /** CURRICULUM ORDERING (r9) — the data-ordering stage curriculum
+    * learning needs at corpus scale: score every document's DIFFICULTY
+    * as the total rarity of its surface text (Σ over its distinct
+    * 3-shingles of `N div df` — common boilerplate ≈ |docs|/df ≈ 1 per
+    * shingle, a shingle seen once ≈ N; all exact BIGINTs), then assign
+    * the 4 curriculum phases easy→hard with the [[qNtile]] two-pass
+    * closed-form tile over (rarity ASC, doc_id ASC) — NO global
+    * one-task window anywhere — and emit the exact global curriculum
+    * rank as the training order key.
+    *
+    * Scale shape: shingle df is one map-side-combined aggregate whose
+    * partitioning the rarity join REUSES (both keyed on the shingle);
+    * the per-doc rarity sum is one doc-keyed aggregate; phase/rank is
+    * the TeraSort-shaped two-pass numbering (range exchange +
+    * |partitions|-row broadcast offsets). Nothing corpus-sized is
+    * broadcast, windowed, or single-tasked at any scale.
+    */
+  /** The corpus-scale stage of [[qCurriculum]], un-materialized — the
+    * QueriesPlanSpec pin surface (shingle df partitioning reused by the
+    * rarity join; nothing corpus-sized broadcasts).
+    */
+  private[graft] def curriculumRarity(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val sh = fanOut(documents(s, d))
+      .select(col("doc_id"),
+        explode(graft.functions.TextHash.shingles(col("text"), 3)).as("sh"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    sh.hint("shuffle_hash").join(df, "sh")
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(sum(expr("n_docs div df")).as("rarity"))
+  }
+
+  val qCurriculum = Q(
+    "q_curriculum",
+    (s, d) => {
+      val parts = 32
+      // checkpoint the |docs|-row rarity relation: the two-pass rank
+      // references it twice (rows + per-partition counts) — without
+      // this the shingle explode + df join would evaluate twice
+      val rar = Materialize(curriculumRarity(s, d))
+      val local = rar
+        .repartitionByRange(parts, col("rarity").asc, col("doc_id").asc)
+        .sortWithinPartitions(col("rarity").asc, col("doc_id").asc)
+        .select(col("doc_id"), col("rarity"), monotonically_increasing_id().as("mid"))
+        .select(col("doc_id"), col("rarity"),
+          expr("mid div 8589934592").as("pid"),
+          (col("mid") % lit(8589934592L)).as("idx"))
+      val counts = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // ≤|partitions| rows — the documented small-side window exception
+      val offsets = counts
+        .withColumn("offset", coalesce(sum("cnt").over(wOff), lit(0L)))
+        .withColumn("n_total", sum("cnt").over(wAll))
+        .select("pid", "offset", "n_total")
+      local
+        .join(broadcast(offsets), "pid")
+        .withColumn("curriculum_rank", col("offset") + col("idx") + lit(1L))
+        .withColumn("small", expr("n_total div 4"))
+        .withColumn("rem", col("n_total") % lit(4L))
+        .withColumn("phase",
+          when(col("curriculum_rank") <= col("rem") * (col("small") + lit(1L)),
+            expr("(curriculum_rank - 1) div (small + 1) + 1"))
+            .otherwise(col("rem") +
+              expr("(curriculum_rank - rem * (small + 1) - 1) div small") + lit(1L))
+            .cast("int"))
+        .select(col("doc_id"), col("rarity"), col("phase"), col("curriculum_rank"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE len(string_split(text, ' ')) >= 3),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS s
+              FROM toks),
+            df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            rar AS (
+              SELECT sh.doc_id, CAST(sum(n_docs // df) AS BIGINT) AS rarity
+              FROM sh JOIN df USING (s), n
+              GROUP BY sh.doc_id),
+            ranked AS (
+              SELECT doc_id, rarity,
+                     CAST(ntile(4) OVER (ORDER BY rarity ASC, doc_id ASC)
+                          AS INTEGER) AS phase,
+                     row_number() OVER (ORDER BY rarity ASC, doc_id ASC)
+                       AS curriculum_rank
+              FROM rar)
+            SELECT doc_id, rarity, phase, curriculum_rank
+            FROM ranked ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave, qEpochShuffle,
       qNegativeSampling,
       qPivot, qUnpivot, qPack, qHeavyHitters, qAnomaly, qNtile, qZorderKey,
       qGlobalRownum, qMixBalance, qMixTemperature, qIncrementalAgg,
       qSequenceAssemble, qIvmJoin, qHilbertKey, qNormalize, qWinsorize,
-      qPreferencePairs, qWeightedSample, qLengthBatching)
+      qPreferencePairs, qWeightedSample, qLengthBatching,
+      qImportanceSample, qGrpoAdvantage, qCurriculum)
 }

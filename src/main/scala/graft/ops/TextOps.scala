@@ -833,8 +833,77 @@ object TextOps {
             ORDER BY score DESC, doc_id LIMIT 20""")
   )
 
+  /** HARD-NEGATIVE MINING (r9) — the contrastive-retriever training
+    * stage between retrieval (q_bm25*) and pairing (q_preference_pairs /
+    * q_negative_sampling): for every query document, the most
+    * LEXICALLY-SIMILAR documents from OTHER sources — near-misses that
+    * share rare surface text with the query but are not its gold
+    * positives (same-source docs stand in for gold and are excluded) —
+    * the negatives that actually teach a dense retriever, vs
+    * q_negative_sampling's uniform draws.
+    *
+    * Mechanism: distinct 3-shingles per doc (the WordShingles codegen
+    * map side every dedup shuffle uses), queries = `doc_id % 97 = 0`,
+    * ONE shingle-keyed equi-join (corpus-scale on both sides — never a
+    * broadcast, never a cartesian: fan-out per shingle is its df, and
+    * 3-gram df is naturally tiny — the q_dedup_ngram blocking
+    * argument), exact integer score = |shared shingles|, per-query
+    * top-3 via a rank window the optimizer rewrites to
+    * WindowGroupLimit.
+    *
+    * Scale: candidates ∝ Σ_probe-shingle df (rare-feature matching;
+    * a df-capped hot-shingle filter composes exactly like
+    * q_dedup_ngram's hot-bucket cap if the corpus has degenerate
+    * shingles), map-side-combined (q, neg) count, ≤3 rows per query
+    * cross the final exchange.
+    */
+  val qHardNegatives = Q(
+    "q_hard_negatives",
+    (s, d) => {
+      val sh = fanOut(documents(s, d))
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.TextHash.shingles(col("text"), 3)).as("sh"))
+      val qs = sh.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_id"), col("source").as("q_src"),
+          col("sh"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("n_shared").desc, col("neg_id").asc)
+      qs.hint("shuffle_hash")
+        .join(sh, "sh")
+        .where(col("doc_id") =!= col("q_id") && col("source") =!= col("q_src"))
+        .groupBy(col("q_id"), col("doc_id").as("neg_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .orderBy("q_id", "rank")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents WHERE len(string_split(text, ' ')) >= 3),
+            sh AS (
+              SELECT DISTINCT doc_id, source,
+                     unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS s
+              FROM toks),
+            cand AS (
+              SELECT q.doc_id AS q_id, c.doc_id AS neg_id,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM sh q JOIN sh c ON q.s = c.s
+               AND c.doc_id <> q.doc_id AND c.source <> q.source
+              WHERE q.doc_id % 97 = 0
+              GROUP BY q.doc_id, c.doc_id),
+            ranked AS (
+              SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY n_shared DESC, neg_id) AS INTEGER) AS rank
+              FROM cand)
+            SELECT q_id, neg_id, n_shared, rank
+            FROM ranked WHERE rank <= 3
+            ORDER BY q_id, rank""")
+  )
+
   val all: Seq[Q] =
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
       qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms,
-      qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex, qBm25Postings)
+      qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex, qBm25Postings,
+      qHardNegatives)
 }

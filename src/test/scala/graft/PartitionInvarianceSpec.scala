@@ -103,6 +103,12 @@ object PartitionInvarianceSpec {
     "q_window_percent", "q_sample_stratified", "q_sql_shingles",
     "q_pmi", "q_mix_temperature", "q_nucleus_sources",
     "q_schema_evolution", "q_rank_fusion", "q_sequence_assemble",
-    "q_cdc_apply", "q_knn_join", "q_profile", "q_profile_approx"
+    "q_cdc_apply", "q_knn_join", "q_profile", "q_profile_approx",
+    "q_window_range", "q_interleave", "q_lm_score", "q_zorder_key",
+    "q_hilbert_key", "q_epoch_shuffle",
+    // round-9 additions: mixture retarget, group-relative advantage,
+    // shingle-join negatives, two-pass curriculum rank
+    "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
+    "q_curriculum"
   )
 }

@@ -857,6 +857,55 @@ class QueriesPlanSpec extends SparkSpec {
     assert(shuffles(p) <= 1, "only the multi-facet-hit distinct may exchange")
   }
 
+  test("q_importance_sample: membership is a broadcast-stat per-row filter — the corpus never shuffle-joins") {
+    val p = plan("q_importance_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |langs|-row histogram must broadcast against the scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus side must not shuffle for a per-row membership filter")
+    assert(p.contains("partial_count"), "lang histogram lost its map-side combine")
+  }
+
+  test("q_grpo_advantage: ONE prompt-keyed exchange carries moments + rank — no join") {
+    val p = plan("q_grpo_advantage")
+    assert(p.contains("Window"), "group-moment windows missing")
+    assert(!p.contains("Join"), "normalization must not join — windows share the exchange")
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("user_id")),
+      "a window lost its prompt partitioning (global funnel)")
+    assert(shuffles(p) <= 2, "prompt exchange + output sort only")
+  }
+
+  test("q_hard_negatives: shingle join shuffled both sides, top-3 is WindowGroupLimit") {
+    val p = plan("q_hard_negatives")
+    assert(p.contains("ShuffledHashJoin"),
+      "shingle match must be a keyed shuffle join (both sides corpus-scale)")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      && !p.contains("NestedLoop"),
+      "nothing corpus-derived may broadcast, and no pair may form outside the shingle key")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-3 lost its group-limit rewrite (full candidate sort)")
+  }
+
+  test("q_curriculum: rarity joins shuffled, rank is the two-pass range shape — no global window") {
+    // the corpus-scale stage, un-materialized (the kmvSketch pin idiom)
+    val r = graft.ops.Sampling.curriculumRarity(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(r.contains("ShuffledHashJoin"), "shingle→df rarity join must shuffle")
+    assert(!r.contains("BroadcastHashJoin"),
+      "nothing corpus-derived may broadcast (only the 1-row n_docs stat cross join)")
+    // the declared query: checkpointed rarity + the two-pass tile
+    val p = plan("q_curriculum")
+    assert(p.contains("Scan ExistingRDD"), "rarity lost its materialization")
+    assert(!p.contains("Scan parquet"),
+      "the two-pass rank re-derives the corpus scan per consumer")
+    assert(!p.contains("ntile"), "phase must be the closed-form tile, never a global ntile window")
+    assert(p.contains("monotonically_increasing_id"), "two-pass id encoding missing")
+    assert(p.contains("rangepartitioning(rarity"),
+      "curriculum order must be the TeraSort range exchange")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("plan-pin ledger: the companion `pinned` set equals what this suite actually planned") {
     // run LAST (registration order): `pinned` is the contract
     // InventorySpec audits every declared query against — this test
@@ -904,5 +953,7 @@ object QueriesPlanSpec {
     "q_ingest_pp",
     // round-9 pins
     "q_expectations", "q_kmv_overlap", "q_kmv_merge", "q_mlp_score",
-    "q_maxsim_ann", "q_maxsim_postings")
+    "q_maxsim_ann", "q_maxsim_postings",
+    "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
+    "q_curriculum")
 }
