@@ -40,7 +40,7 @@ object PlanDump {
       "q_expectations", "q_kmv_overlap", "q_kmv_merge", "q_mlp_score",
       "q_maxsim_ann", "q_maxsim_postings",
       "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
-      "q_curriculum"
+      "q_curriculum", "q_span_corruption", "q_rerank"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -352,7 +352,21 @@ object PlanDump {
         ("shingle df aggregate's hash partitioning is REUSED by the rarity join (no second " +
           "shingle exchange); the phase/rank pass is the q_ntile two-pass closed form — " +
           "rangepartitioning(rarity, doc_id) + |partitions|-row broadcast offsets, never a " +
-          "global ntile window; only 1-row/offsets stats broadcast.")
+          "global ntile window; only 1-row/offsets stats broadcast."),
+      "q_span_corruption" ->
+        ("T5-style denoising-example construction is ONE per-row projection over the scan " +
+          "(grid arithmetic + HOF assembly, per-row bounded work) — no join, no window, no " +
+          "aggregate; the only exchange is the output sort."),
+      "q_stream_pit" ->
+        ("per-micro-batch shape of online feature serving: flatMapGroupsWithState keyed on " +
+          "the entity holds ONE state row per live entity (the latest version) — probes " +
+          "emit on arrival in Append mode, history is never buffered, no drain needed; " +
+          "a year of traffic costs the same state as a day's."),
+      "q_rerank" ->
+        ("two-stage serving: the q_bm25 retrieval (shared code path) funnels to a " +
+          "Materialized 20-row candidate set that BROADCASTS into the documents scan — " +
+          "the q_mlp_score reranker (shared code path) then explodes and aggregates 20 " +
+          "documents at any corpus size; rerank cost ∝ k, the corpus never re-shuffles.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")
@@ -407,6 +421,20 @@ object PlanDump {
           graft.streaming.Replay.sampleStream(
             graft.streaming.Replay.weightedDocStream(spark, live.toString), 20).toDF(),
           java.nio.file.Files.createTempDirectory("plandump-sample-").toString))
+      finally graft.FsUtil.deleteRecursively(live)
+    }
+    locally {
+      import spark.implicits._
+      val live = graft.streaming.Replay.pitReplayDir(spark, d)
+      try section("q_stream_pit (final micro-batch)",
+        graft.streaming.Replay.lastExecutionPlan(
+          graft.streaming.Replay.pitStream(
+            spark.readStream
+              .schema("kind INT, event_id LONG, user_id LONG, tsu LONG, wk LONG, value DOUBLE")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(s"$live/*.parquet")
+              .as[graft.streaming.Replay.PitRow]).toDF(),
+          java.nio.file.Files.createTempDirectory("plandump-pit-").toString))
       finally graft.FsUtil.deleteRecursively(live)
     }
     // the committed artifact is always the sf0.1 audit; an explicit dir

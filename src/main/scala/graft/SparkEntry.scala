@@ -31,7 +31,8 @@ object SparkEntry {
         graft.streaming.Replay.qStreamSliding,
         graft.streaming.Replay.qStreamFunnel,
         graft.streaming.Replay.qStreamAnomaly,
-        graft.streaming.Replay.qStreamSample)
+        graft.streaming.Replay.qStreamSample,
+        graft.streaming.Replay.qStreamPit)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's own pipeline shape — ingest the pp-complete fixture,

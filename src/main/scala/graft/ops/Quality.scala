@@ -440,45 +440,58 @@ object Quality {
     * scan + one |docs|-row shuffle. MlpSpec re-derives scores from
     * raw text in plain Scala.
     */
+  /** The frozen integer MLP over a (doc_id, text) relation — shared by
+    * [[qMlpScore]] (full corpus) and TextOps.qRerank (the top-20
+    * retrieval candidates), so the reranker's model IS the declared
+    * scorer by construction.
+    */
+  private[ops] def mlpScored(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % 64)
+          .as("b"))
+    val hidden = toks.groupBy("doc_id").agg(
+      sum((col("b") * 13 + lit(0 * 5)) % 7 - 3).as("a0"),
+      (1 until 8).map(j =>
+        sum((col("b") * 13 + lit(j * 5)) % 7 - 3).as(s"a$j")): _*)
+    val score = (0 until 8)
+      .map(j =>
+        greatest(lit(0L), col(s"a$j") + lit(j % 3 - 1).cast("long")) *
+          lit((j * 3) % 5 - 2).cast("long"))
+      .reduceLeft(_ + _)
+    hidden.select(col("doc_id"), score.as("mlp_score"))
+  }
+
+  /** The mlp oracle fragments, generated by the SAME index loop that
+    * builds the Spark columns (one-code-path) — shared with the
+    * q_rerank oracle.
+    */
+  private[ops] val mlpSumsSql: String = (0 until 8)
+    .map(j => s"CAST(sum((b * 13 + ${j * 5}) % 7 - 3) AS BIGINT) AS a$j")
+    .mkString(",\n                   ")
+  private[ops] val mlpScoreSql: String = (0 until 8)
+    .map(j => s"greatest(CAST(0 AS BIGINT), a$j + ${j % 3 - 1}) * ${(j * 3) % 5 - 2}")
+    .mkString(" + ")
+
   val qMlpScore = Q(
-    "q_mlp_score", {
-      (s, d) =>
-        val toks = documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .select(col("doc_id"),
-            (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("long") % 64)
-              .as("b"))
-        val hidden = toks.groupBy("doc_id").agg(
-          sum((col("b") * 13 + lit(0 * 5)) % 7 - 3).as("a0"),
-          (1 until 8).map(j =>
-            sum((col("b") * 13 + lit(j * 5)) % 7 - 3).as(s"a$j")): _*)
-        val score = (0 until 8)
-          .map(j =>
-            greatest(lit(0L), col(s"a$j") + lit(j % 3 - 1).cast("long")) *
-              lit((j * 3) % 5 - 2).cast("long"))
-          .reduceLeft(_ + _)
-        hidden
-          .select(col("doc_id"), score.as("mlp_score"),
-            (score > 0).as("accept"))
-          .orderBy("doc_id")
-    },
+    "q_mlp_score",
+    (s, d) =>
+      mlpScored(documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("mlp_score"),
+          (col("mlp_score") > 0).as("accept"))
+        .orderBy("doc_id"),
     Some {
-      val sums = (0 until 8)
-        .map(j => s"CAST(sum((b * 13 + ${j * 5}) % 7 - 3) AS BIGINT) AS a$j")
-        .mkString(",\n                   ")
-      val score = (0 until 8)
-        .map(j => s"greatest(CAST(0 AS BIGINT), a$j + ${j % 3 - 1}) * ${(j * 3) % 5 - 2}")
-        .mkString(" + ")
       s"""WITH toks AS (
             SELECT doc_id,
                    ('0x' || substr(md5(term), 1, 4))::BIGINT % 64 AS b
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                   FROM documents)),
           f AS (SELECT doc_id,
-                   $sums
+                   $mlpSumsSql
                 FROM toks GROUP BY doc_id)
-          SELECT doc_id, CAST($score AS BIGINT) AS mlp_score,
-                 ($score) > 0 AS accept
+          SELECT doc_id, CAST($mlpScoreSql AS BIGINT) AS mlp_score,
+                 ($mlpScoreSql) > 0 AS accept
           FROM f ORDER BY doc_id"""
     }
   )

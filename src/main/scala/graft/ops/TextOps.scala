@@ -564,39 +564,45 @@ object TextOps {
     * 10^13 tokens and dl_max 10^4 that is 2·10^18 < 2^63; shard the
     * corpus (per-split stats) before that point.
     */
-  val qBm25 = Q(
-    "q_bm25",
-    (s, d) => {
-      val qterms = Seq("dup", "query", "batch", "vector")
-      val base = documents(s, d).select(
-        (col("doc_id") +:
-          size(split(col("text"), " ")).cast("long").as("dl") +:
-          qterms.map(t =>
-            size(filter(split(col("text"), " "), x => x === lit(t)))
-              .cast("long").as(s"tf_$t"))): _*)
-      val aggs =
-        sum(col("dl")).as("sum_dl") +:
-          qterms.map(t =>
-            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
-      val stats = base.agg(count(lit(1)).as("n_docs"), aggs: _*)
-      def termScore(t: String) = {
-        val tf = col(s"tf_$t"); val df = col(s"df_$t")
-        val num = lit(44L) * tf * col("sum_dl")
-        val den = lit(20L) * tf * col("sum_dl") + lit(6L) * col("sum_dl") +
-          lit(18L) * col("dl") * col("n_docs")
-        (num.cast("double") / den.cast("double")) *
-          ((lit(2L) * col("n_docs") - lit(2L) * df + lit(1L)).cast("double") /
-            (lit(2L) * df + lit(1L)).cast("double"))
-      }
-      base.crossJoin(broadcast(stats))
-        .select(
-          (col("doc_id") +: col("dl") +:
-            qterms.map(t => col(s"tf_$t")) :+
-            qterms.map(termScore).reduceLeft(_ + _).as("score")): _*)
-        .orderBy(desc("score"), col("doc_id"))
-        .limit(20)
-    },
-    Some("""WITH base AS (
+  /** The q_bm25 scoring relation before its top-k funnel — shared with
+    * [[qRerank]] so the retrieval stage of the two-tower serving
+    * composition is BY CONSTRUCTION the declared retriever.
+    */
+  private[ops] def bm25Scored(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val qterms = Seq("dup", "query", "batch", "vector")
+    val base = documents(s, d).select(
+      (col("doc_id") +:
+        size(split(col("text"), " ")).cast("long").as("dl") +:
+        qterms.map(t =>
+          size(filter(split(col("text"), " "), x => x === lit(t)))
+            .cast("long").as(s"tf_$t"))): _*)
+    val aggs =
+      sum(col("dl")).as("sum_dl") +:
+        qterms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    def termScore(t: String) = {
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      val num = lit(44L) * tf * col("sum_dl")
+      val den = lit(20L) * tf * col("sum_dl") + lit(6L) * col("sum_dl") +
+        lit(18L) * col("dl") * col("n_docs")
+      (num.cast("double") / den.cast("double")) *
+        ((lit(2L) * col("n_docs") - lit(2L) * df + lit(1L)).cast("double") /
+          (lit(2L) * df + lit(1L)).cast("double"))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(
+        (col("doc_id") +: col("dl") +:
+          qterms.map(t => col(s"tf_$t")) :+
+          qterms.map(termScore).reduceLeft(_ + _).as("score")): _*)
+  }
+
+  /** The q_bm25 oracle's base/stats CTEs and score expression — ONE
+    * text, consumed by both the q_bm25 and q_rerank oracles so the
+    * reranker's retrieval stage cannot drift from the retriever.
+    */
+  private val bm25OracleCte: String =
+    """base AS (
               SELECT doc_id,
                      CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
                      CAST(len(list_filter(string_split(text,' '), x -> x = 'dup')) AS BIGINT) AS tf_dup,
@@ -611,20 +617,31 @@ object TextOps {
                      CAST(sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_query,
                      CAST(sum(CASE WHEN tf_batch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_batch,
                      CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
-              FROM base)
-            SELECT doc_id, dl, tf_dup, tf_query, tf_batch, tf_vector,
-                   (CAST(44*tf_dup*sum_dl AS DOUBLE) / CAST(20*tf_dup*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
+              FROM base)"""
+
+  private val bm25ScoreSql: String =
+    """(CAST(44*tf_dup*sum_dl AS DOUBLE) / CAST(20*tf_dup*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
                      * (CAST(2*n_docs - 2*df_dup + 1 AS DOUBLE) / CAST(2*df_dup + 1 AS DOUBLE))
                  + (CAST(44*tf_query*sum_dl AS DOUBLE) / CAST(20*tf_query*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
                      * (CAST(2*n_docs - 2*df_query + 1 AS DOUBLE) / CAST(2*df_query + 1 AS DOUBLE))
                  + (CAST(44*tf_batch*sum_dl AS DOUBLE) / CAST(20*tf_batch*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
                      * (CAST(2*n_docs - 2*df_batch + 1 AS DOUBLE) / CAST(2*df_batch + 1 AS DOUBLE))
                  + (CAST(44*tf_vector*sum_dl AS DOUBLE) / CAST(20*tf_vector*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
-                     * (CAST(2*n_docs - 2*df_vector + 1 AS DOUBLE) / CAST(2*df_vector + 1 AS DOUBLE))
-                   AS score
+                     * (CAST(2*n_docs - 2*df_vector + 1 AS DOUBLE) / CAST(2*df_vector + 1 AS DOUBLE))"""
+
+  val qBm25 = Q(
+    "q_bm25",
+    (s, d) =>
+      bm25Scored(s, d)
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(20),
+    Some(s"""WITH $bm25OracleCte
+            SELECT doc_id, dl, tf_dup, tf_query, tf_batch, tf_vector,
+                   $bm25ScoreSql AS score
             FROM base, stats
             ORDER BY score DESC, doc_id LIMIT 20""")
   )
+
 
   /** INVERTED-INDEX BUILD (r7) — blocked delta-encoded posting lists,
     * the physical layout a lexical search index (Lucene-style) actually
@@ -901,9 +918,139 @@ object TextOps {
             ORDER BY q_id, rank""")
   )
 
+  /** SPAN CORRUPTION (r9) — the T5/UL2 denoising-objective example
+    * builder: mask fixed-grid token spans and emit the (corrupted
+    * input, sentinel-delimited targets) pair every encoder-decoder
+    * pretraining batch consumes. Deterministic T5-style grid instead
+    * of T5's RNG (the E16 reproducibility rule): position p of a doc
+    * is masked iff `(p + off) mod 7 < 3` with the per-doc phase
+    * `off = knuth(doc_id) mod 7` — 3-token spans on a period-7 grid
+    * (≈43% corruption), overlap-free by construction, span index
+    * `k = (p + off) div 7` so each span's sentinel `<X_k>` is stable
+    * under any engine, order, or subset.
+    *
+    * Corrupted side: unmasked tokens in order, each span collapsed to
+    * its sentinel at the span's FIRST masked position; target side:
+    * each sentinel followed by the span's tokens. n_masked audits the
+    * corruption rate. All integer/string ops, one formula text in
+    * both dialects.
+    *
+    * Scale shape: a pure per-row projection over the scan — no
+    * shuffle, no state, no vocabulary; the only exchange is the
+    * output sort. The HOF chain is per-row bounded work (∝ tokens);
+    * if this became the hot inner loop of a 100 TB run the
+    * WordShingles precedent applies (swap the HOF for a codegen
+    * Expression with identical semantics).
+    */
+  val qSpanCorruption = Q(
+    "q_span_corruption",
+    (s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"),
+          pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+            lit(4294967296L)).mod(lit(7L)).as("off"))
+        .select(col("doc_id"),
+          expr("size(filter(sequence(0, size(w) - 1), p -> (p + off) % 7 < 3))")
+            .cast("long").as("n_masked"),
+          expr("""concat_ws(' ', flatten(transform(sequence(0, size(w) - 1),
+                    p -> CASE
+                      WHEN (p + off) % 7 >= 3 THEN array(element_at(w, p + 1))
+                      WHEN (p + off) % 7 = 0 OR p = 0
+                        THEN array(concat('<X', CAST((p + off) DIV 7 AS STRING), '>'))
+                      ELSE array()
+                    END)))""").as("corrupted"),
+          expr("""concat_ws(' ', flatten(transform(sequence(0, size(w) - 1),
+                    p -> CASE
+                      WHEN (p + off) % 7 >= 3 THEN array()
+                      WHEN (p + off) % 7 = 0 OR p = 0
+                        THEN array(concat('<X', CAST((p + off) DIV 7 AS STRING), '>'),
+                                   element_at(w, p + 1))
+                      ELSE array(element_at(w, p + 1))
+                    END)))""").as("targets"))
+        .orderBy("doc_id"),
+    Some("""WITH b AS (
+              SELECT doc_id, string_split(text, ' ') AS w,
+                     (doc_id % 2147483647 * 2654435761) % 4294967296 % 7 AS off
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(list_filter(range(0, len(w)), p -> (p + off) % 7 < 3))
+                        AS BIGINT) AS n_masked,
+                   COALESCE(list_aggregate(flatten(list_transform(range(0, len(w)),
+                     p -> CASE
+                       WHEN (p + off) % 7 >= 3 THEN [w[p + 1]]
+                       WHEN (p + off) % 7 = 0 OR p = 0
+                         THEN ['<X' || CAST((p + off) // 7 AS VARCHAR) || '>']
+                       ELSE []
+                     END)), 'string_agg', ' '), '') AS corrupted,
+                   COALESCE(list_aggregate(flatten(list_transform(range(0, len(w)),
+                     p -> CASE
+                       WHEN (p + off) % 7 >= 3 THEN []
+                       WHEN (p + off) % 7 = 0 OR p = 0
+                         THEN ['<X' || CAST((p + off) // 7 AS VARCHAR) || '>', w[p + 1]]
+                       ELSE [w[p + 1]]
+                     END)), 'string_agg', ' '), '') AS targets
+            FROM b ORDER BY doc_id""")
+  )
+
+  /** RETRIEVE-THEN-RERANK (r9) — the two-stage serving composition
+    * every production retrieval stack runs: a cheap high-recall
+    * retriever (the declared q_bm25, SHARED code path via
+    * [[bm25Scored]]) funnels the corpus to 20 candidates, then an
+    * expensive model (the declared q_mlp_score integer MLP, SHARED via
+    * Quality.mlpScored) re-scores ONLY those candidates and keeps the
+    * top-5 by (quality, relevance). Both stages being declared,
+    * hash-verified operators makes the composition's oracle exact.
+    *
+    * Scale shape — the serving economics the pattern exists for:
+    * retrieval is q_bm25's scan + 1-row stats broadcast + top-20
+    * TakeOrderedAndProject; the 20-row candidate set Materializes and
+    * BROADCASTS into the documents scan (a k-row build side — the one
+    * legitimately-broadcast join in the retrieval family), so the
+    * reranker's explode + 8-sum aggregate touches 20 documents at ANY
+    * corpus size. Rerank cost ∝ k, never ∝ corpus.
+    */
+  val qRerank = Q(
+    "q_rerank",
+    (s, d) => {
+      val cands = Materialize(
+        bm25Scored(s, d)
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), round(col("score"), 6).as("bm25")))
+      val rescored = Quality.mlpScored(
+        documents(s, d).join(broadcast(cands.select("doc_id")), "doc_id")
+          .select(col("doc_id"), col("text")))
+      cands.join(rescored, "doc_id")
+        .select(col("doc_id"), col("bm25"), col("mlp_score"))
+        .orderBy(col("mlp_score").desc, col("bm25").desc, col("doc_id"))
+        .limit(5)
+    },
+    Some {
+      s"""WITH $bm25OracleCte,
+            scored AS (
+              SELECT doc_id, $bm25ScoreSql AS score
+              FROM base, stats),
+            cands AS (
+              SELECT doc_id, round(score, 6) AS bm25
+              FROM scored ORDER BY score DESC, doc_id LIMIT 20),
+            toks AS (
+              SELECT c.doc_id, c.bm25,
+                     ('0x' || substr(md5(term), 1, 4))::BIGINT % 64 AS b
+              FROM cands c JOIN (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents) t ON c.doc_id = t.doc_id),
+            f AS (SELECT doc_id, bm25,
+                   ${Quality.mlpSumsSql}
+                  FROM toks GROUP BY doc_id, bm25)
+            SELECT doc_id, bm25, CAST(${Quality.mlpScoreSql} AS BIGINT) AS mlp_score
+            FROM f
+            ORDER BY mlp_score DESC, bm25 DESC, doc_id LIMIT 5"""
+    }
+  )
+
   val all: Seq[Q] =
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
       qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms,
       qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex, qBm25Postings,
-      qHardNegatives)
+      qHardNegatives, qSpanCorruption, qRerank)
 }

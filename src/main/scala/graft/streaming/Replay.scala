@@ -1185,4 +1185,154 @@ object Replay {
             FROM documents
             ORDER BY priority, doc_id LIMIT 20""")
   )
+
+  /** One staged row of the PIT replay: feature versions (kind 0,
+    * purchases) and probes (kind 1, clicks), with the epoch-week both
+    * the file layout and the oracle derive from the same micros.
+    */
+  final case class PitRow(kind: Int, event_id: Long, user_id: Long,
+      tsu: Long, wk: Long, value: Double)
+
+  /** Per-entity serving state: the latest feature version seen in
+    * COMPLETED micro-batches (max by (tsu, event_id) — an associative,
+    * order-free fold) plus how many versions preceded it.
+    */
+  final case class PitState(tsu: Long, eid: Long, value: Double, n: Long)
+
+  final case class PitOut(event_id: Long, user_id: Long, probe_wk: Long,
+      feature_value: Option[Double], feature_version: Long)
+
+  private val pitSchema: StructType = StructType(Seq(
+    StructField("kind", IntegerType), StructField("event_id", LongType),
+    StructField("user_id", LongType), StructField("tsu", LongType),
+    StructField("wk", LongType), StructField("value", DoubleType)))
+
+  /** Stage the PIT replay dir: one VERSIONS file then one PROBES file
+    * per epoch-week, mtimes strictly increasing, so
+    * `maxFilesPerTrigger=1` delivers week w's features BEFORE week w's
+    * probes — the feature-store publish cadence ("features computed at
+    * week open serve that week's traffic") the oracle encodes as
+    * `v.wk <= p.wk`.
+    */
+  private[graft] def pitReplayDir(s: SparkSession, d: String): java.nio.file.Path = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val ev = graft.ops.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("value"))
+      .withColumn("wk", expr("tsu div 604800000000"))
+    val staged = ev
+      .where(col("event_type").isin("purchase", "click"))
+      .select(
+        when(col("event_type") === "purchase", 0).otherwise(1).as("kind"),
+        col("event_id"), col("user_id"), col("tsu"), col("wk"), col("value"))
+    val live = Files.createTempDirectory("replay-pit-in-")
+    val weeks = staged.select("wk").distinct().collect().map(_.getLong(0)).sorted
+    var slot = 0
+    for (w <- weeks; k <- Seq(0, 1)) {
+      val part = staged.where(col("wk") === w && col("kind") === k)
+      val tmp = Files.createTempDirectory("pit-file-")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val f =
+        try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
+        finally listing.close()
+      Files.move(f, live.resolve(f"$slot%02d.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(live.resolve(f"$slot%02d.parquet"),
+        FileTime.fromMillis(1000000000000L + slot * 60000L))
+      graft.FsUtil.deleteRecursively(tmp)
+      slot += 1
+    }
+    live
+  }
+
+  /** ONLINE POINT-IN-TIME ENRICHMENT — the serving-side state fold:
+    * per entity keep only the LATEST feature version from completed
+    * batches (O(entities) state at ANY stream length — the online
+    * twin of the batch [[graft.ops.Dedup]] q_pit_join, whose state is
+    * the full history because it answers probes at arbitrary past
+    * timestamps; the online path answers "now", so one version
+    * suffices). Versions fold before probes emit within an
+    * invocation, so a mixed batch degenerates to the same `wk ≤ wk`
+    * contract the file layout enforces.
+    */
+  def pitStream(rows: Dataset[PitRow]): Dataset[PitOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PitState, PitOut](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { (uid: Long, it: Iterator[PitRow], state: GroupState[PitState]) =>
+        val (versions, probes) = it.toSeq.partition(_.kind == 0)
+        val st0 = state.getOption.getOrElse(PitState(Long.MinValue, Long.MinValue, 0.0, 0L))
+        val st = versions.foldLeft(st0) { (acc, v) =>
+          val better = v.tsu > acc.tsu || (v.tsu == acc.tsu && v.event_id > acc.eid)
+          PitState(
+            if (better) v.tsu else acc.tsu,
+            if (better) v.event_id else acc.eid,
+            if (better) v.value else acc.value,
+            acc.n + 1)
+        }
+        if (versions.nonEmpty) state.update(st)
+        probes.iterator.map(p =>
+          PitOut(p.event_id, uid, p.wk,
+            if (st.n > 0) Some(st.value) else None, st.n))
+      }
+  }
+
+  /** STREAMING POINT-IN-TIME ENRICHMENT (r9, E14 × E10) — feature
+    * serving as an operator: probes (clicks) enriched on arrival with
+    * the entity's latest feature version (purchases) published in any
+    * EARLIER-or-same-week batch. ORACLED: the staged file cadence
+    * (versions of week w before probes of week w, weeks ascending)
+    * makes the streamed answer a pure function of the data — the
+    * DuckDB asof join over `v.wk ≤ p.wk` reproduces every enriched
+    * row bit-for-bit, including feature_version (how many versions
+    * preceded the serve) and the NULL feature of a never-featured
+    * entity.
+    *
+    * 100 TB posture: state is ONE row per live entity (the latest
+    * version), emission is per-probe Append — the stream never holds
+    * history, never re-sorts, never drains; a year of traffic costs
+    * the same state as a day's.
+    */
+  val qStreamPit: graft.ops.Q = graft.ops.Q(
+    "q_stream_pit",
+    (s, d) => {
+      import s.implicits._
+      val live = pitReplayDir(s, d)
+      try {
+        val rows = s.readStream.schema(pitSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$live/*.parquet")
+          .as[PitRow]
+        replayToParquet(
+          pitStream(rows).toDF(),
+          java.nio.file.Files.createTempDirectory("replay-pit-out-").toString)
+          .orderBy("event_id")
+          .select("event_id", "user_id", "probe_wk", "feature_value", "feature_version")
+      } finally graft.FsUtil.deleteRecursively(live)
+    },
+    Some("""WITH v AS (
+              SELECT user_id, epoch_us(ts) AS tsu, event_id, value,
+                     epoch_us(ts) // 604800000000 AS wk
+              FROM events WHERE event_type = 'purchase'),
+            p AS (
+              SELECT event_id, user_id, epoch_us(ts) // 604800000000 AS wk
+              FROM events WHERE event_type = 'click'),
+            j AS (
+              SELECT p.event_id, p.user_id, p.wk AS probe_wk,
+                     v.value,
+                     row_number() OVER (PARTITION BY p.event_id
+                                        ORDER BY v.tsu DESC, v.event_id DESC) AS rn,
+                     count(v.user_id) OVER (PARTITION BY p.event_id) AS nv
+              FROM p LEFT JOIN v
+                ON v.user_id = p.user_id AND v.wk <= p.wk)
+            SELECT event_id, user_id, probe_wk,
+                   value AS feature_value,
+                   CAST(nv AS BIGINT) AS feature_version
+            FROM j WHERE rn = 1
+            ORDER BY event_id""")
+  )
 }

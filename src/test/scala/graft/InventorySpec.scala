@@ -116,7 +116,7 @@ class InventorySpec extends AnyFunSuite {
     "q_scalar_string", "q_normalize", "q_fingerprint", "q_lang_id",
     "q_token_count", "q_quality_score", "q_pii_redact", "q_repetition",
     "q_text_normalize", "q_chunk_overlap", "q_weighted_sample",
-    "q_unpivot",
+    "q_unpivot", "q_span_corruption",
     // merge-order-sensitive approx percentile sketch — QuantileSpec
     // holds its rank-error law; a 4-vs-32 sweep would pin an
     // implementation detail (the sketch merge tree), not a contract
@@ -137,7 +137,7 @@ class InventorySpec extends AnyFunSuite {
     "q_stream_funnel", "q_stream_incremental_dedup", "q_stream_join",
     "q_stream_join_outer", "q_stream_quality", "q_stream_sample",
     "q_stream_sessions", "q_stream_sliding", "q_stream_topk",
-    "q_stream_window",
+    "q_stream_window", "q_stream_pit",
     // lake-layout / metadata ops: the result is a file-level property
     // (pruning, visibility, compaction) proven by PartitionedSpec's FS
     // laws; the data-plane plan is a plain pruned scan

@@ -906,6 +906,36 @@ class QueriesPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_span_corruption: a pure per-row projection — the only exchange is the output sort") {
+    val p = plan("q_span_corruption")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
+      "denoising-example construction must stay per-row")
+    assert(shuffles(p) <= 1, "span corruption acquired a data-scale shuffle")
+  }
+
+  test("q_stream_pit gate: per-entity serving state — batch twin of the fold is keyed, no broadcast") {
+    // the streaming plan itself is on audit in PLANS.md (final
+    // micro-batch); here pin the staged-input derivation: one events
+    // scan, per-row kind/week projection, no join
+    pinsViaHelper("q_stream_pit")
+    val p = graft.ops.Tables.events(spark, sf0001)
+      .selectExpr("event_id", "user_id", "event_type",
+        "unix_micros(ts) AS tsu", "value")
+      .where(org.apache.spark.sql.functions.col("event_type").isin("purchase", "click"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), "PIT staging projection acquired a shuffle")
+  }
+
+  test("q_rerank: candidate set materialized + broadcast — rerank cost ∝ k, never corpus") {
+    val p = plan("q_rerank")
+    assert(p.contains("Scan ExistingRDD"), "top-20 candidates lost their materialization")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 20-row candidate side must broadcast into the documents scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must never shuffle for a k-row rerank")
+    assert(p.contains("TakeOrderedAndProject"), "final top-5 must not be a global sort")
+  }
+
   test("plan-pin ledger: the companion `pinned` set equals what this suite actually planned") {
     // run LAST (registration order): `pinned` is the contract
     // InventorySpec audits every declared query against — this test
@@ -955,5 +985,5 @@ object QueriesPlanSpec {
     "q_expectations", "q_kmv_overlap", "q_kmv_merge", "q_mlp_score",
     "q_maxsim_ann", "q_maxsim_postings",
     "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
-    "q_curriculum")
+    "q_curriculum", "q_span_corruption", "q_stream_pit", "q_rerank")
 }

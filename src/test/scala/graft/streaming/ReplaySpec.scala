@@ -421,4 +421,61 @@ class ReplaySpec extends SparkSpec {
     assert(got == Seq((8L, 10L), (32L, 5L)),
       s"bottom-2 after displacement must be {32@5, 8@10}, got $got")
   }
+
+  test("streaming PIT: serve-from-past only — a later batch's version never rewrites an earlier probe") {
+    import spark.implicits._
+    import graft.streaming.Replay.{PitRow, PitOut}
+    // crafted cadence on one entity: v(week1)=10 → probe(week1) serves
+    // 10@v1; v(week2)=99 arrives LATER; probe(week2) serves 99@v2. The
+    // week-1 probe's emitted row must still say 10@v1 — proving the
+    // Append emission is final and the state fold is batch-ordered.
+    val live = Files.createTempDirectory("pit-live-")
+    def deliver(name: String, idx: Int, rows: Seq[PitRow]): Unit = {
+      val dest = live.resolve(name).toString
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(dest)
+      Files.setLastModifiedTime(Paths.get(dest),
+        FileTime.fromMillis(1000000000000L + idx * 60000L))
+    }
+    deliver("00.parquet", 0, Seq(PitRow(0, 100, 7, 1000L, 1, 10.0)))
+    deliver("01.parquet", 1, Seq(PitRow(1, 101, 7, 1500L, 1, 0.0)))
+    deliver("02.parquet", 2, Seq(PitRow(0, 102, 7, 2000L, 2, 99.0)))
+    deliver("03.parquet", 3, Seq(PitRow(1, 103, 7, 2500L, 2, 0.0)))
+    val rows = spark.readStream
+      .schema("kind INT, event_id LONG, user_id LONG, tsu LONG, wk LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$live/*.parquet")
+      .as[PitRow]
+    val out = Files.createTempDirectory("pit-out-").toString + "/rows"
+    val got = Replay.replayToParquet(Replay.pitStream(rows).toDF(), out)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == Seq((101L, 10.0, 1L), (103L, 99.0, 2L)),
+      s"expected week-1 probe pinned at 10@v1 and week-2 probe at 99@v2, got $got")
+  }
+
+  test("streaming PIT on live data: every enriched row re-derived from raw events in plain Scala") {
+    // the MlpSpec discipline for the streaming path: collect the raw
+    // events, replay the declared query, and check EVERY output row
+    // against a loop-built expectation (latest purchase with wk <= the
+    // probe's wk by (tsu, event_id); version = count of such purchases)
+    val ev = graft.ops.Tables.events(spark, sf0001)
+      .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS tsu", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    val W = 604800000000L
+    val versions = ev.filter(_._3 == "purchase")
+      .groupBy(_._2).view.mapValues(_.toSeq.sortBy(v => (v._4, v._1))).toMap
+    val got = graft.SparkEntry.queries("q_stream_pit")(spark, sf0001).collect()
+    val probes = ev.filter(_._3 == "click")
+    assert(got.length == probes.length, "one enriched row per click probe")
+    got.foreach { r =>
+      val (eid, uid, wk) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val served = versions
+        .getOrElse(uid, Seq.empty[(Long, Long, String, Long, Double)])
+        .filter(v => v._4 / W <= wk)
+      assert(served.size.toLong == r.getLong(4), s"probe $eid version count")
+      if (served.isEmpty) assert(r.isNullAt(3), s"probe $eid must have NULL feature")
+      else assert(r.getDouble(3) == served.last._5, s"probe $eid feature value")
+    }
+  }
 }
