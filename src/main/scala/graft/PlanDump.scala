@@ -40,7 +40,7 @@ object PlanDump {
       "q_expectations", "q_kmv_overlap", "q_kmv_merge", "q_mlp_score",
       "q_maxsim_ann", "q_maxsim_postings",
       "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
-      "q_curriculum", "q_span_corruption", "q_rerank"
+      "q_curriculum", "q_span_corruption", "q_rerank", "q_bm25_segments"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -344,10 +344,11 @@ object PlanDump {
           "IEEE chain over exact decimal moments — no join, no broadcast, no second " +
           "data-scale shuffle."),
       "q_hard_negatives" ->
-        ("shingle-keyed ShuffledHashJoin (both sides corpus-derived — never broadcast, " +
-          "never cartesian: fan-out per shingle = its df, naturally tiny for 3-grams); " +
-          "map-side-combined (query, candidate) count; per-query top-3 is a rank window " +
-          "rewritten to WindowGroupLimit, so ≤3 rows per query cross the final exchange."),
+        ("hot-shingle df-cap (≤64) enforced IN the plan: the df aggregate and the cap " +
+          "join share the shingle partitioning, bounding join fan-out at 64 per shingle " +
+          "at any corpus size; the match join is a shingle-keyed ShuffledHashJoin (both " +
+          "sides corpus-derived — never broadcast, never cartesian); map-side-combined " +
+          "(query, candidate) count; per-query top-3 is WindowGroupLimit."),
       "q_curriculum" ->
         ("shingle df aggregate's hash partitioning is REUSED by the rarity join (no second " +
           "shingle exchange); the phase/rank pass is the q_ntile two-pass closed form — " +
@@ -366,7 +367,12 @@ object PlanDump {
         ("two-stage serving: the q_bm25 retrieval (shared code path) funnels to a " +
           "Materialized 20-row candidate set that BROADCASTS into the documents scan — " +
           "the q_mlp_score reranker (shared code path) then explodes and aggregates 20 " +
-          "documents at any corpus size; rerank cost ∝ k, the corpus never re-shuffles.")
+          "documents at any corpus size; rerank cost ∝ k, the corpus never re-shuffles."),
+      "q_bm25_segments" ->
+        ("BOTH segment postings scans carry the term IN pushdown and documents.parquet " +
+          "is absent; per-term df and n_docs/Σdl combine at query time from the segment " +
+          "dicts/stats (BM25 statistics are additive monoids) as tiny broadcasts — " +
+          "absorbing a batch writes one new segment, the merge IS the query.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

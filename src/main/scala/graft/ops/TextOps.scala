@@ -777,6 +777,88 @@ object TextOps {
     * corpus size — the gap VERDICT r7 called the one remaining
     * documented-shape-without-shipped-scale-path.
     */
+  /** Segmented (Lucene-style) index layout: TWO independently-built
+    * segments — seg_a holds `doc_id % 10 < 9` (the established corpus),
+    * seg_b the rest (the freshly-absorbed batch) — each with its own
+    * postings/dict/stats. The point of the layout: absorbing a batch
+    * WRITES ONE NEW SEGMENT and never touches the old one (maintenance
+    * ∝ batch, the q_incremental_dedup economics applied to index
+    * build); the query side combines segments because every BM25
+    * statistic is ADDITIVE (df, n_docs, Σdl are monoids). Content-keyed
+    * cache + atomic whole-layout publish, as [[invertedIndexLayout]].
+    */
+  def segmentedIndexLayout(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_segs_" +
+      Partitioned.sourceKey(Seq(s"$d/documents.parquet"))
+    val parts = for {
+      seg <- Seq("seg_a", "seg_b")
+      p <- Seq("postings.parquet", "dict.parquet", "stats.parquet")
+    } yield s"$seg/$p"
+    if (!parts.forall(p => Partitioned.successExists(s, s"$out/$p"))) {
+      Partitioned.buildAtomically(s, out) { tmp =>
+        for ((seg, pred) <- Seq(
+            ("seg_a", col("doc_id") % 10 < 9),
+            ("seg_b", col("doc_id") % 10 >= 9))) {
+          val docs = documents(s, d).where(pred)
+          docs
+            .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("dl"),
+              explode(split(col("text"), " ")).as("term"))
+            .groupBy("term", "doc_id")
+            .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+            .write.mode("overwrite").parquet(s"$tmp/$seg/postings.parquet")
+          s.read.parquet(s"$tmp/$seg/postings.parquet")
+            .groupBy("term").agg(count(lit(1)).as("df"))
+            .write.mode("overwrite").parquet(s"$tmp/$seg/dict.parquet")
+          docs
+            .agg(count(lit(1)).as("n_docs"),
+              sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+            .write.mode("overwrite").parquet(s"$tmp/$seg/stats.parquet")
+        }
+      }
+    }
+    out
+  }
+
+  /** The q_bm25_postings oracle — whole-corpus scoring of the 4 query
+    * terms. SHARED VERBATIM with [[qBm25Segments]]: both probe paths
+    * must equal the full scan, so one oracle text proves both.
+    */
+  private val bm25PostingsOracle: String =
+    """WITH base AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'dup')) AS BIGINT) AS tf_dup,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'query')) AS BIGINT) AS tf_query,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'batch')) AS BIGINT) AS tf_batch,
+                     CAST(len(list_filter(string_split(text,' '), x -> x = 'vector')) AS BIGINT) AS tf_vector
+              FROM documents),
+            stats AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl,
+                     CAST(sum(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_dup,
+                     CAST(sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_query,
+                     CAST(sum(CASE WHEN tf_batch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_batch,
+                     CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+              FROM base)
+            SELECT doc_id, dl,
+                   CAST((CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN tf_query > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN tf_batch > 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+                   (CAST(44*tf_dup*sum_dl AS DOUBLE) / CAST(20*tf_dup*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
+                     * (CAST(2*n_docs - 2*df_dup + 1 AS DOUBLE) / CAST(2*df_dup + 1 AS DOUBLE))
+                 + (CAST(44*tf_query*sum_dl AS DOUBLE) / CAST(20*tf_query*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
+                     * (CAST(2*n_docs - 2*df_query + 1 AS DOUBLE) / CAST(2*df_query + 1 AS DOUBLE))
+                 + (CAST(44*tf_batch*sum_dl AS DOUBLE) / CAST(20*tf_batch*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
+                     * (CAST(2*n_docs - 2*df_batch + 1 AS DOUBLE) / CAST(2*df_batch + 1 AS DOUBLE))
+                 + (CAST(44*tf_vector*sum_dl AS DOUBLE) / CAST(20*tf_vector*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
+                     * (CAST(2*n_docs - 2*df_vector + 1 AS DOUBLE) / CAST(2*df_vector + 1 AS DOUBLE))
+                   AS score
+            FROM base, stats
+            WHERE tf_dup + tf_query + tf_batch + tf_vector > 0
+            ORDER BY score DESC, doc_id LIMIT 20"""
+
   val qBm25Postings = Q(
     "q_bm25_postings",
     (s, d) => {
@@ -815,39 +897,68 @@ object TextOps {
         .orderBy(desc("score"), col("doc_id"))
         .limit(20)
     },
-    Some("""WITH base AS (
-              SELECT doc_id,
-                     CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
-                     CAST(len(list_filter(string_split(text,' '), x -> x = 'dup')) AS BIGINT) AS tf_dup,
-                     CAST(len(list_filter(string_split(text,' '), x -> x = 'query')) AS BIGINT) AS tf_query,
-                     CAST(len(list_filter(string_split(text,' '), x -> x = 'batch')) AS BIGINT) AS tf_batch,
-                     CAST(len(list_filter(string_split(text,' '), x -> x = 'vector')) AS BIGINT) AS tf_vector
-              FROM documents),
-            stats AS (
-              SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(dl) AS BIGINT) AS sum_dl,
-                     CAST(sum(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_dup,
-                     CAST(sum(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_query,
-                     CAST(sum(CASE WHEN tf_batch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_batch,
-                     CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
-              FROM base)
-            SELECT doc_id, dl,
-                   CAST((CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END)
-                      + (CASE WHEN tf_query > 0 THEN 1 ELSE 0 END)
-                      + (CASE WHEN tf_batch > 0 THEN 1 ELSE 0 END)
-                      + (CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
-                   (CAST(44*tf_dup*sum_dl AS DOUBLE) / CAST(20*tf_dup*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
-                     * (CAST(2*n_docs - 2*df_dup + 1 AS DOUBLE) / CAST(2*df_dup + 1 AS DOUBLE))
-                 + (CAST(44*tf_query*sum_dl AS DOUBLE) / CAST(20*tf_query*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
-                     * (CAST(2*n_docs - 2*df_query + 1 AS DOUBLE) / CAST(2*df_query + 1 AS DOUBLE))
-                 + (CAST(44*tf_batch*sum_dl AS DOUBLE) / CAST(20*tf_batch*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
-                     * (CAST(2*n_docs - 2*df_batch + 1 AS DOUBLE) / CAST(2*df_batch + 1 AS DOUBLE))
-                 + (CAST(44*tf_vector*sum_dl AS DOUBLE) / CAST(20*tf_vector*sum_dl + 6*sum_dl + 18*dl*n_docs AS DOUBLE))
-                     * (CAST(2*n_docs - 2*df_vector + 1 AS DOUBLE) / CAST(2*df_vector + 1 AS DOUBLE))
-                   AS score
-            FROM base, stats
-            WHERE tf_dup + tf_query + tf_batch + tf_vector > 0
-            ORDER BY score DESC, doc_id LIMIT 20""")
+    Some(bm25PostingsOracle)
+  )
+
+  /** SEGMENTED-INDEX RETRIEVAL (r9) — q_bm25_postings over the
+    * [[segmentedIndexLayout]]: probe BOTH segments' postings (term
+    * pushdown into each scan, documents.parquet absent from the plan)
+    * and combine statistics AT QUERY TIME — per-term df sums across
+    * segment dicts, n_docs/Σdl sum across segment stats — legal
+    * because every BM25 statistic is additive. The ORACLE is
+    * [[bm25PostingsOracle]] VERBATIM (whole-corpus full-scan scoring),
+    * so the hash match proves segment-combined probe ≡ full scan:
+    * the index can absorb batches segment-by-segment forever without
+    * a rebuild and keep serving exact scores.
+    *
+    * Scale shape: work ∝ matching postings across segments (union of
+    * two pushed-down scans), candidates pivot through ONE doc_id
+    * groupBy, df/stats are (2·|terms| + 2)-row broadcasts, top-20 is
+    * TakeOrderedAndProject. Maintenance: a new batch = one new
+    * segment build ∝ batch size; the merge is the query.
+    */
+  val qBm25Segments = Q(
+    "q_bm25_segments",
+    (s, d) => {
+      val qterms = Seq("dup", "query", "batch", "vector")
+      val ix = segmentedIndexLayout(s, d)
+      def seg(p: String) =
+        s.read.parquet(s"$ix/seg_a/$p").unionAll(s.read.parquet(s"$ix/seg_b/$p"))
+      val posts = seg("postings.parquet").where(col("term").isin(qterms: _*))
+      val aggs =
+        max("dl").as("dl") +:
+          (qterms.map(t =>
+            coalesce(sum(when(col("term") === lit(t), col("tf"))), lit(0L))
+              .as(s"tf_$t")) :+
+            count(lit(1)).as("n_terms"))
+      val cand = posts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      // per-term df across segments: the union'd dicts sum naturally
+      val dfRow = seg("dict.parquet")
+        .where(col("term").isin(qterms: _*))
+        .agg(
+          coalesce(sum(when(col("term") === lit(qterms.head), col("df"))), lit(0L))
+            .as(s"df_${qterms.head}"),
+          qterms.tail.map(t =>
+            coalesce(sum(when(col("term") === lit(t), col("df"))), lit(0L))
+              .as(s"df_$t")): _*)
+      val stats = seg("stats.parquet")
+        .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      def termScore(t: String) = {
+        val tf = col(s"tf_$t"); val df = col(s"df_$t")
+        val num = lit(44L) * tf * col("sum_dl")
+        val den = lit(20L) * tf * col("sum_dl") + lit(6L) * col("sum_dl") +
+          lit(18L) * col("dl") * col("n_docs")
+        (num.cast("double") / den.cast("double")) *
+          ((lit(2L) * col("n_docs") - lit(2L) * df + lit(1L)).cast("double") /
+            (lit(2L) * df + lit(1L)).cast("double"))
+      }
+      cand.crossJoin(broadcast(dfRow)).crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("dl"), col("n_terms"),
+          qterms.map(termScore).reduceLeft(_ + _).as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(20)
+    },
+    Some(bm25PostingsOracle)
   )
 
   /** HARD-NEGATIVE MINING (r9) — the contrastive-retriever training
@@ -860,26 +971,35 @@ object TextOps {
     * q_negative_sampling's uniform draws.
     *
     * Mechanism: distinct 3-shingles per doc (the WordShingles codegen
-    * map side every dedup shuffle uses), queries = `doc_id % 97 = 0`,
-    * ONE shingle-keyed equi-join (corpus-scale on both sides — never a
-    * broadcast, never a cartesian: fan-out per shingle is its df, and
-    * 3-gram df is naturally tiny — the q_dedup_ngram blocking
-    * argument), exact integer score = |shared shingles|, per-query
-    * top-3 via a rank window the optimizer rewrites to
-    * WindowGroupLimit.
+    * map side every dedup shuffle uses), HOT-SHINGLE CAP df ≤ 64 (the
+    * q_dedup_ngram hot-bucket discipline, enforced in the plan, not
+    * prose: a boilerplate 3-gram — "terms of service" — has df ∝
+    * corpus and would quadratically fan the join; a shingle that
+    * common carries no retrieval signal anyway, exactly WAND's
+    * stop-term argument), queries = `doc_id % 97 = 0`, ONE
+    * shingle-keyed equi-join (corpus-scale on both sides — never a
+    * broadcast, never a cartesian), exact integer score = |shared
+    * rare shingles|, per-query top-3 via a rank window the optimizer
+    * rewrites to WindowGroupLimit.
     *
-    * Scale: candidates ∝ Σ_probe-shingle df (rare-feature matching;
-    * a df-capped hot-shingle filter composes exactly like
-    * q_dedup_ngram's hot-bucket cap if the corpus has degenerate
-    * shingles), map-side-combined (q, neg) count, ≤3 rows per query
-    * cross the final exchange.
+    * Scale: candidates ∝ Σ_probe-shingle min(df, 64) — bounded at
+    * 64·|query shingles| per query at ANY corpus size; the df
+    * aggregate's shingle partitioning is co-located with the cap join
+    * and the match join. Map-side-combined (q, neg) count, ≤3 rows
+    * per query cross the final exchange. (At the test fixtures max
+    * 3-gram df is 9, so the cap provably never changes results there
+    * — both dialects carry it, so the oracle verifies the capped
+    * semantics.)
     */
   val qHardNegatives = Q(
     "q_hard_negatives",
     (s, d) => {
-      val sh = fanOut(documents(s, d))
+      val sh0 = fanOut(documents(s, d))
         .select(col("doc_id"), col("source"),
           explode(graft.functions.TextHash.shingles(col("text"), 3)).as("sh"))
+      val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .where(col("df") <= 64).select("sh")
+      val sh = sh0.hint("shuffle_hash").join(rare, "sh")
       val qs = sh.where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("q_id"), col("source").as("q_src"),
           col("sh"))
@@ -897,11 +1017,13 @@ object TextOps {
     Some("""WITH toks AS (
               SELECT doc_id, source, string_split(text, ' ') AS w
               FROM documents WHERE len(string_split(text, ' ')) >= 3),
-            sh AS (
+            sh0 AS (
               SELECT DISTINCT doc_id, source,
                      unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                            for i in range(1, len(w) - 1)])) AS s
               FROM toks),
+            rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 64),
+            sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (s)),
             cand AS (
               SELECT q.doc_id AS q_id, c.doc_id AS neg_id,
                      CAST(count(*) AS BIGINT) AS n_shared
@@ -1052,5 +1174,5 @@ object TextOps {
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
       qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms,
       qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex, qBm25Postings,
-      qHardNegatives, qSpanCorruption, qRerank)
+      qBm25Segments, qHardNegatives, qSpanCorruption, qRerank)
 }

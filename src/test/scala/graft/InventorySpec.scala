@@ -181,6 +181,14 @@ class InventorySpec extends AnyFunSuite {
         s"allowlisted but now oracled: ${(noOracleByDesign -- unoracled).toSeq.sorted}")
   }
 
+  test("SURVEY.md documents every declared query (the r8 no-SURVEY-row class)") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val undocumented = declared.filterNot(n => survey.contains(s"`$n`"))
+    assert(undocumented.isEmpty,
+      s"declared queries with no SURVEY.md mention: ${undocumented.toSeq.sorted.mkString(", ")}")
+  }
+
   test("SURVEY.md closing gate matches the live inventory (the r8 drift class)") {
     val src = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")

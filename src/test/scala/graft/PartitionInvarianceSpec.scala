@@ -109,6 +109,6 @@ object PartitionInvarianceSpec {
     // round-9 additions: mixture retarget, group-relative advantage,
     // shingle-join negatives, two-pass curriculum rank
     "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
-    "q_curriculum", "q_rerank"
+    "q_curriculum", "q_rerank", "q_bm25_segments"
   )
 }

@@ -878,8 +878,8 @@ class QueriesPlanSpec extends SparkSpec {
 
   test("q_hard_negatives: shingle join shuffled both sides, top-3 is WindowGroupLimit") {
     val p = plan("q_hard_negatives")
-    assert(p.contains("ShuffledHashJoin"),
-      "shingle match must be a keyed shuffle join (both sides corpus-scale)")
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
+      "hot-shingle df-cap join AND the match join must both be keyed shuffle joins")
     assert(!p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
       && !p.contains("NestedLoop"),
       "nothing corpus-derived may broadcast, and no pair may form outside the shingle key")
@@ -936,6 +936,18 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "final top-5 must not be a global sort")
   }
 
+  test("q_bm25_segments: both segment postings probed with term pushdown — corpus never scanned") {
+    val p = plan("q_bm25_segments")
+    assert(!p.contains("documents.parquet"),
+      "segment probe scans the corpus — the layout is being ignored")
+    assert(p.linesIterator.count(_.contains("postings.parquet")) >= 2,
+      "both segments' postings must be probed")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("In(term"),
+      "query terms must push into the segment postings scans")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+  }
+
   test("plan-pin ledger: the companion `pinned` set equals what this suite actually planned") {
     // run LAST (registration order): `pinned` is the contract
     // InventorySpec audits every declared query against — this test
@@ -985,5 +997,6 @@ object QueriesPlanSpec {
     "q_expectations", "q_kmv_overlap", "q_kmv_merge", "q_mlp_score",
     "q_maxsim_ann", "q_maxsim_postings",
     "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
-    "q_curriculum", "q_span_corruption", "q_stream_pit", "q_rerank")
+    "q_curriculum", "q_span_corruption", "q_stream_pit", "q_rerank",
+    "q_bm25_segments")
 }

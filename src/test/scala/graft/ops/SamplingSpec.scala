@@ -386,4 +386,57 @@ class SamplingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("doc_id out of pack range")),
       s"guard did not fire: ${messages(e).mkString(" | ")}")
   }
+
+  test("importance sample: effective mixture law — kept·weight per lang ∝ the declared target") {
+    // the operator's whole point: downsampling + loss-weighting makes
+    // the EFFECTIVE per-lang mass (Σ weight over kept docs) proportional
+    // to the declared per-mille target. Verify within binomial noise:
+    // effective_share/target ∈ [0.75, 1.25] for every language, and
+    // weights are exactly 1 for downsampled langs (keep-rate < 1).
+    val langN = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = langN.values.sum
+    val target = Map("en" -> 400L, "zh" -> 250L, "de" -> 150L, "es" -> 100L, "fr" -> 100L)
+    val rows = graft.SparkEntry.queries("q_importance_sample")(spark, sf0001).collect()
+    val eff = rows.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getDouble(2)).sum).toMap
+    val effTotal = eff.values.sum
+    target.foreach { case (l, t) =>
+      val ratio = (eff(l) / effTotal) / (t / 1000.0)
+      assert(ratio > 0.75 && ratio < 1.25, s"lang $l effective share off target: $ratio")
+      val downsampled = t * total < 1000L * langN(l)
+      if (downsampled)
+        assert(rows.filter(_.getString(1) == l).forall(_.getDouble(2) == 1.0),
+          s"downsampled lang $l must carry weight exactly 1")
+      else
+        assert(rows.filter(_.getString(1) == l).forall(_.getDouble(2) >= 1.0),
+          s"upsampled lang $l must carry weight >= 1")
+    }
+  }
+
+  test("grpo advantage: per-group laws — zero-sum, rank agrees with reward order, dropped groups are exactly var=0") {
+    val rows = graft.SparkEntry.queries("q_grpo_advantage")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+      .selectExpr("event_id", "user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byUser = raw.groupBy(_._2)
+    rows.groupBy(_._2).foreach { case (uid, g) =>
+      // advantages are (r − μ)/σ up to the per-group √n factor: they sum
+      // to ~0 and the rank column must equal the (value desc, id) order
+      val sumAdv = g.map(_._3).sum
+      assert(math.abs(sumAdv) < 1e-3 * g.length, s"user $uid advantages don't center: $sumAdv")
+      val rewards = byUser(uid).map(e => e._1 -> e._3).toMap
+      val byRank = g.sortBy(_._4).map(x => (rewards(x._1), -x._1)).toSeq
+      assert(byRank == byRank.sorted.reverse, s"user $uid pref_rank disagrees with reward order")
+    }
+    // completeness: every event of a group with variance > 0 is present
+    val emitted = rows.map(_._1).toSet
+    byUser.foreach { case (uid, es) =>
+      val vals = es.map(_._3)
+      val varZero = vals.distinct.length == 1
+      if (varZero) assert(es.forall(e => !emitted(e._1)), s"user $uid zero-variance group leaked")
+      else assert(es.forall(e => emitted(e._1)), s"user $uid rows missing")
+    }
+  }
 }
