@@ -77,13 +77,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warm the session (codegen compiler, parquet footer reads, shuffle
-    // machinery) so per-query numbers are steady-state.
-    exec("q_filter"); exec("q_dedup_exact")
-
     // Optional comma-separated subset (profiling aid): bench only these.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
+    // Warm the session (codegen compiler, parquet footer reads, shuffle
+    // machinery) so per-query numbers are steady-state. Under a subset
+    // run, warm WITH subset members: the default pair reads tables a
+    // scale-path-only directory (the sf10 ledger) doesn't carry.
+    only match {
+      case Some(ns) => ns.toSeq.sorted.take(2).foreach(exec)
+      case None => exec("q_filter"); exec("q_dedup_exact")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // Round-robin over the whole suite `runs` times (not back-to-back

@@ -40,7 +40,8 @@ object PlanDump {
       "q_expectations", "q_kmv_overlap", "q_kmv_merge", "q_mlp_score",
       "q_maxsim_ann", "q_maxsim_postings",
       "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
-      "q_curriculum", "q_span_corruption", "q_rerank", "q_bm25_segments"
+      "q_curriculum", "q_span_corruption", "q_rerank", "q_bm25_segments",
+      "q_bm25_merge"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -321,9 +322,12 @@ object PlanDump {
           "map-side-combined doc_id aggregate + a per-row output projection — no join, " +
           "no window, no vocabulary, weights are formula literals."),
       "q_maxsim_ann" ->
-        ("routing filter (4 facet signatures vs the driver-computed Hamming≤1 probe " +
-          "IN-list) and the exact 16-cosine rescore fuse into ONE shuffle-free codegen " +
-          "projection; top-10 is TakeOrderedAndProject — zero exchanges end to end."),
+        ("ORACLE ANCHOR, not a scale path (demoted r10): computing the signatures " +
+          "in-query costs ~2x the exact scan's arithmetic — its role is carrying the " +
+          "shared approximation-boundary oracle for q_maxsim_postings. Routing filter " +
+          "(4 facet signatures vs the driver-computed Hamming≤1 probe IN-list) and the " +
+          "exact 16-cosine rescore fuse into ONE shuffle-free codegen projection; " +
+          "top-10 is TakeOrderedAndProject — zero exchanges end to end."),
       "q_maxsim_postings" ->
         ("the probe reads the bucket-PARTITIONED materialized layout: the probe IN-list " +
           "is a PartitionFilters INSET on the bucket directory column — directory-level " +
@@ -344,10 +348,12 @@ object PlanDump {
           "IEEE chain over exact decimal moments — no join, no broadcast, no second " +
           "data-scale shuffle."),
       "q_hard_negatives" ->
-        ("hot-shingle df-cap (≤64) enforced IN the plan: the df aggregate and the cap " +
-          "join share the shingle partitioning, bounding join fan-out at 64 per shingle " +
-          "at any corpus size; the match join is a shingle-keyed ShuffledHashJoin (both " +
-          "sides corpus-derived — never broadcast, never cartesian); map-side-combined " +
+        ("the corpus-scale shingle explode runs ONCE and checkpoints (r10 — note the " +
+          "Scan ExistingRDD leaves and the absence of any parquet scan): the df " +
+          "aggregate and BOTH match-join sides read the checkpoint. Hot-shingle df-cap " +
+          "(≤64) enforced IN the plan, bounding join fan-out at 64 per shingle at any " +
+          "corpus size; the match join is a shingle-keyed ShuffledHashJoin (both sides " +
+          "corpus-derived — never broadcast, never cartesian); map-side-combined " +
           "(query, candidate) count; per-query top-3 is WindowGroupLimit."),
       "q_curriculum" ->
         ("shingle df aggregate's hash partitioning is REUSED by the rarity join (no second " +
@@ -355,9 +361,10 @@ object PlanDump {
           "rangepartitioning(rarity, doc_id) + |partitions|-row broadcast offsets, never a " +
           "global ntile window; only 1-row/offsets stats broadcast."),
       "q_span_corruption" ->
-        ("T5-style denoising-example construction is ONE per-row projection over the scan " +
-          "(grid arithmetic + HOF assembly, per-row bounded work) — no join, no window, no " +
-          "aggregate; the only exchange is the output sort."),
+        ("T5-style denoising-example construction is ONE per-row projection over the scan, " +
+          "and since r10 the whole example builder is a single native codegen call " +
+          "(graft_span_corrupt — no CodegenFallback HOFs left in the hot path); no join, " +
+          "no window, no aggregate; the only exchange is the output sort."),
       "q_stream_pit" ->
         ("per-micro-batch shape of online feature serving: flatMapGroupsWithState keyed on " +
           "the entity holds ONE state row per live entity (the latest version) — probes " +
@@ -372,7 +379,13 @@ object PlanDump {
         ("BOTH segment postings scans carry the term IN pushdown and documents.parquet " +
           "is absent; per-term df and n_docs/Σdl combine at query time from the segment " +
           "dicts/stats (BM25 statistics are additive monoids) as tiny broadcasts — " +
-          "absorbing a batch writes one new segment, the merge IS the query.")
+          "absorbing a batch writes one new segment, the merge IS the query."),
+      "q_bm25_merge" ->
+        ("the segment-MERGE maintenance op probed: ONE merged postings scan (term IN " +
+          "pushdown), neither documents.parquet nor the graft_bm25_segs_ layout appears — " +
+          "the merge folded seg_a+seg_b by index algebra (postings concat, df/stats " +
+          "re-sum) at cost ∝ index size, and the probe is byte-identical to " +
+          "q_bm25_postings' single-segment plan.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

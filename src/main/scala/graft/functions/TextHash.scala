@@ -29,6 +29,17 @@ object TextHash {
       WordShingleHashes(org.apache.spark.sql.graft.ColumnBridge.expression(text), n)
     )
 
+  /** T5-style span corruption of a text column given a per-doc phase
+    * column — one codegen pass emitting the whole
+    * `(n_masked, corrupted, targets)` struct ([[SpanCorrupt]]).
+    */
+  def spanCorrupt(text: Column, off: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SpanCorrupt(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        org.apache.spark.sql.graft.ColumnBridge.expression(off))
+    )
+
   /** |A ∩ B| of two sorted distinct `array<long>` columns (the
     * [[shingleHashes]] contract) — codegen merge loop, no per-pair
     * allocation ([[SortedLongIntersectCount]]).

@@ -1001,11 +1001,16 @@ object Dedup {
     * (q_decontaminate) costs. Each corpus keeps only its k=64 SMALLEST
     * distinct 48-bit shingle hashes; because a uniform hash makes the
     * k-th minimum a cardinality pivot, the two 64-row sketches yield
-    * distinct-shingle estimates (`(k−1)·2⁴⁸ div kth_min`) AND a
-    * Jaccard estimate (share of the union sketch's |m| = min(k, |A∪B|)
-    * smallest hashes present in both sketches — conditioned on |m|,
-    * not the fixed k, so a small corpus filling fewer than k slots is
-    * not biased low) without ever materializing an intersection.
+    * distinct-shingle estimates (`(k−1)·2⁴⁸ div kth_min` when the
+    * sketch filled; the EXACT sketch size when it holds fewer than k
+    * hashes — an under-filled sketch saw every distinct value, so the
+    * pivot formula would overshoot) AND a Jaccard estimate (share of
+    * the union sketch's |m| = min(k, |A∪B|) smallest hashes present in
+    * both sketches — conditioned on |m|, not the fixed k, so a small
+    * corpus filling fewer than k slots is not biased low) without ever
+    * materializing an intersection. Both conditionings are Beyer et
+    * al.'s: every estimate is a function of what the sketch actually
+    * held.
     *
     * Exactness: the sketch is DETERMINISTIC — bottom-k of md5-derived
     * integers (the q_feature_hash cross-engine hash: first 12 hex
@@ -1059,7 +1064,9 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy(groups.map(col): _*).orderBy("h")))
       .where(col("rn") <= k)
-      .select("corpus", "h")
+      // project the caller's group columns, not a hardcoded list — a
+      // future caller partitioning by other keys gets its own keys back
+      .select(groups.map(col) :+ col("h"): _*)
 
   /** Two-corpus (train/eval) per-corpus sketch, un-materialized — the
     * [[qKmvOverlap]] input and the QueriesPlanSpec pin surface.
@@ -1113,16 +1120,25 @@ object Dedup {
       val shared = m.agg(
         sum(col("in_a") * col("in_b")).as("n_shared"),
         count(lit(1)).as("m_size"))
-      val aKth = sketch.where(col("corpus") === "train").agg(max("h").as("a_kth"))
-      val bKth = sketch.where(col("corpus") === "eval").agg(max("h").as("b_kth"))
+      val aKth = sketch.where(col("corpus") === "train")
+        .agg(max("h").as("a_kth"), count(lit(1)).as("a_size"))
+      val bKth = sketch.where(col("corpus") === "eval")
+        .agg(max("h").as("b_kth"), count(lit(1)).as("b_size"))
       shared
         .crossJoin(broadcast(aKth))
         .crossJoin(broadcast(bKth))
         .select(
           lit(k.toLong).as("k"),
           col("a_kth"), col("b_kth"),
-          expr(s"CAST($estNum DIV a_kth AS BIGINT)").as("a_card_est"),
-          expr(s"CAST($estNum DIV b_kth AS BIGINT)").as("b_card_est"),
+          // Beyer et al. conditioning, applied to the CARDINALITIES the
+          // way it already is to jaccard_est: a sketch that never
+          // filled (|sketch| < k) saw EVERY distinct hash, so its exact
+          // size IS the cardinality — estNum DIV kth assumes a full
+          // sketch and overshoots small corpora
+          expr(s"CAST(CASE WHEN a_size < $k THEN a_size ELSE $estNum DIV a_kth END AS BIGINT)")
+            .as("a_card_est"),
+          expr(s"CAST(CASE WHEN b_size < $k THEN b_size ELSE $estNum DIV b_kth END AS BIGINT)")
+            .as("b_card_est"),
           col("n_shared"),
           round(col("n_shared").cast("double") / col("m_size").cast("double"), 6)
             .as("jaccard_est"))
@@ -1148,11 +1164,13 @@ object Dedup {
                 FROM sk GROUP BY h ORDER BY h LIMIT 64),
           stats AS (SELECT CAST(sum(in_a * in_b) AS BIGINT) AS n_shared,
                            CAST(count(*) AS BIGINT) AS m_size FROM m),
-          a AS (SELECT max(h) AS a_kth FROM sk WHERE corpus = 'train'),
-          b AS (SELECT max(h) AS b_kth FROM sk WHERE corpus = 'eval')
+          a AS (SELECT max(h) AS a_kth, CAST(count(*) AS BIGINT) AS a_size
+                FROM sk WHERE corpus = 'train'),
+          b AS (SELECT max(h) AS b_kth, CAST(count(*) AS BIGINT) AS b_size
+                FROM sk WHERE corpus = 'eval')
           SELECT CAST(64 AS BIGINT) AS k, a_kth, b_kth,
-                 $estNum // a_kth AS a_card_est,
-                 $estNum // b_kth AS b_card_est,
+                 CASE WHEN a_size < 64 THEN a_size ELSE $estNum // a_kth END AS a_card_est,
+                 CASE WHEN b_size < 64 THEN b_size ELSE $estNum // b_kth END AS b_card_est,
                  n_shared,
                  round(CAST(n_shared AS DOUBLE) / CAST(m_size AS DOUBLE), 6) AS jaccard_est
           FROM stats, a, b ORDER BY k"""
@@ -1203,13 +1221,19 @@ object Dedup {
         val stats = m.agg(
           sum(col("in_a") * col("in_b")).as("n_shared"),
           count(lit(1)).as("m_size"))
-        val aK = sk.where(col("corpus") === a).agg(max("h").as("a_kth"))
-        val bK = sk.where(col("corpus") === b).agg(max("h").as("b_kth"))
+        val aK = sk.where(col("corpus") === a)
+          .agg(max("h").as("a_kth"), count(lit(1)).as("a_size"))
+        val bK = sk.where(col("corpus") === b)
+          .agg(max("h").as("b_kth"), count(lit(1)).as("b_size"))
         stats.crossJoin(broadcast(aK)).crossJoin(broadcast(bK))
           .select(
             lit(s"$a|$b").as("pair"),
-            expr(s"CAST($estNum DIV a_kth AS BIGINT)").as("a_card_est"),
-            expr(s"CAST($estNum DIV b_kth AS BIGINT)").as("b_card_est"),
+            // fill-conditioned, as q_kmv_overlap: an under-filled
+            // sketch reports its exact size, never estNum DIV kth
+            expr(s"CAST(CASE WHEN a_size < $KMV_K THEN a_size ELSE $estNum DIV a_kth END AS BIGINT)")
+              .as("a_card_est"),
+            expr(s"CAST(CASE WHEN b_size < $KMV_K THEN b_size ELSE $estNum DIV b_kth END AS BIGINT)")
+              .as("b_card_est"),
             col("n_shared"), col("m_size"),
             round(col("n_shared").cast("double") / col("m_size").cast("double"), 6)
               .as("jaccard_est"))
@@ -1225,13 +1249,15 @@ object Dedup {
                 GROUP BY h ORDER BY h LIMIT $KMV_K),
           s_$i AS (SELECT CAST(sum(in_a * in_b) AS BIGINT) AS n_shared,
                           CAST(count(*) AS BIGINT) AS m_size FROM m_$i),
-          a_$i AS (SELECT max(h) AS a_kth FROM sk WHERE corpus = '$a'),
-          b_$i AS (SELECT max(h) AS b_kth FROM sk WHERE corpus = '$b')"""
+          a_$i AS (SELECT max(h) AS a_kth, CAST(count(*) AS BIGINT) AS a_size
+                   FROM sk WHERE corpus = '$a'),
+          b_$i AS (SELECT max(h) AS b_kth, CAST(count(*) AS BIGINT) AS b_size
+                   FROM sk WHERE corpus = '$b')"""
       }.mkString(",\n          ")
       val branches = kmvPairs.zipWithIndex.map { case ((a, b), i) =>
         s"""SELECT '$a|$b' AS pair,
-                   $estNum // a_kth AS a_card_est,
-                   $estNum // b_kth AS b_card_est,
+                   CASE WHEN a_size < $KMV_K THEN a_size ELSE $estNum // a_kth END AS a_card_est,
+                   CASE WHEN b_size < $KMV_K THEN b_size ELSE $estNum // b_kth END AS b_card_est,
                    n_shared, m_size,
                    round(CAST(n_shared AS DOUBLE) / CAST(m_size AS DOUBLE), 6) AS jaccard_est
             FROM s_$i, a_$i, b_$i"""

@@ -49,19 +49,35 @@ object Partitioned {
     * on a local/HDFS filesystem); a racer that finds the target already
     * renamed discards its own build. Readers therefore only ever see a
     * complete layout or none.
+    *
+    * `complete` is the caller's layout-completeness predicate (defaults
+    * to a top-level `_SUCCESS` probe; multi-part layouts pass their own
+    * all-parts check). A pre-existing target is deleted ONLY while it
+    * is known-incomplete (a crashed earlier build) — a PUBLISHED layout
+    * is never deleted, so a concurrent reader of the live path cannot
+    * hit missing files mid-swap. A rename failure with a complete
+    * winner in place is a lost race (discard tmp); a rename failure
+    * with NO winner throws instead of silently returning a path that
+    * doesn't exist.
     */
-  private[ops] def buildAtomically(s: SparkSession, out: String)(
+  private[ops] def buildAtomically(s: SparkSession, out: String,
+      complete: () => Boolean = null)(
       build: String => Unit): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val outPath = new org.apache.hadoop.fs.Path(out)
     val fs = outPath.getFileSystem(conf)
+    val isComplete: () => Boolean =
+      if (complete != null) complete else () => successExists(s, out)
     val tmp = new org.apache.hadoop.fs.Path(
       out + ".build-" + java.util.UUID.randomUUID().toString)
     build(tmp.toString)
-    // a pre-fix incomplete layout may occupy the target: clear it, then
-    // one rename publishes the finished build (or loses to a racer)
-    if (fs.exists(outPath)) fs.delete(outPath, true)
-    if (!fs.rename(tmp, outPath)) fs.delete(tmp, true)
+    if (fs.exists(outPath) && !isComplete()) fs.delete(outPath, true)
+    if (!fs.rename(tmp, outPath)) {
+      fs.delete(tmp, true)
+      if (!isComplete())
+        throw new java.io.IOException(
+          s"atomic publish of $out failed: rename refused and no complete layout occupies the target")
+    }
   }
 
   /** Cached-layout guard through the HADOOP FileSystem, not java.io —

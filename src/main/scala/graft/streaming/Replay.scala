@@ -1227,9 +1227,14 @@ object Replay {
         when(col("event_type") === "purchase", 0).otherwise(1).as("kind"),
         col("event_id"), col("user_id"), col("tsu"), col("wk"), col("value"))
     val live = Files.createTempDirectory("replay-pit-in-")
-    val weeks = staged.select("wk").distinct().collect().map(_.getLong(0)).sorted
+    // ONE driver-small job lists the NON-EMPTY (week, kind) slices
+    // (≤ 2·|weeks| rows — the same scale as the distinct-weeks collect
+    // it replaces); empty slices never round-trip a zero-row parquet
+    // through a temp dir, halving the staged jobs on sparse fixtures.
+    val slices = staged.groupBy("wk", "kind").count()
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
     var slot = 0
-    for (w <- weeks; k <- Seq(0, 1)) {
+    for ((w, k) <- slices) {
       val part = staged.where(col("wk") === w && col("kind") === k)
       val tmp = Files.createTempDirectory("pit-file-")
       part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -1303,6 +1308,12 @@ object Replay {
       import s.implicits._
       val live = pitReplayDir(s, d)
       try {
+        // ORDERING DEPENDENCY (the docSentinelDir discipline): with
+        // maxFilesPerTrigger=1, FileStreamSource delivers files
+        // OLDEST-MTIME-FIRST — pitReplayDir stamps mtimes 60 s apart in
+        // (week asc, versions-before-probes) order, and that mtime
+        // contract is what makes the replay equal the `v.wk <= p.wk`
+        // asof-join oracle. Renaming/touching the staged files breaks it.
         val rows = s.readStream.schema(pitSchema)
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$live/*.parquet")

@@ -37,12 +37,17 @@ object ScaleUp {
     val inDir = args(0)
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    // optional comma-separated table subset (arg 4): an sf10 ledger over
+    // the probe-path queries needs documents/embeddings/events only —
+    // skipping the 60M-row lineitem copy keeps the build proportionate
+    val only = if (args.length > 3) Some(args(3).split(',').map(_.trim).toSet) else None
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    try run(spark, inDir, outDir, factor)
+    try run(spark, inDir, outDir, factor, only)
     finally spark.stop()
   }
 
-  def run(spark: SparkSession, inDir: String, outDir: String, factor: Int): Unit = {
+  def run(spark: SparkSession, inDir: String, outDir: String, factor: Int,
+      only: Option[Set[String]] = None): Unit = {
     def read(t: String): DataFrame = spark.read.parquet(s"$inDir/$t.parquet")
 
     def maxOf(df: DataFrame, c: String): Long =
@@ -109,7 +114,8 @@ object ScaleUp {
 
     val out = java.nio.file.Paths.get(outDir)
     java.nio.file.Files.createDirectories(out)
-    scaled.foreach { case (name, df) =>
+    scaled.filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, df) =>
       val tmp = out.resolve(s".stage_$name")
       graft.FsUtil.deleteRecursively(tmp)
       // single file named <table>.parquet, matching the driver layout

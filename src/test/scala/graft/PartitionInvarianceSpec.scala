@@ -109,6 +109,8 @@ object PartitionInvarianceSpec {
     // round-9 additions: mixture retarget, group-relative advantage,
     // shingle-join negatives, two-pass curriculum rank
     "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
-    "q_curriculum", "q_rerank", "q_bm25_segments"
+    "q_curriculum", "q_rerank", "q_bm25_segments",
+    // round-10: the merged-segment probe (doc_id pivot + merge rollups)
+    "q_bm25_merge"
   )
 }

@@ -876,8 +876,12 @@ class QueriesPlanSpec extends SparkSpec {
     assert(shuffles(p) <= 2, "prompt exchange + output sort only")
   }
 
-  test("q_hard_negatives: shingle join shuffled both sides, top-3 is WindowGroupLimit") {
+  test("q_hard_negatives: ONE checkpointed corpus explode, shingle join shuffled both sides, top-3 is WindowGroupLimit") {
     val p = plan("q_hard_negatives")
+    assert(p.contains("Scan ExistingRDD"),
+      "shingle relation lost its materialization")
+    assert(!p.contains("Scan parquet"),
+      "a consumer re-derives the corpus explode instead of scanning the checkpoint")
     assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
       "hot-shingle df-cap join AND the match join must both be keyed shuffle joins")
     assert(!p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
@@ -948,6 +952,21 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
   }
 
+  test("q_bm25_merge: the merged segment probes like a single-build index — segments and corpus absent") {
+    val p = plan("q_bm25_merge")
+    assert(!p.contains("documents.parquet"),
+      "merged probe scans the corpus — the layout is being ignored")
+    assert(!p.contains("graft_bm25_segs_"),
+      "merged probe still reads the per-segment layout — the merge didn't fold it")
+    assert(p.contains("graft_bm25_merged_"), "merged layout missing from the probe")
+    assert(p.linesIterator.count(_.contains("postings.parquet")) == 1,
+      "exactly ONE postings scan: the merge's whole point is bounding probed segment count")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("In(term"),
+      "query terms must push into the merged postings scan")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+  }
+
   test("plan-pin ledger: the companion `pinned` set equals what this suite actually planned") {
     // run LAST (registration order): `pinned` is the contract
     // InventorySpec audits every declared query against — this test
@@ -998,5 +1017,7 @@ object QueriesPlanSpec {
     "q_maxsim_ann", "q_maxsim_postings",
     "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
     "q_curriculum", "q_span_corruption", "q_stream_pit", "q_rerank",
-    "q_bm25_segments")
+    "q_bm25_segments",
+    // round-10 pins
+    "q_bm25_merge")
 }

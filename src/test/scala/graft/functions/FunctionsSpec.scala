@@ -125,6 +125,49 @@ class VectorExprsSparkSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("SpanCorrupt through Spark == the r9 HOF formulation (incl. empty-token and short-doc edges)") {
+    import spark.implicits._
+    // corpus rows + adversarial edges: empty text, doc shorter than a
+    // grid period, consecutive spaces (empty join elements), doc
+    // starting mid-span (p = 0 with 0 < (p+off) % 7 < 3)
+    val texts = graft.ops.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].take(150).toSeq ++
+      Seq((10007L, ""), (10008L, "one"), (10009L, "a  b   c d"),
+        (10010L, "w1 w2 w3 w4 w5 w6 w7 w8"), (10001L, "x y"), (10002L, "p q r s"))
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("off",
+        pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+          lit(4294967296L)).mod(lit(7L)))
+    val rows = df.select(
+      TextHash.spanCorrupt(col("text"), col("off")).as("got"),
+      expr("size(filter(sequence(0, size(w) - 1), p -> (p + off) % 7 < 3))")
+        .cast("long").as("ref_n"),
+      expr("""concat_ws(' ', flatten(transform(sequence(0, size(w) - 1),
+                p -> CASE
+                  WHEN (p + off) % 7 >= 3 THEN array(element_at(w, p + 1))
+                  WHEN (p + off) % 7 = 0 OR p = 0
+                    THEN array(concat('<X', CAST((p + off) DIV 7 AS STRING), '>'))
+                  ELSE array()
+                END)))""").as("ref_c"),
+      expr("""concat_ws(' ', flatten(transform(sequence(0, size(w) - 1),
+                p -> CASE
+                  WHEN (p + off) % 7 >= 3 THEN array()
+                  WHEN (p + off) % 7 = 0 OR p = 0
+                    THEN array(concat('<X', CAST((p + off) DIV 7 AS STRING), '>'),
+                               element_at(w, p + 1))
+                  ELSE array(element_at(w, p + 1))
+                END)))""").as("ref_t")
+    ).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val got = r.getStruct(0)
+      assert(got.getLong(0) == r.getLong(1), "n_masked drifted from the HOF chain")
+      assert(got.getString(1) == r.getString(2), "corrupted drifted from the HOF chain")
+      assert(got.getString(2) == r.getString(3), "targets drifted from the HOF chain")
+    }
+  }
+
   test("intersectCount over shingle hashes == size(array_intersect)") {
     import spark.implicits._
     val docs = graft.ops.Tables.documents(spark, sf0001).limit(60)

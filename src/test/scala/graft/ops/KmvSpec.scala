@@ -70,6 +70,40 @@ class KmvSpec extends SparkSpec {
       s"estimate $est for true $n — hash uniformity or estimator broken")
   }
 
+  test("cardinality conditioning: an under-filled sketch reports its EXACT size, never estNum DIV kth") {
+    // a corpus whose per-split distinct 3-shingle count is far below
+    // k=64: `(k−1)·2⁴⁸ div kth` assumes a FULL sketch and would report
+    // millions; the conditioned estimator must return the sketch size
+    // itself (which for an under-filled sketch IS the exact distinct
+    // count — the sketch saw every hash)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kmv-small-").toString
+    val docs = (0L until 20L)
+      .map(i => (i, s"alpha beta gamma delta tail${i % 4}"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(s: String): Long =
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    def distinctShingles(pred: Long => Boolean): Set[Long] =
+      (0L until 20L).filter(pred).flatMap { i =>
+        s"alpha beta gamma delta tail${i % 4}".split(" ", -1).sliding(3)
+          .map(t => h48(t.mkString(" ")))
+      }.toSet
+    val train = distinctShingles(_ % 10 < 8)
+    val eval_ = distinctShingles(_ % 10 >= 8)
+    assert(train.size < K && eval_.size < K, "fixture must under-fill both sketches")
+
+    val row = graft.SparkEntry.queries("q_kmv_overlap")(spark, tmp).collect().head
+    assert(row.getAs[Long]("a_card_est") == train.size.toLong,
+      "under-filled train sketch must report its exact size")
+    assert(row.getAs[Long]("b_card_est") == eval_.size.toLong,
+      "under-filled eval sketch must report its exact size")
+    graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(tmp))
+  }
+
   test("kmvSketchSharded equals a plain-Scala direct bottom-64 of the raw shingle hashes") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def h48(s: String): Long = {

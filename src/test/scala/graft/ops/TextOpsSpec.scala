@@ -125,4 +125,27 @@ class TextOpsSpec extends SparkSpec {
       assert(full.get(id).contains(score),
         s"doc $id: probe score $score != full-scan ${full.get(id)} (bit equality required)")
   }
+
+  test("segment merge preserves the index row-for-row: merged layout == single-build layout") {
+    // the q_dv_compact debt-payment law applied to the segmented index:
+    // merging seg_a+seg_b by index algebra (postings concat, df/stats
+    // re-sum) must reproduce EVERY row of the index a single build over
+    // the whole corpus produces — no posting lost, no stat drifted
+    val merged = TextOps.mergedSegmentLayout(spark, sf0001)
+    val single = TextOps.invertedIndexLayout(spark, sf0001)
+    def rows(dir: String, part: String): Set[Seq[Any]] =
+      spark.read.parquet(s"$dir/$part").collect().map(_.toSeq).toSet
+    val mp = rows(merged, "postings.parquet")
+    val sp = rows(single, "postings.parquet")
+    assert(mp == sp,
+      s"postings diverged: ${(mp diff sp).take(3)} only-merged; ${(sp diff mp).take(3)} only-single")
+    assert(rows(merged, "dict.parquet") == rows(single, "dict.parquet"),
+      "per-term df diverged — segment dfs did not re-sum to the corpus df")
+    assert(rows(merged, "stats.parquet") == rows(single, "stats.parquet"),
+      "corpus constants diverged — n_docs/sum_dl are not the segment sums")
+    // and the probed result is bit-identical to the single-segment probe
+    val a = TextOps.qBm25Merge.fn(spark, sf0001).collect().map(_.toSeq).toSeq
+    val b = TextOps.qBm25Postings.fn(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(a == b, "merged-segment probe result drifted from the single-build probe")
+  }
 }
