@@ -41,7 +41,7 @@ object PlanDump {
       "q_maxsim_ann", "q_maxsim_postings",
       "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
       "q_curriculum", "q_span_corruption", "q_rerank", "q_bm25_segments",
-      "q_bm25_merge"
+      "q_bm25_merge", "q_rouge"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -385,7 +385,13 @@ object PlanDump {
           "pushdown), neither documents.parquet nor the graft_bm25_segs_ layout appears — " +
           "the merge folded seg_a+seg_b by index algebra (postings concat, df/stats " +
           "re-sum) at cost ∝ index size, and the probe is byte-identical to " +
-          "q_bm25_postings' single-segment plan.")
+          "q_bm25_postings' single-segment plan."),
+      "q_rouge" ->
+        ("eval-metric computation at corpus scale: ONE map-side-combined (doc, token) " +
+          "count aggregate; the clip join is keyed on (ref_id, token) so a hot token " +
+          "fans out by pairing multiplicity (1), never corpus frequency; every join " +
+          "side is corpus-scale and therefore ShuffledHashJoin — nothing broadcasts; " +
+          "p/r/f1 are single IEEE divisions of exact BIGINTs.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

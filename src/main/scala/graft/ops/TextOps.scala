@@ -969,6 +969,107 @@ object TextOps {
     Some(bm25PostingsOracle)
   )
 
+  /** EVALUATION-METRIC COMPUTATION (r10, new family surface) — ROUGE-1
+    * precision/recall/F1 with CLIPPED counts (Lin 2004), the
+    * generation-eval metric an RLHF/eval harness computes at corpus
+    * scale over (candidate, reference) pairs: overlap = Σ_t min(tf_t in
+    * candidate, tf_t in reference) — clipping is what stops a candidate
+    * repeating one reference word from scoring 100% precision.
+    * Pairing here is deterministic from the fixture (each doc vs the
+    * NEXT doc of its source by id — the lead window); a production run
+    * swaps in its own (cand, ref) pair table and the algebra is
+    * unchanged.
+    *
+    * Exactness: token counts and the clipped overlap are exact BIGINTs
+    * (`least` of two counts, summed); p/r/f1 are each ONE IEEE division
+    * of exact integers (f1 = 2·clip/(n_cand + n_ref) — computed
+    * directly, never from the rounded p and r), round(,6) once.
+    *
+    * Scale shape: ONE map-side-combined (doc, token) count aggregate
+    * over the corpus; the clip join is keyed on (ref_id, token) — the
+    * ref side is unique per key, so a hot token fans out by its
+    * PAIRING multiplicity only (1 here), never by corpus frequency —
+    * both sides corpus-scale, shuffle_hash, never broadcast; ONE
+    * pair-keyed sum; per-row divisions. Work ∝ Σ tokens at any corpus
+    * size.
+    */
+  val qRouge = Q(
+    "q_rouge",
+    (s, d) => {
+      val docs = documents(s, d)
+      val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val pairs = docs
+        .withColumn("ref_id",
+          lead("doc_id", 1).over(Window.partitionBy("source").orderBy("doc_id")))
+        .where(col("ref_id").isNotNull)
+        .select(col("doc_id").as("cand_id"), col("ref_id"))
+      val tc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      // every join side below is corpus-scale (one row per doc or per
+      // (doc, token)) — the q_expectations rule: NOTHING here may
+      // broadcast, whatever the test-scale size stats say
+      val clip = pairs.hint("shuffle_hash")
+        .join(tc.withColumnRenamed("doc_id", "cand_id").hint("shuffle_hash"), "cand_id")
+        .hint("shuffle_hash")
+        .join(
+          tc.select(col("doc_id").as("ref_id"), col("tok"), col("c").as("c_ref"))
+            .hint("shuffle_hash"),
+          Seq("ref_id", "tok"))
+        .groupBy("cand_id", "ref_id")
+        .agg(sum(least(col("c"), col("c_ref"))).as("clip"))
+      pairs.hint("shuffle_hash")
+        .join(clip.hint("shuffle_hash"), Seq("cand_id", "ref_id"), "left")
+        .na.fill(0L, Seq("clip"))
+        .hint("shuffle_hash")
+        .join(lens.withColumnRenamed("doc_id", "cand_id")
+          .withColumnRenamed("n_toks", "n_cand").hint("shuffle_hash"), "cand_id")
+        .hint("shuffle_hash")
+        .join(lens.withColumnRenamed("doc_id", "ref_id")
+          .withColumnRenamed("n_toks", "n_ref").hint("shuffle_hash"), "ref_id")
+        .select(col("cand_id"), col("ref_id"), col("clip"),
+          col("n_cand"), col("n_ref"),
+          round(col("clip").cast("double") / col("n_cand").cast("double"), 6).as("p"),
+          round(col("clip").cast("double") / col("n_ref").cast("double"), 6).as("r"),
+          round(lit(2L) * col("clip").cast("double")
+            / (col("n_cand") + col("n_ref")).cast("double"), 6).as("f1"))
+        .orderBy("cand_id")
+    },
+    Some("""WITH lens AS (
+              SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+              FROM documents),
+            pairs AS (
+              SELECT doc_id AS cand_id,
+                     lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id
+              FROM documents),
+            live AS (SELECT * FROM pairs WHERE ref_id IS NOT NULL),
+            tc AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok),
+            clip AS (
+              SELECT p.cand_id, p.ref_id,
+                     CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip
+              FROM live p
+              JOIN tc a ON a.doc_id = p.cand_id
+              JOIN tc b ON b.doc_id = p.ref_id AND b.tok = a.tok
+              GROUP BY p.cand_id, p.ref_id)
+            SELECT p.cand_id AS cand_id, p.ref_id AS ref_id,
+                   COALESCE(c.clip, 0) AS clip,
+                   la.n_toks AS n_cand, lb.n_toks AS n_ref,
+                   round(CAST(COALESCE(c.clip, 0) AS DOUBLE) / CAST(la.n_toks AS DOUBLE), 6) AS p,
+                   round(CAST(COALESCE(c.clip, 0) AS DOUBLE) / CAST(lb.n_toks AS DOUBLE), 6) AS r,
+                   round(2 * CAST(COALESCE(c.clip, 0) AS DOUBLE)
+                         / CAST(la.n_toks + lb.n_toks AS DOUBLE), 6) AS f1
+            FROM live p
+            LEFT JOIN clip c ON c.cand_id = p.cand_id AND c.ref_id = p.ref_id
+            JOIN lens la ON la.doc_id = p.cand_id
+            JOIN lens lb ON lb.doc_id = p.ref_id
+            ORDER BY cand_id""")
+  )
+
   /** SEGMENT MERGE (r10) — the index-MAINTENANCE op that keeps the
     * segmented model honest (VERDICT r9 #3, the q_dv_compact
     * debt-payment pattern): [[segmentedIndexLayout]] lets a batch be
@@ -1237,5 +1338,6 @@ object TextOps {
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
       qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms,
       qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex, qBm25Postings,
-      qBm25Segments, qBm25Merge, qHardNegatives, qSpanCorruption, qRerank)
+      qBm25Segments, qBm25Merge, qHardNegatives, qSpanCorruption, qRerank,
+      qRouge)
 }

@@ -111,6 +111,7 @@ object PartitionInvarianceSpec {
     "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
     "q_curriculum", "q_rerank", "q_bm25_segments",
     // round-10: the merged-segment probe (doc_id pivot + merge rollups)
-    "q_bm25_merge"
+    // and the ROUGE eval metric ((doc, token) counts + clip joins)
+    "q_bm25_merge", "q_rouge"
   )
 }

@@ -967,6 +967,18 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
   }
 
+  test("q_rouge: clip join keyed shuffle both sides — corpus never broadcasts, counts map-side combined") {
+    val p = plan("q_rouge")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      "every q_rouge join side is corpus-scale — nothing may broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "no pair may form outside the (ref_id, tok) / id keys")
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 4,
+      "pairing, clip, and both length joins must be keyed shuffle joins")
+    assert(p.contains("partial_count"), "(doc, token) counts lost their map-side combine")
+    assert(p.contains("partial_sum"), "clipped-overlap sum lost its map-side combine")
+  }
+
   test("plan-pin ledger: the companion `pinned` set equals what this suite actually planned") {
     // run LAST (registration order): `pinned` is the contract
     // InventorySpec audits every declared query against — this test
@@ -1019,5 +1031,5 @@ object QueriesPlanSpec {
     "q_curriculum", "q_span_corruption", "q_stream_pit", "q_rerank",
     "q_bm25_segments",
     // round-10 pins
-    "q_bm25_merge")
+    "q_bm25_merge", "q_rouge")
 }

@@ -148,4 +148,36 @@ class TextOpsSpec extends SparkSpec {
     val b = TextOps.qBm25Postings.fn(spark, sf0001).collect().map(_.toSeq).toSeq
     assert(a == b, "merged-segment probe result drifted from the single-build probe")
   }
+
+  test("q_rouge: every pair's clipped overlap re-derived from raw text in plain Scala") {
+    // independent formulation: token multisets as Scala Maps, clip =
+    // Σ min counts, the same pairing rule re-walked from (doc_id, source)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def counts(t: String): Map[String, Long] =
+      t.split(" ", -1).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val bySource = docs.groupBy(_._2).values.flatMap { ds =>
+      val sorted = ds.sortBy(_._1)
+      sorted.zip(sorted.tail).map { case ((a, _, ta), (b, _, tb)) =>
+        val (ca, cb) = (counts(ta), counts(tb))
+        val clip = ca.map { case (t, n) => math.min(n, cb.getOrElse(t, 0L)) }.sum
+        (a, b) -> (clip, ta.split(" ", -1).length.toLong, tb.split(" ", -1).length.toLong)
+      }
+    }.toMap
+    val got = TextOps.qRouge.fn(spark, sf0001).collect()
+    assert(got.nonEmpty && got.length == bySource.size,
+      s"pair universe drifted: got ${got.length}, expected ${bySource.size}")
+    got.foreach { r =>
+      val key = (r.getAs[Long]("cand_id"), r.getAs[Long]("ref_id"))
+      val (clip, nc, nr) = bySource(key)
+      assert(r.getAs[Long]("clip") == clip, s"$key clip drifted")
+      assert(r.getAs[Long]("n_cand") == nc && r.getAs[Long]("n_ref") == nr,
+        s"$key token lengths drifted")
+      assert(math.abs(r.getAs[Double]("p") - clip.toDouble / nc) < 1e-6, s"$key p drifted")
+      assert(math.abs(r.getAs[Double]("r") - clip.toDouble / nr) < 1e-6, s"$key r drifted")
+      assert(math.abs(r.getAs[Double]("f1") - 2.0 * clip / (nc + nr)) < 1e-6,
+        s"$key f1 drifted")
+    }
+  }
 }

@@ -89,6 +89,14 @@ def connected(members, edges):
     return len(roots) == 1
 
 
+def have(out_dir, name):
+    """A subset scale run (the sf10 probe-path ledger) dumps only the
+    queries under test — checks for queries that were not dumped SKIP
+    instead of failing on a missing path."""
+    import glob
+    return bool(glob.glob(f"{out_dir}/{name}/*.parquet"))
+
+
 def check_pairs(con, sf, out_dir, name, rng, n_samples, failures):
     df = con.execute(f"SELECT a_id, b_id, shared, na, nb FROM '{out_dir}/{name}/*.parquet'").fetchall()
     if not df:
@@ -173,7 +181,10 @@ def main(sf, out_dir, n_samples=100, seed=42):
 
     # --- text pair queries -------------------------------------------------
     for name in ("q_dedup_ngram", "q_dedup_minhash"):
-        check_pairs(con, sf, out_dir, name, rng, n_samples, failures)
+        if have(out_dir, name):
+            check_pairs(con, sf, out_dir, name, rng, n_samples, failures)
+        else:
+            print(f"SKIP {name} (not dumped)")
 
     # --- text CC -----------------------------------------------------------
     def text_edges(members):
@@ -187,7 +198,10 @@ def main(sf, out_dir, n_samples=100, seed=42):
             if jaccard_ok(sh[a], sh[b])
         ]
 
-    check_cc(con, sf, out_dir, "q_dedup_cc", text_edges, "doc_id", rng, n_samples, failures)
+    if have(out_dir, "q_dedup_cc"):
+        check_cc(con, sf, out_dir, "q_dedup_cc", text_edges, "doc_id", rng, n_samples, failures)
+    else:
+        print("SKIP q_dedup_cc (not dumped)")
 
     # --- embedding queries -------------------------------------------------
     emb_rows = con.execute(
@@ -231,41 +245,49 @@ def main(sf, out_dir, n_samples=100, seed=42):
             frontier = np.where(new)[0]
         return bool(reached.all())
 
-    check_cc(con, sf, out_dir, "q_embedding_cc", emb_edges, "vec_id", rng, n_samples,
-             failures, max_cluster=500, big_connected_fn=emb_connected)
+    if have(out_dir, "q_embedding_cc"):
+        check_cc(con, sf, out_dir, "q_embedding_cc", emb_edges, "vec_id", rng, n_samples,
+                 failures, max_cluster=500, big_connected_fn=emb_connected)
+    else:
+        print("SKIP q_embedding_cc (not dumped)")
 
     # q_dedup_embedding: survivors, both directions
-    surv = {
-        r[0]
-        for r in con.execute(
-            f"SELECT vec_id FROM '{out_dir}/q_dedup_embedding/*.parquet'"
-        ).fetchall()
-    }
-    eliminated = [int(v) for v in vec_ids if int(v) not in surv]
-    s_bad = e_bad = 0
-    for v in rng.sample(sorted(surv), min(n_samples, len(surv))):
-        c = cos_row(idx_of[v])
-        lower = vec_ids < v
-        if np.any(c[lower] >= COS_T + EPS):  # clear violation only
-            s_bad += 1
-            failures.append(f"q_dedup_embedding: survivor {v} has a lower-id near-dup")
-    for v in rng.sample(eliminated, min(n_samples, len(eliminated))):
-        c = cos_row(idx_of[v])
-        lower = vec_ids < v
-        if not np.any(c[lower] >= COS_T - EPS):
-            e_bad += 1
-            failures.append(f"q_dedup_embedding: eliminated {v} has NO lower-id near-dup")
-    print(
-        f"q_dedup_embedding: {min(n_samples, len(surv))} survivors + "
-        f"{min(n_samples, len(eliminated))} eliminated sampled, {s_bad + e_bad} failures "
-        f"({len(surv)} survivors / {len(eliminated)} eliminated total)"
-    )
+    if not have(out_dir, "q_dedup_embedding"):
+        print("SKIP q_dedup_embedding (not dumped)")
+    else:
+        surv = {
+            r[0]
+            for r in con.execute(
+                f"SELECT vec_id FROM '{out_dir}/q_dedup_embedding/*.parquet'"
+            ).fetchall()
+        }
+        eliminated = [int(v) for v in vec_ids if int(v) not in surv]
+        s_bad = e_bad = 0
+        for v in rng.sample(sorted(surv), min(n_samples, len(surv))):
+            c = cos_row(idx_of[v])
+            lower = vec_ids < v
+            if np.any(c[lower] >= COS_T + EPS):  # clear violation only
+                s_bad += 1
+                failures.append(f"q_dedup_embedding: survivor {v} has a lower-id near-dup")
+        for v in rng.sample(eliminated, min(n_samples, len(eliminated))):
+            c = cos_row(idx_of[v])
+            lower = vec_ids < v
+            if not np.any(c[lower] >= COS_T - EPS):
+                e_bad += 1
+                failures.append(f"q_dedup_embedding: eliminated {v} has NO lower-id near-dup")
+        print(
+            f"q_dedup_embedding: {min(n_samples, len(surv))} survivors + "
+            f"{min(n_samples, len(eliminated))} eliminated sampled, {s_bad + e_bad} failures "
+            f"({len(surv)} survivors / {len(eliminated)} eliminated total)"
+        )
 
     # --- q_knn_join (r5): sampled sources vs brute-force top-3 -----------
     knn = con.execute(
         f"SELECT a_id, b_id, cos_sim, rn FROM '{out_dir}/q_knn_join/*.parquet'"
-    ).fetchall()
-    if knn:
+    ).fetchall() if have(out_dir, "q_knn_join") else None
+    if knn is None:
+        print("SKIP q_knn_join (not dumped)")
+    elif knn:
         by_src = {}
         for a, b, c, rn in knn:
             by_src.setdefault(a, []).append((rn, b, c))
@@ -312,8 +334,10 @@ def main(sf, out_dir, n_samples=100, seed=42):
     import re as _re2
     ann = con.execute(
         f"SELECT a_id, b_id, cos_sim, rn FROM '{out_dir}/q_knn_join_ann/*.parquet'"
-    ).fetchall()
-    if ann:
+    ).fetchall() if have(out_dir, "q_knn_join_ann") else None
+    if ann is None:
+        print("SKIP q_knn_join_ann (not dumped)")
+    elif ann:
         ann_sql = _json.load(open(f"{out_dir}/oracle_sql.json"))["q_knn_join_ann"]
         cb_rows = _re2.findall(r"\((\d+), CAST\(\[([^\]]+)\] AS DOUBLE\[\]\)\)", ann_sql)
         cb = np.array([[float(x) for x in row.split(",")]
@@ -375,8 +399,10 @@ def main(sf, out_dir, n_samples=100, seed=42):
     # --- q_semdedup (r5): component laws + sampled argmin assignment -----
     sem = con.execute(
         f"SELECT vec_id, cid, rep, keep FROM '{out_dir}/q_semdedup/*.parquet'"
-    ).fetchall()
-    if sem:
+    ).fetchall() if have(out_dir, "q_semdedup") else None
+    if sem is None:
+        print("SKIP q_semdedup (not dumped)")
+    elif sem:
         cid_of = {int(v): int(c) for v, c, _, _ in sem}
         rep_of = {int(v): int(r) for v, _, r, _ in sem}
         comp = {}
@@ -436,6 +462,9 @@ def main(sf, out_dir, n_samples=100, seed=42):
     # sampled completeness + blocked==plain equivalence ------------------
     pair_sets = {}
     for name in ("q_cosine_near", "q_cosine_near_blocked"):
+        if not have(out_dir, name):
+            print(f"SKIP {name} (not dumped)")
+            continue
         prs = con.execute(
             f"SELECT a_id, b_id FROM '{out_dir}/{name}/*.parquet'").fetchall()
         claimed = {(int(a), int(b)) for a, b in prs}
@@ -464,7 +493,11 @@ def main(sf, out_dir, n_samples=100, seed=42):
 
     # --- q_dedup_survivor (r5): FULL policy check over the CLAIMED
     # clusters (cluster correctness itself is check_cc's job above) ------
-    surv_bad = con.execute(f"""
+    if not (have(out_dir, "q_dedup_survivor") and have(out_dir, "q_dedup_cc")):
+        print("SKIP q_dedup_survivor (not dumped)")
+        surv_bad = label_mismatch = None
+    else:
+        surv_bad = con.execute(f"""
         WITH mem AS (
           SELECT m.cluster_id, m.doc_id, length(d.text) AS nc
           FROM '{out_dir}/q_dedup_cc/*.parquet' m
@@ -480,62 +513,65 @@ def main(sf, out_dir, n_samples=100, seed=42):
         WHERE s.survivor_id <> b.best_id OR s.n_members <> b.n
            OR s.survivor_chars <> b.best_chars
     """).fetchone()[0]
-    label_mismatch = con.execute(f"""
+        label_mismatch = con.execute(f"""
         SELECT count(*) FROM (
           SELECT cluster_id FROM '{out_dir}/q_dedup_survivor/*.parquet'
           UNION ALL SELECT DISTINCT cluster_id FROM '{out_dir}/q_dedup_cc/*.parquet')
         GROUP BY cluster_id HAVING count(*) <> 2
     """).fetchall()
-    if surv_bad:
-        failures.append(f"q_dedup_survivor: {surv_bad} clusters violate the "
-                        "longest-then-lowest-id policy")
-    if label_mismatch:
-        failures.append(f"q_dedup_survivor: {len(label_mismatch)} cluster labels "
-                        "not shared 1:1 with q_dedup_cc")
-    n_surv = con.execute(
-        f"SELECT count(*) FROM '{out_dir}/q_dedup_survivor/*.parquet'").fetchone()[0]
-    print(f"q_dedup_survivor: ALL {n_surv} clusters policy-checked against claimed "
-          f"q_dedup_cc membership, {surv_bad} violations, "
-          f"{len(label_mismatch)} label mismatches")
+        if surv_bad:
+            failures.append(f"q_dedup_survivor: {surv_bad} clusters violate the "
+                            "longest-then-lowest-id policy")
+        if label_mismatch:
+            failures.append(f"q_dedup_survivor: {len(label_mismatch)} cluster labels "
+                            "not shared 1:1 with q_dedup_cc")
+        n_surv = con.execute(
+            f"SELECT count(*) FROM '{out_dir}/q_dedup_survivor/*.parquet'").fetchone()[0]
+        print(f"q_dedup_survivor: ALL {n_surv} clusters policy-checked against claimed "
+              f"q_dedup_cc membership, {surv_bad} violations, "
+              f"{len(label_mismatch)} label mismatches")
 
     # --- q_incremental_dedup (r5): sampled status recompute -------------
-    bucket_sql = "(doc_id % 2147483647 + 0) % 2147483647 * 2654435761 % 4294967296 % 100"
-    con.execute(f"""
-        CREATE TEMP TABLE _sh AS
-        SELECT doc_id, {bucket_sql} AS bucket,
-               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                              for i in range(1, len(w)-1)]) AS s
-        FROM (SELECT doc_id, string_split(text,' ') AS w
-              FROM '{sf}/documents.parquet')
-        WHERE len(w) >= 3""")
-    inc = con.execute(
-        f"SELECT doc_id, n_dup_corpus, n_dup_batch, status "
-        f"FROM '{out_dir}/q_incremental_dedup/*.parquet'").fetchall()
-    inc_bad = 0
-    inc_n = min(max(20, n_samples // 2), len(inc))
-    for b, ncorp, nbatch, status in rng.sample(inc, inc_n):
-        row = con.execute("SELECT s FROM _sh WHERE doc_id = ?", [b]).fetchone()
-        if row is None:
-            exp = (0, 0, "kept")  # <3 words: no shingles, cannot be a dup
-        else:
-            got = con.execute("""
-                SELECT coalesce(sum(CASE WHEN bucket < 90 THEN 1 ELSE 0 END), 0),
-                       coalesce(sum(CASE WHEN bucket >= 90 AND doc_id < ?
-                                         THEN 1 ELSE 0 END), 0)
-                FROM _sh
-                WHERE doc_id <> ?
-                  AND 3 * len(list_intersect(s, ?)) >= len(s) + len(?)
-            """, [b, b, row[0], row[0]]).fetchone()
-            exp = (int(got[0]), int(got[1]),
-                   "dup_corpus" if got[0] > 0
-                   else ("dup_batch" if got[1] > 0 else "kept"))
-        if (int(ncorp), int(nbatch), status) != exp:
-            inc_bad += 1
-            failures.append(
-                f"q_incremental_dedup: doc {b} claimed "
-                f"({ncorp},{nbatch},{status}) vs recomputed {exp}")
-    print(f"q_incremental_dedup: {inc_n} batch docs re-derived against the full "
-          f"corpus, {inc_bad} failures ({len(inc)} batch docs total)")
+    if not have(out_dir, "q_incremental_dedup"):
+        print("SKIP q_incremental_dedup (not dumped)")
+    else:
+        bucket_sql = "(doc_id % 2147483647 + 0) % 2147483647 * 2654435761 % 4294967296 % 100"
+        con.execute(f"""
+            CREATE TEMP TABLE _sh AS
+            SELECT doc_id, {bucket_sql} AS bucket,
+                   list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w)-1)]) AS s
+            FROM (SELECT doc_id, string_split(text,' ') AS w
+                  FROM '{sf}/documents.parquet')
+            WHERE len(w) >= 3""")
+        inc = con.execute(
+            f"SELECT doc_id, n_dup_corpus, n_dup_batch, status "
+            f"FROM '{out_dir}/q_incremental_dedup/*.parquet'").fetchall()
+        inc_bad = 0
+        inc_n = min(max(20, n_samples // 2), len(inc))
+        for b, ncorp, nbatch, status in rng.sample(inc, inc_n):
+            row = con.execute("SELECT s FROM _sh WHERE doc_id = ?", [b]).fetchone()
+            if row is None:
+                exp = (0, 0, "kept")  # <3 words: no shingles, cannot be a dup
+            else:
+                got = con.execute("""
+                    SELECT coalesce(sum(CASE WHEN bucket < 90 THEN 1 ELSE 0 END), 0),
+                           coalesce(sum(CASE WHEN bucket >= 90 AND doc_id < ?
+                                             THEN 1 ELSE 0 END), 0)
+                    FROM _sh
+                    WHERE doc_id <> ?
+                      AND 3 * len(list_intersect(s, ?)) >= len(s) + len(?)
+                """, [b, b, row[0], row[0]]).fetchone()
+                exp = (int(got[0]), int(got[1]),
+                       "dup_corpus" if got[0] > 0
+                       else ("dup_batch" if got[1] > 0 else "kept"))
+            if (int(ncorp), int(nbatch), status) != exp:
+                inc_bad += 1
+                failures.append(
+                    f"q_incremental_dedup: doc {b} claimed "
+                    f"({ncorp},{nbatch},{status}) vs recomputed {exp}")
+        print(f"q_incremental_dedup: {inc_n} batch docs re-derived against the full "
+              f"corpus, {inc_bad} failures ({len(inc)} batch docs total)")
 
     for f in failures:
         print(f"FAIL {f}")

@@ -37,6 +37,13 @@ def compare_one(sf_dir, out_dir, name, sql, q):
 
 
 def run_compare(sf_dir, out_dir, name, sql):
+    # probe the Spark output BEFORE paying for the oracle: on a subset
+    # Verify dump (the sf10 scale ledger) most oracle entries have no
+    # output, and a heavy all-pairs oracle would burn its whole budget
+    # producing an answer nothing compares against
+    import glob
+    if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+        return (name, False, "spark output unreadable: No files found")
     con = connect(sf_dir)
     try:
         expect = norm(con.execute(sql).fetchdf())
