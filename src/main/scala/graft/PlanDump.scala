@@ -41,7 +41,7 @@ object PlanDump {
       "q_maxsim_ann", "q_maxsim_postings",
       "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
       "q_curriculum", "q_span_corruption", "q_rerank", "q_bm25_segments",
-      "q_bm25_merge", "q_rouge"
+      "q_bm25_merge", "q_rouge", "q_bleu", "q_ann_ivf_flat"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -391,7 +391,22 @@ object PlanDump {
           "count aggregate; the clip join is keyed on (ref_id, token) so a hot token " +
           "fans out by pairing multiplicity (1), never corpus frequency; every join " +
           "side is corpus-scale and therefore ShuffledHashJoin — nothing broadcasts; " +
-          "p/r/f1 are single IEEE divisions of exact BIGINTs.")
+          "p/r/f1 are single IEEE divisions of exact BIGINTs."),
+      "q_bleu" ->
+        ("the q_rouge shape with the gram stream TAGGED by n: ONE union'd " +
+          "unigram∪bigram explode into ONE map-side-combined (doc, n, gram) count " +
+          "aggregate; the clip join keys on (ref_id, n, gram) so hot grams fan out " +
+          "by pairing multiplicity, never corpus frequency; all sides shuffle_hash; " +
+          "bleu2 = sqrt of ONE exact-integer-product division (sqrt is " +
+          "correctly-rounded IEEE, unlike exp/ln — the brevity exp stays with the " +
+          "consumer, the query emits the exact len_ratio)."),
+      "q_ann_ivf_flat" ->
+        ("the sf10 ledger's red-row fix: fixed-K IVF probe cost is Θ(nprobe·n/K), so " +
+          "the probe is routed through the materialized (cid·2^b + sig) layout whose " +
+          "key space grows ∝ n — the plan shows PartitionFilters INSET over the " +
+          "driver-computed 3·(b+1) probe buckets, the embeddings corpus absent, zero " +
+          "exchanges, TakeOrdered top-5; probed rows ≈ 192·(b+1) = O(log n) per query " +
+          "at any corpus size.")
     )
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (sf0.1, local[32])\n\n")

@@ -430,17 +430,14 @@ object Dedup {
     * near-dup detection into actionable survivor groups. Oracled via a
     * DuckDB RECURSIVE CTE computing the same reachability closure.
     */
-  val qDedupCc = Q(
-    "q_dedup_cc",
-    (s, d) => {
-      val pairs = ngramPairs(s, d, HOT_BUCKET_CAP).select("a_id", "b_id")
-      val nodes = documents(s, d).select(col("doc_id").as("node"))
-      connectedComponents(pairs, nodes)
-        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE
-             toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+  /** The near-dup reachability closure in oracle SQL — ONE text shared
+    * by [[qDedupCc]] and [[qSplitLeakproof]] so the cluster definition
+    * the split op protects against can never drift from the cluster
+    * definition the dedup op reports. Ends with `walk(node, label)`;
+    * callers fold `min(label) GROUP BY node` on top.
+    */
+  private val ccWalkCte: String =
+    """toks AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
              sh AS (SELECT doc_id,
                            list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                                           for i in range(1, len(w)-1)]) AS s
@@ -454,9 +451,66 @@ object Dedup {
              walk(node, label) AS (
                SELECT doc_id, doc_id FROM documents
                UNION
-               SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node)
+               SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node)"""
+
+  val qDedupCc = Q(
+    "q_dedup_cc",
+    (s, d) => {
+      val pairs = ngramPairs(s, d, HOT_BUCKET_CAP).select("a_id", "b_id")
+      val nodes = documents(s, d).select(col("doc_id").as("node"))
+      connectedComponents(pairs, nodes)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+             $ccWalkCte
              SELECT node AS doc_id, min(label) AS cluster_id
              FROM walk GROUP BY node ORDER BY doc_id""")
+  )
+
+  /** LEAKAGE-PROOF SPLIT (r10) — the train/val/test assignment that
+    * respects the near-dup graph: hashing doc_id (q_split_assign) puts
+    * two near-duplicate documents in DIFFERENT splits with probability
+    * ≈ 2·p(test) — exactly the eval-set contamination q_decontaminate
+    * then has to detect. This op closes the loop at the SOURCE: the
+    * split key is the near-dup CLUSTER label (min doc_id of the
+    * component, from the same [[connectedComponents]] as q_dedup_cc),
+    * so a whole duplicate cluster lands in one split by construction
+    * and no near-dup pair can straddle train/test. Salt 0 and the
+    * 90/5/5 thresholds match q_split_assign, so a SINGLETON doc (label
+    * = own id) keeps its exact q_split_assign split — adopting the
+    * leakproof split only moves documents that have near-duplicates.
+    *
+    * Scale shape: the audited q_dedup_cc pointer-jumping rounds (pair
+    * generation capped by HOT_BUCKET_CAP, checkpointed label
+    * propagation) plus ONE per-row exact-integer Knuth projection —
+    * the split adds nothing corpus-scale beyond the clustering it
+    * reuses. Oracle composes the SAME [[ccWalkCte]] reachability text
+    * as q_dedup_cc, so cluster semantics are pinned to be identical.
+    */
+  val qSplitLeakproof = Q(
+    "q_split_leakproof",
+    (s, d) => {
+      val pairs = ngramPairs(s, d, HOT_BUCKET_CAP).select("a_id", "b_id")
+      val nodes = documents(s, d).select(col("doc_id").as("node"))
+      connectedComponents(pairs, nodes)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .withColumn("bucket", expr(Sampling.bucketSql("cluster_id", 0L, 100L)))
+        .withColumn(
+          "split",
+          when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+             $ccWalkCte,
+             cc AS (SELECT node AS doc_id, min(label) AS cluster_id
+                    FROM walk GROUP BY node)
+             SELECT doc_id, cluster_id,
+                    ${Sampling.bucketSql("cluster_id", 0L, 100L)} AS bucket,
+                    CASE WHEN ${Sampling.bucketSql("cluster_id", 0L, 100L)} < 90 THEN 'train'
+                         WHEN ${Sampling.bucketSql("cluster_id", 0L, 100L)} < 95 THEN 'val'
+                         ELSE 'test' END AS split
+             FROM cc ORDER BY doc_id""")
   )
 
   /** Eval-set DECONTAMINATION — the E10 op that guards the metric, not
@@ -1285,6 +1339,6 @@ object Dedup {
   val all: Seq[Q] =
     Seq(qDedupExact, qDedupKey, qCdcApply, qScd2, qPitJoin, qDedupNgram, qDedupMinhash,
       qDedupSimhash,
-      qDedupCc, qDecontaminate, qDecontaminateBloom, qIncrementalDedup, qDedupSurvivor,
-      qSubstringDedup, qKmvOverlap, qKmvMerge)
+      qDedupCc, qSplitLeakproof, qDecontaminate, qDecontaminateBloom, qIncrementalDedup,
+      qDedupSurvivor, qSubstringDedup, qKmvOverlap, qKmvMerge)
 }

@@ -130,7 +130,8 @@ class InventorySpec extends AnyFunSuite {
     "q_mm_phash" -> "r9: dHash over the decode seam; MultimodalSpec proves band soundness",
     "q_mm_resize" -> "r9: nearest-neighbor scale on the same MapPartitions seam",
     "q_multimodal_join" -> "r9: plain equi-join of text and vector modality; join strategy pinned on relational siblings",
-    "q_multimodal_meta" -> "r9: per-row sha256 content-address projection; no data-scale shuffle")
+    "q_multimodal_meta" -> "r9: per-row sha256 content-address projection; no data-scale shuffle",
+    "q_split_leakproof" -> "r10: exact-integer Knuth projection over the CC label output; every data-scale stage IS the sectioned q_dedup_cc_round body it reuses")
 
   test("plan surface: every declared query is pinned, PLANS.md-audited, or exempt") {
     val covered = QueriesPlanSpec.pinned ++ plansMdAudited ++ planExempt.keySet

@@ -110,8 +110,12 @@ object PartitionInvarianceSpec {
     // shingle-join negatives, two-pass curriculum rank
     "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
     "q_curriculum", "q_rerank", "q_bm25_segments",
-    // round-10: the merged-segment probe (doc_id pivot + merge rollups)
-    // and the ROUGE eval metric ((doc, token) counts + clip joins)
-    "q_bm25_merge", "q_rouge"
+    // round-10: the merged-segment probe (doc_id pivot + merge rollups),
+    // the ROUGE eval metric ((doc, token) counts + clip joins), the
+    // BLEU-2 twin (tagged-gram counts + clip joins), and the
+    // cluster-keyed split (CC label propagation + Knuth projection)
+    "q_bm25_merge", "q_rouge", "q_bleu", "q_split_leakproof",
+    // round-10: the flat-probe IVF (layout build + pruned probe scan)
+    "q_ann_ivf_flat"
   )
 }

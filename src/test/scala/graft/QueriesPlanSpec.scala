@@ -979,6 +979,34 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "clipped-overlap sum lost its map-side combine")
   }
 
+  test("q_ann_ivf_flat: probe is partition pruning on the (cid, sig) layout — embeddings never scanned, zero shuffles") {
+    val p = plan("q_ann_ivf_flat")
+    assert(!p.contains("embeddings.parquet"),
+      "probe plan scans the corpus — the materialized IVF sub-bucket layout is being ignored")
+    assert(p.contains("graft_ivf_sub_"), "IVF sub-bucket layout missing from the probe")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    // small probe lists render as IN (…), large ones as INSET — both
+    // are the same directory-level pruning
+    assert(pf.contains("bucket#") && (pf.contains("INSET") || pf.contains(" IN (")),
+      "probe buckets must prune partitions, not filter rows post-scan")
+    assert(p.contains("TakeOrderedAndProject"), "top-5 must not be a global sort")
+    assert(shuffles(p) == 0,
+      "one row per vector in the layout — the probe needs no exchange at all")
+  }
+
+  test("q_bleu: tagged-gram clip join keyed shuffle both sides — corpus never broadcasts") {
+    val p = plan("q_bleu")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      "every q_bleu join side is corpus-scale — nothing may broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "no pair may form outside the (ref_id, n, gram) / id keys")
+    assert("ShuffledHashJoin".r.findAllIn(p).size >= 4,
+      "pairing, clip, and both length joins must be keyed shuffle joins")
+    assert(p.contains("partial_count"), "(doc, n, gram) counts lost their map-side combine")
+    assert(p.contains("partial_sum"), "clipped-overlap sums lost their map-side combine")
+    assert(p.contains("Union"), "the unigram and bigram streams must feed ONE tagged count aggregate")
+  }
+
   test("plan-pin ledger: the companion `pinned` set equals what this suite actually planned") {
     // run LAST (registration order): `pinned` is the contract
     // InventorySpec audits every declared query against — this test
@@ -1031,5 +1059,5 @@ object QueriesPlanSpec {
     "q_curriculum", "q_span_corruption", "q_stream_pit", "q_rerank",
     "q_bm25_segments",
     // round-10 pins
-    "q_bm25_merge", "q_rouge")
+    "q_bm25_merge", "q_rouge", "q_bleu", "q_ann_ivf_flat")
 }

@@ -206,4 +206,17 @@ class AnnSpec extends SparkSpec {
       exact.get(r.getLong(0)).foreach(c => assert(c == r.getDouble(1)))
     }
   }
+
+  test("q_ann_ivf_flat: at b=0 the pruned-layout probe IS nprobe-3 IVF, row for row") {
+    // the fixture corpus is ≤ 512 vectors, so the sub-bucket level
+    // vanishes and the flat probe must reproduce ivfSearch(nprobe = 3)
+    // exactly — same candidates (the query's 3 nearest clusters), same
+    // exact-cosine rescore, same (cos DESC, id ASC) top-5
+    val flat = graft.SparkEntry.queries("q_ann_ivf_flat")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf3 = Similarity.ivfSearch(spark, sf0001, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(flat.nonEmpty && flat == ivf3,
+      s"flat probe drifted from nprobe-3 IVF: $flat vs $ivf3")
+  }
 }

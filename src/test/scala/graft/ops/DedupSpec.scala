@@ -198,4 +198,33 @@ class DedupSpec extends SparkSpec {
       assert(r.getDouble(4) == latest._5, s"feature_value leak at example $eid")
     }
   }
+
+  test("q_split_leakproof: no near-dup pair straddles splits; singletons keep their q_split_assign split") {
+    val split = graft.SparkEntry.queries("q_split_leakproof")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    // 1. the defining law: every near-dup pair (the same ngram pair graph
+    //    the clusters were built from) lands in ONE split
+    val pairs = SparkEntryPairs("q_dedup_ngram", spark, sf0001)
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs or the law is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._2 == split(b)._2,
+        s"near-dup pair ($a, $b) straddles splits ${split(a)._2}/${split(b)._2} — leakage")
+    }
+    // 2. cluster labels are exactly q_dedup_cc's (the shared-definition claim)
+    val cc = graft.SparkEntry.queries("q_dedup_cc")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(split.view.mapValues(_._1).toMap == cc, "cluster labels drifted from q_dedup_cc")
+    // 3. a SINGLETON doc keeps its exact q_split_assign split (same salt,
+    //    same thresholds): adopting the leakproof split only moves docs
+    //    that actually have near-duplicates
+    val baseline = graft.SparkEntry.queries("q_split_assign")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val singles = split.keySet -- cc.filter { case (d, l) => d != l || clustered(d) }.keySet
+    assert(singles.nonEmpty)
+    singles.foreach { d =>
+      assert(split(d)._2 == baseline(d), s"singleton $d moved split without a near-dup reason")
+    }
+  }
 }

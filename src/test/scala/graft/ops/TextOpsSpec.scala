@@ -149,6 +149,42 @@ class TextOpsSpec extends SparkSpec {
     assert(a == b, "merged-segment probe result drifted from the single-build probe")
   }
 
+  test("q_bleu: every pair's clipped n-gram precisions re-derived from raw text in plain Scala") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String, n: Int): Map[String, Long] =
+      t.split(" ", -1).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    def clip(a: String, b: String, n: Int): Long = {
+      val (ca, cb) = (grams(a, n), grams(b, n))
+      ca.map { case (g, c) => math.min(c, cb.getOrElse(g, 0L)) }.sum
+    }
+    val expect = docs.groupBy(_._2).values.flatMap { ds =>
+      val sorted = ds.sortBy(_._1)
+      sorted.zip(sorted.tail).map { case ((a, _, ta), (b, _, tb)) =>
+        (a, b) -> (clip(ta, tb, 1), clip(ta, tb, 2),
+          ta.split(" ", -1).length.toLong, tb.split(" ", -1).length.toLong)
+      }
+    }.toMap
+    val got = TextOps.qBleu.fn(spark, sf0001).collect()
+    assert(got.nonEmpty && got.length == expect.size,
+      s"pair universe drifted: got ${got.length}, expected ${expect.size}")
+    got.foreach { r =>
+      val key = (r.getAs[Long]("cand_id"), r.getAs[Long]("ref_id"))
+      val (c1, c2, nc, nr) = expect(key)
+      assert(r.getAs[Long]("clip1") == c1 && r.getAs[Long]("clip2") == c2, s"$key clips drifted")
+      assert(r.getAs[Long]("n1_cand") == nc && r.getAs[Long]("n2_cand") == nc - 1 &&
+        r.getAs[Long]("n1_ref") == nr, s"$key gram totals drifted")
+      assert(math.abs(r.getAs[Double]("p1") - c1.toDouble / nc) < 1e-6, s"$key p1 drifted")
+      assert(math.abs(r.getAs[Double]("p2") - c2.toDouble / (nc - 1)) < 1e-6, s"$key p2 drifted")
+      assert(math.abs(r.getAs[Double]("bleu2")
+        - math.sqrt((c1 * c2).toDouble / (nc * (nc - 1)))) < 1e-6, s"$key bleu2 drifted")
+      assert(math.abs(r.getAs[Double]("len_ratio") - nc.toDouble / nr) < 1e-6,
+        s"$key len_ratio drifted")
+    }
+  }
+
   test("q_rouge: every pair's clipped overlap re-derived from raw text in plain Scala") {
     // independent formulation: token multisets as Scala Maps, clip =
     // Σ min counts, the same pairing rule re-walked from (doc_id, source)
