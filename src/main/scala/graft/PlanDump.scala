@@ -390,13 +390,17 @@ object PlanDump {
         ("eval-metric computation at corpus scale: ONE map-side-combined (doc, token) " +
           "count aggregate; the clip join is keyed on (ref_id, token) so a hot token " +
           "fans out by pairing multiplicity (1), never corpus frequency; every join " +
-          "side is corpus-scale and therefore ShuffledHashJoin — nothing broadcasts; " +
+          "side is corpus-scale and therefore SORT-MERGE — never broadcast, and never " +
+          "a forced hash build either (the sf10 ledger OOM'd q_bleu's first cut: an " +
+          "unbounded build side's per-task hash map is not flat in partition size); " +
           "p/r/f1 are single IEEE divisions of exact BIGINTs."),
       "q_bleu" ->
         ("the q_rouge shape with the gram stream TAGGED by n: ONE union'd " +
           "unigram∪bigram explode into ONE map-side-combined (doc, n, gram) count " +
           "aggregate; the clip join keys on (ref_id, n, gram) so hot grams fan out " +
-          "by pairing multiplicity, never corpus frequency; all sides shuffle_hash; " +
+          "by pairing multiplicity, never corpus frequency; all sides SORT-MERGE — " +
+          "this query is why the rule exists: its first cut forced shuffle_hash and " +
+          "the sf10 ledger OOM'd the ~45M-gram build side's per-task hash map; " +
           "bleu2 = sqrt of ONE exact-integer-product division (sqrt is " +
           "correctly-rounded IEEE, unlike exp/ln — the brevity exp stays with the " +
           "consumer, the query emits the exact len_ratio)."),

@@ -793,6 +793,13 @@ object Similarity {
         emb
           .select(col("vec_id"), col("v"),
             (best * lit(1 << b) + sig).cast("int").as("bucket"))
+          // ONE file per bucket directory: without this, every write
+          // task emits a fragment into every partition dir (measured
+          // 47 705 files over 4 095 dirs at sf10 — footer reads and
+          // listing swamped the probe, 8.1 s vs plain IVF's 5.6 s).
+          // The shuffle is bounded by bucket size; the probe pays
+          // directory listing ∝ |buckets| and opens 3·(b+1) files.
+          .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
       }
     }
@@ -849,7 +856,22 @@ object Similarity {
         sg <- qsig +: (0 until b).map(j => qsig ^ (1 << j))
       } yield cid * (1 << b) + sg
       val lay = ivfSubLayout(s, d, b)
-      s.read.parquet(lay)
+      // open ONLY the probed bucket directories (basePath keeps the
+      // partition column): plain `read.parquet(lay)` runs partition
+      // DISCOVERY over all 8·2^b directories on every query — measured
+      // 6 s/probe at sf10's 4 096 dirs, swamping the 0.4 s scan it was
+      // meant to beat. With explicit paths the driver lists 3·(b+1)
+      // dirs, so discovery AND scan are both O(log n). The isin filter
+      // stays as the semantic guard (and the plan pin's witness).
+      val fs = new org.apache.hadoop.fs.Path(lay)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val dirs = buckets.distinct
+        .map(bk => s"$lay/bucket=$bk")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      val scan =
+        if (dirs.isEmpty) s.read.parquet(lay).where(lit(false))
+        else s.read.option("basePath", lay).parquet(dirs: _*)
+      scan
         .where(col("bucket").isin(buckets.distinct: _*))
         .select(col("vec_id"), round(cosine(col("v"), typedLit(qv)), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)

@@ -989,9 +989,12 @@ object TextOps {
     * over the corpus; the clip join is keyed on (ref_id, token) — the
     * ref side is unique per key, so a hot token fans out by its
     * PAIRING multiplicity only (1 here), never by corpus frequency —
-    * both sides corpus-scale, shuffle_hash, never broadcast; ONE
-    * pair-keyed sum; per-row divisions. Work ∝ Σ tokens at any corpus
-    * size.
+    * both sides corpus-scale, SORT-MERGE joined (the sf10 ledger
+    * caught the first cut forcing shuffle_hash here: a corpus-scale
+    * build side's per-task hash map OOMs at 500k docs, and at 100 TB a
+    * fortiori — SMJ spills gracefully; hash joins are for BOUNDED
+    * build sides only), never broadcast; ONE pair-keyed sum; per-row
+    * divisions. Work ∝ Σ tokens at any corpus size.
     */
   val qRouge = Q(
     "q_rouge",
@@ -1009,25 +1012,27 @@ object TextOps {
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       // every join side below is corpus-scale (one row per doc or per
       // (doc, token)) — the q_expectations rule: NOTHING here may
-      // broadcast, whatever the test-scale size stats say
-      val clip = pairs.hint("shuffle_hash")
-        .join(tc.withColumnRenamed("doc_id", "cand_id").hint("shuffle_hash"), "cand_id")
-        .hint("shuffle_hash")
+      // broadcast, whatever the test-scale size stats say; and no side
+      // is bounded, so no hash build side may be forced either (merge
+      // = the only strategy whose memory is flat in partition size)
+      val clip = pairs.hint("merge")
+        .join(tc.withColumnRenamed("doc_id", "cand_id").hint("merge"), "cand_id")
+        .hint("merge")
         .join(
           tc.select(col("doc_id").as("ref_id"), col("tok"), col("c").as("c_ref"))
-            .hint("shuffle_hash"),
+            .hint("merge"),
           Seq("ref_id", "tok"))
         .groupBy("cand_id", "ref_id")
         .agg(sum(least(col("c"), col("c_ref"))).as("clip"))
-      pairs.hint("shuffle_hash")
-        .join(clip.hint("shuffle_hash"), Seq("cand_id", "ref_id"), "left")
+      pairs.hint("merge")
+        .join(clip.hint("merge"), Seq("cand_id", "ref_id"), "left")
         .na.fill(0L, Seq("clip"))
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(lens.withColumnRenamed("doc_id", "cand_id")
-          .withColumnRenamed("n_toks", "n_cand").hint("shuffle_hash"), "cand_id")
-        .hint("shuffle_hash")
+          .withColumnRenamed("n_toks", "n_cand").hint("merge"), "cand_id")
+        .hint("merge")
         .join(lens.withColumnRenamed("doc_id", "ref_id")
-          .withColumnRenamed("n_toks", "n_ref").hint("shuffle_hash"), "ref_id")
+          .withColumnRenamed("n_toks", "n_ref").hint("merge"), "ref_id")
         .select(col("cand_id"), col("ref_id"), col("clip"),
           col("n_cand"), col("n_ref"),
           round(col("clip").cast("double") / col("n_cand").cast("double"), 6).as("p"),
@@ -1093,8 +1098,11 @@ object TextOps {
     * — ONE union'd explode (unigrams ∪ bigrams), ONE map-side-combined
     * (doc, n, gram) count aggregate, ONE clip join keyed on
     * (ref_id, n, gram) — hot grams fan out by pairing multiplicity (1),
-    * never corpus frequency; every corpus-scale side shuffle_hash,
-    * nothing broadcasts. Work ∝ Σ tokens at any corpus size.
+    * never corpus frequency; every corpus-scale side SORT-MERGE joined
+    * (this query is WHY: its first cut forced shuffle_hash and the
+    * sf10 ledger OOM'd the ~45M-gram build side's per-task hash map —
+    * see [[qRouge]]'s scale note), nothing broadcasts. Work ∝ Σ tokens
+    * at any corpus size.
     */
   val qBleu = Q(
     "q_bleu",
@@ -1117,13 +1125,13 @@ object TextOps {
               " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("gram"))
       val gc = g1.unionByName(g2).groupBy("doc_id", "n", "gram")
         .agg(count(lit(1)).as("c"))
-      // the qRouge broadcast rule: every side below is corpus-scale
-      val clip = pairs.hint("shuffle_hash")
-        .join(gc.withColumnRenamed("doc_id", "cand_id").hint("shuffle_hash"), "cand_id")
-        .hint("shuffle_hash")
+      // the qRouge broadcast/merge rule: every side below is corpus-scale
+      val clip = pairs.hint("merge")
+        .join(gc.withColumnRenamed("doc_id", "cand_id").hint("merge"), "cand_id")
+        .hint("merge")
         .join(
           gc.select(col("doc_id").as("ref_id"), col("n"), col("gram"),
-            col("c").as("c_ref")).hint("shuffle_hash"),
+            col("c").as("c_ref")).hint("merge"),
           Seq("ref_id", "n", "gram"))
         .groupBy("cand_id", "ref_id")
         .agg(
@@ -1131,16 +1139,16 @@ object TextOps {
             .as("clip1"),
           sum(when(col("n") === 2, least(col("c"), col("c_ref"))).otherwise(lit(0L)))
             .as("clip2"))
-      pairs.hint("shuffle_hash")
-        .join(clip.hint("shuffle_hash"), Seq("cand_id", "ref_id"), "left")
+      pairs.hint("merge")
+        .join(clip.hint("merge"), Seq("cand_id", "ref_id"), "left")
         .na.fill(0L, Seq("clip1", "clip2"))
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(lens.withColumnRenamed("doc_id", "cand_id")
           .withColumnRenamed("n1", "n1_cand").withColumnRenamed("n2", "n2_cand")
-          .hint("shuffle_hash"), "cand_id")
-        .hint("shuffle_hash")
+          .hint("merge"), "cand_id")
+        .hint("merge")
         .join(lens.select(col("doc_id").as("ref_id"), col("n1").as("n1_ref"))
-          .hint("shuffle_hash"), "ref_id")
+          .hint("merge"), "ref_id")
         .select(col("cand_id"), col("ref_id"),
           col("clip1"), col("clip2"), col("n1_cand"), col("n2_cand"), col("n1_ref"),
           round(col("clip1").cast("double") / col("n1_cand").cast("double"), 6).as("p1"),

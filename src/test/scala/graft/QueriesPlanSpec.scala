@@ -967,14 +967,19 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
   }
 
-  test("q_rouge: clip join keyed shuffle both sides — corpus never broadcasts, counts map-side combined") {
+  test("q_rouge: clip join sort-merge both sides — corpus never broadcasts or hash-builds, counts map-side combined") {
     val p = plan("q_rouge")
     assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
       "every q_rouge join side is corpus-scale — nothing may broadcast")
+    // the sf10 ledger lesson (q_bleu OOM): an unbounded build side may
+    // not be forced into a hash join either — SMJ is the only strategy
+    // whose per-task memory is flat in partition size
+    assert(!p.contains("ShuffledHashJoin"),
+      "corpus-scale build side in a hash join — OOMs when a partition outgrows task memory")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       "no pair may form outside the (ref_id, tok) / id keys")
-    assert("ShuffledHashJoin".r.findAllIn(p).size >= 4,
-      "pairing, clip, and both length joins must be keyed shuffle joins")
+    assert("SortMergeJoin".r.findAllIn(p).size >= 4,
+      "pairing, clip, and both length joins must be keyed sort-merge joins")
     assert(p.contains("partial_count"), "(doc, token) counts lost their map-side combine")
     assert(p.contains("partial_sum"), "clipped-overlap sum lost its map-side combine")
   }
@@ -994,14 +999,18 @@ class QueriesPlanSpec extends SparkSpec {
       "one row per vector in the layout — the probe needs no exchange at all")
   }
 
-  test("q_bleu: tagged-gram clip join keyed shuffle both sides — corpus never broadcasts") {
+  test("q_bleu: tagged-gram clip join sort-merge both sides — corpus never broadcasts or hash-builds") {
     val p = plan("q_bleu")
     assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
       "every q_bleu join side is corpus-scale — nothing may broadcast")
+    // the pin that holds the sf10 catch: this exact query OOM'd at
+    // 500k docs with a forced shuffle_hash (the ~45M-gram build side)
+    assert(!p.contains("ShuffledHashJoin"),
+      "corpus-scale build side in a hash join — OOMs when a partition outgrows task memory")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       "no pair may form outside the (ref_id, n, gram) / id keys")
-    assert("ShuffledHashJoin".r.findAllIn(p).size >= 4,
-      "pairing, clip, and both length joins must be keyed shuffle joins")
+    assert("SortMergeJoin".r.findAllIn(p).size >= 4,
+      "pairing, clip, and both length joins must be keyed sort-merge joins")
     assert(p.contains("partial_count"), "(doc, n, gram) counts lost their map-side combine")
     assert(p.contains("partial_sum"), "clipped-overlap sums lost their map-side combine")
     assert(p.contains("Union"), "the unigram and bigram streams must feed ONE tagged count aggregate")
