@@ -203,6 +203,52 @@ def main(sf, out_dir, n_samples=100, seed=42):
     else:
         print("SKIP q_dedup_cc (not dumped)")
 
+    # --- q_split_leakproof (r10): the recursive-CTE oracle budget-skips at
+    # scale, so the checker carries the laws: (1) labels == q_dedup_cc's,
+    # (2) the split is the exact Knuth bucket of the label, (3) NO sampled
+    # recomputed near-dup pair straddles splits.
+    if not (have(out_dir, "q_split_leakproof") and have(out_dir, "q_dedup_cc")):
+        print("SKIP q_split_leakproof (not dumped)")
+    else:
+        label_drift = con.execute(f"""
+            SELECT count(*) FROM '{out_dir}/q_split_leakproof/*.parquet' s
+            JOIN '{out_dir}/q_dedup_cc/*.parquet' c USING (doc_id)
+            WHERE s.cluster_id <> c.cluster_id
+        """).fetchone()[0]
+        if label_drift:
+            failures.append(f"q_split_leakproof: {label_drift} cluster labels drift from q_dedup_cc")
+        bucket_sql10 = "(cluster_id % 2147483647 + 0) % 2147483647 * 2654435761 % 4294967296 % 100"
+        hash_bad = con.execute(f"""
+            SELECT count(*) FROM '{out_dir}/q_split_leakproof/*.parquet'
+            WHERE bucket <> {bucket_sql10}
+               OR split <> (CASE WHEN {bucket_sql10} < 90 THEN 'train'
+                                 WHEN {bucket_sql10} < 95 THEN 'val' ELSE 'test' END)
+        """).fetchone()[0]
+        if hash_bad:
+            failures.append(f"q_split_leakproof: {hash_bad} rows violate the Knuth bucket/split formula")
+        split_of = dict(con.execute(
+            f"SELECT doc_id, split FROM '{out_dir}/q_split_leakproof/*.parquet'").fetchall())
+        docs_all = [r[0] for r in con.execute(
+            f"SELECT doc_id FROM '{sf}/documents.parquet'").fetchall()]
+        straddle = checked_pairs = 0
+        for a in rng.sample(docs_all, min(n_samples, len(docs_all))):
+            for (x, y) in text_edges(
+                    [a] + [b for b in con.execute(
+                        f"""SELECT doc_id FROM '{out_dir}/q_dedup_cc/*.parquet'
+                            WHERE cluster_id = (SELECT cluster_id FROM
+                              '{out_dir}/q_dedup_cc/*.parquet' WHERE doc_id = ?)
+                              AND doc_id <> ?""", [a, a]).fetchall() for b in (b[0],)]):
+                checked_pairs += 1
+                if split_of[x] != split_of[y]:
+                    straddle += 1
+                    failures.append(
+                        f"q_split_leakproof: near-dup pair ({x},{y}) straddles "
+                        f"{split_of[x]}/{split_of[y]}")
+        print(f"q_split_leakproof: labels joined vs q_dedup_cc ({label_drift} drift), "
+              f"bucket formula recomputed over ALL rows ({hash_bad} bad), "
+              f"{checked_pairs} recomputed near-dup pairs from {min(n_samples, len(docs_all))} "
+              f"sampled docs ({straddle} straddle)")
+
     # --- embedding queries -------------------------------------------------
     emb_rows = con.execute(
         f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
