@@ -47,9 +47,12 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the engine-specific sketches
-    * (q_approx_distinct, q_quantiles, q_dedup_simhash,
-    * q_decontaminate_bloom, q_cms_terms) → driver records a weaker
-    * rows-only check; each is law-verified by its spec instead.
+    * (q_approx_distinct, q_quantiles, q_cms_terms,
+    * q_decontaminate_bloom, q_dedup_simhash, q_mm_phash,
+    * q_profile_approx) → driver records a weaker rows-only check; each
+    * is law-verified by its spec instead. InventorySpec.noOracleByDesign
+    * is the asserted source of truth for this list (declared minus
+    * oracled must equal it exactly).
     */
   def oracleSql: Map[String, String] =
     declared.collect { case Q(n, _, Some(sql)) => n -> sql }.toMap

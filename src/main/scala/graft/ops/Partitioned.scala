@@ -55,8 +55,20 @@ object Partitioned {
     * all-parts check). A pre-existing target is deleted ONLY while it
     * is known-incomplete (a crashed earlier build) — a PUBLISHED layout
     * is never deleted, so a concurrent reader of the live path cannot
-    * hit missing files mid-swap. A rename failure with a complete
-    * winner in place is a lost race (discard tmp); a rename failure
+    * hit missing files mid-swap.
+    *
+    * Race handling is Hadoop-rename-aware: `fs.rename(tmp, out)` onto
+    * an EXISTING directory does not refuse — HDFS (and the local FS's
+    * copy fallback) moves tmp INTO the target as a child and returns
+    * true, which would silently nest a loser's full duplicate build
+    * inside the published layout (duplicate rows on recursive
+    * listings). So a racer (1) re-checks completeness immediately
+    * before renaming and discards its tmp if a winner is already in
+    * place, and (2) after a "successful" rename verifies that
+    * `out/<tmp-basename>` does NOT exist — if it does, the rename was
+    * actually a nest-into-winner, so the nested copy is deleted and
+    * the race treated as lost. A rename failure with a complete winner
+    * in place is likewise a lost race (discard tmp); a rename failure
     * with NO winner throws instead of silently returning a path that
     * doesn't exist.
     */
@@ -72,11 +84,23 @@ object Partitioned {
       out + ".build-" + java.util.UUID.randomUUID().toString)
     build(tmp.toString)
     if (fs.exists(outPath) && !isComplete()) fs.delete(outPath, true)
+    // lost-race fast path: a complete winner published while we built
+    if (isComplete()) { fs.delete(tmp, true); return }
     if (!fs.rename(tmp, outPath)) {
       fs.delete(tmp, true)
       if (!isComplete())
         throw new java.io.IOException(
           s"atomic publish of $out failed: rename refused and no complete layout occupies the target")
+    } else {
+      // rename returned true — but if a winner appeared between the
+      // completeness check and the rename, Hadoop moved tmp INTO it as
+      // a child rather than refusing. Detect and discard the nested
+      // duplicate; the winner's layout stays published.
+      val nested = new org.apache.hadoop.fs.Path(outPath, tmp.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+      if (!isComplete())
+        throw new java.io.IOException(
+          s"atomic publish of $out failed: rename landed but the layout is incomplete")
     }
   }
 

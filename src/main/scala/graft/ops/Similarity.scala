@@ -761,21 +761,52 @@ object Similarity {
              LIMIT 5""")
   )
 
+  /** Sub-bucket bit width for the MATERIALIZED flat-probe layout:
+    * b = min b ≥ 0 s.t. 32768·2^b ≥ n, i.e. the 8·2^b bucket
+    * directories hold 2048–4096 vectors (~1–2 MB of 64-double rows —
+    * parquet row-group scale) once n > 32768. This is the r10 verdict's
+    * layout-economics fix: the earlier 512·2^b ≥ n rule fixed occupancy
+    * at ~64 vectors/~35 KB file, an O(n) tiny-file store (~16 M files
+    * at 10⁹ vectors — an object-store metadata wall). Real IVF serves
+    * from lists of thousands of vectors; probe cost becomes
+    * nprobe·(b+1)·occupancy — still O(log n)·const per query, and the
+    * file COUNT now grows 64× slower. ([[qKnnJoinAnn]] keeps the finer
+    * 512-rule for its in-flight shuffle sub-buckets — those are join
+    * key-space, not files.)
+    *
+    * Capped at b ≤ 27 so the INT bucket key `cid·2^b + sig` (cid ≤ 7)
+    * can never overflow (the r10 ADVICE finding): b = 27 is reached at
+    * n ≈ 4.4·10¹² vectors — ~1 PB of raw 64-dim embeddings — and the
+    * require makes any larger corpus fail loudly instead of silently
+    * colliding buckets.
+    */
+  private[ops] def flatLayoutBits(n: Long): Int = {
+    var b = 0
+    while ((32768L << b) < n) b += 1
+    require(b <= 27,
+      s"flat IVF layout bit width $b overflows the INT bucket key (corpus n=$n > ~4.4e12)")
+    b
+  }
+
   /** Materialized (cluster, sub-bucket)-PARTITIONED IVF layout — the
     * [[maxsimBucketLayout]] trick applied to the coarse IVF index so a
     * probe's scan cost stops growing with the corpus. Every vector
     * posts ONE row under `bucket = cid·2^b + sig`: cid is the same
     * struct-argmin coarse assignment as [[qAnnIvf]], sig the first b
-    * [[lshPlanes]] sign bits (the [[qKnnJoinAnn]] sub-bucket level,
-    * 2^b ∝ n via b = min b s.t. 512·2^b ≥ n). Built once per corpus
-    * (content-keyed, atomic-rename publish), amortized across every
-    * query — the offline coarse-quantizer build of an IVF serving
-    * stack. Bucket posted as INT explicitly (the r9 ADVICE rule: the
-    * probe's INSET partition filter must never ride an implicit
-    * Long⇄Int coercion).
+    * [[lshPlanes]] sign bits (the [[qKnnJoinAnn]] sub-bucket level at
+    * the coarser [[flatLayoutBits]] width — row-group-scale buckets,
+    * not join-key fan-out). Built once per corpus (content-keyed,
+    * atomic-rename publish), amortized across every query — the
+    * offline coarse-quantizer build of an IVF serving stack. Bucket
+    * posted as INT explicitly (the r9 ADVICE rule: the probe's INSET
+    * partition filter must never ride an implicit Long⇄Int coercion;
+    * [[flatLayoutBits]]' b ≤ 27 cap keeps INT exact).
     */
   def ivfSubLayout(s: SparkSession, d: String, b: Int): String = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_sub_" +
+    // b is part of the cache key: a layout built at one bit width must
+    // never serve a probe computed at another (the occupancy formula is
+    // a tunable, not a content property of the corpus)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_sub_b${b}_" +
       Partitioned.sourceKey(Seq(s"$d/embeddings.parquet"))
     if (!Partitioned.successExists(s, out)) {
       Partitioned.buildAtomically(s, out) { tmp =>
@@ -806,20 +837,25 @@ object Similarity {
     out
   }
 
-  /** FLAT-PROBE IVF (r10) — the answer to the sf10 ledger's one red
-    * row: [[qAnnIvf]]'s probe is Θ(nprobe·n/K) with the FIXED K=8
-    * literal codebook (measured 3.47× wall on 10× data, exactly the
-    * 3/8 slope), because a fixed codebook's clusters grow with the
-    * corpus. This is the same query routed through [[ivfSubLayout]]:
-    * the key space 8·2^b grows ∝ n, the driver computes the probe set
-    * — the query's 3 nearest clusters × its sig's Hamming≤1 flips,
+  /** FLAT-PROBE IVF (r10, bucket economics right-sized r11) — the
+    * answer to the sf10 ledger's one red row: [[qAnnIvf]]'s probe is
+    * Θ(nprobe·n/K) with the FIXED K=8 literal codebook (measured 3.47×
+    * wall on 10× data, exactly the 3/8 slope), because a fixed
+    * codebook's clusters grow with the corpus. This is the same query
+    * routed through [[ivfSubLayout]]: the key space 8·2^b grows ∝ n at
+    * [[flatLayoutBits]]' row-group-scale occupancy (2048–4096 vectors
+    * / ~1–2 MB per bucket file — the r10 verdict's fix for the earlier
+    * 64-vector/~35 KB tiny-file store), the driver computes the probe
+    * set — the query's 3 nearest clusters × its sig's Hamming≤1 flips,
     * 3·(b+1) bucket literals — and the scan is DIRECTORY-PRUNED to
-    * those buckets, so probed rows ≈ 3·(b+1)·n/(8·2^b) ≈ 192·(b+1):
-    * O(log n) per query at ANY corpus size. Exact cosine rescore,
-    * top-5 TakeOrdered — the same recall trade as [[qKnnJoinAnn]]'s
-    * per-source probe (recall measured there; AnnSpec's clustered-
-    * corpus law is the production-shape evidence), and at b = 0
-    * (n ≤ 512) this IS nprobe-3 IVF over the materialized layout.
+    * those buckets, so probed rows ≈ 3·(b+1)·n/(8·2^b) ≤
+    * 12288·(b+1): O(log n) per query at ANY corpus size, and the
+    * layout's FILE count is n/2048-ish rather than n/64. Exact cosine
+    * rescore, top-5 TakeOrdered — the same recall trade as
+    * [[qKnnJoinAnn]]'s per-source probe (recall measured there;
+    * AnnSpec's clustered-corpus law is the production-shape evidence),
+    * and at b = 0 (n ≤ 32768: every declared fixture AND sf1) this IS
+    * nprobe-3 IVF over the materialized layout.
     *
     * Oracled end-to-end like q_knn_join_ann: the oracle re-derives b
     * from count(*), replays assignment + signatures + the Hamming≤1
@@ -833,8 +869,7 @@ object Similarity {
         col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // metadata-only count (parquet footers) → sub-bucket bit width
       val n = embeddings(s, d).count()
-      var b = 0
-      while ((512L << b) < n) b += 1
+      val b = flatLayoutBits(n)
       val qv = queryVec(emb)
       def sq(c: Array[Double]): Double = {
         var acc = 0.0; var i = 0
@@ -869,8 +904,17 @@ object Similarity {
         .map(bk => s"$lay/bucket=$bk")
         .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
       val scan =
-        if (dirs.isEmpty) s.read.parquet(lay).where(lit(false))
-        else s.read.option("basePath", lay).parquet(dirs: _*)
+        if (dirs.isEmpty) {
+          // all probed buckets empty: build the empty result from the
+          // layout's KNOWN schema — a plain read.parquet(lay) here
+          // would run partition discovery over all 8·2^b bucket dirs,
+          // the exact ~seconds cost the explicit-paths read exists to
+          // avoid (r10 ADVICE)
+          val sch = org.apache.spark.sql.types.StructType(
+            emb.schema.fields :+ org.apache.spark.sql.types.StructField(
+              "bucket", org.apache.spark.sql.types.IntegerType))
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        } else s.read.option("basePath", lay).parquet(dirs: _*)
       scan
         .where(col("bucket").isin(buckets.distinct: _*))
         .select(col("vec_id"), round(cosine(col("v"), typedLit(qv)), 6).as("cos_sim"))
@@ -881,7 +925,7 @@ object Similarity {
              c AS (SELECT * FROM (VALUES
                $duckCodebook) t(cid, cv)),
              bparam AS (
-               SELECT greatest(0, CAST(ceil(log2(CAST((count(*) + 511) // 512 AS DOUBLE))) AS INT)) AS b
+               SELECT greatest(0, CAST(ceil(log2(CAST((count(*) + 32767) // 32768 AS DOUBLE))) AS INT)) AS b
                FROM e),
              planes(w, p) AS (VALUES $duckPlaneRows),
              sigs AS (

@@ -1294,6 +1294,14 @@ object TextOps {
     * 3-gram df is 9, so the cap provably never changes results there
     * — both dialects carry it, so the oracle verifies the capped
     * semantics.)
+    *
+    * The [[Materialize]]d shingle explode is the suite's LARGEST
+    * intermediate (∝ Σ shingles): under the default localCheckpoint it
+    * is executor-memory+disk resident with truncated lineage, so a
+    * scale run (where an executor loss is a when, not an if) MUST set
+    * `spark.graft.checkpoint.reliable=true` + a checkpoint dir — the
+    * [[Materialize]] switch persists each site to fault-tolerant
+    * storage instead.
     */
   val qHardNegatives = Q(
     "q_hard_negatives",

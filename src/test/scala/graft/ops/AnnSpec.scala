@@ -219,4 +219,25 @@ class AnnSpec extends SparkSpec {
     assert(flat.nonEmpty && flat == ivf3,
       s"flat probe drifted from nprobe-3 IVF: $flat vs $ivf3")
   }
+
+  test("flatLayoutBits: bucket occupancy stays row-group-scale (2048-4096 vectors) at every corpus size") {
+    // the r10 verdict's layout-economics law: the materialized store
+    // must be ~1-2 MB files, not an O(n) tiny-file sprawl. For any
+    // n > 32768, occupancy n/(8·2^b) must land in (2048, 4096]; below
+    // that the whole corpus fits the b=0 nprobe-3 layout.
+    for (n <- Seq(1L, 512L, 32768L, 32769L, 200000L, 1000000L, 123456789L, 1000000000L)) {
+      val b = Similarity.flatLayoutBits(n)
+      assert((32768L << b) >= n, s"n=$n b=$b does not cover the corpus")
+      if (b > 0)
+        assert((32768L << (b - 1)) < n, s"n=$n b=$b is one bit too fine — occupancy halved for nothing")
+      val occ = n.toDouble / (8L << b)
+      if (n > 32768)
+        assert(occ > 2048 && occ <= 4096, s"n=$n b=$b occupancy $occ outside row-group scale")
+    }
+    // monotone in n, and the INT-overflow guard fires loudly past the cap
+    assert(Similarity.flatLayoutBits(200000L) == 3) // sf10: 64 dirs, was 4096 at the old 512-rule
+    intercept[IllegalArgumentException] {
+      Similarity.flatLayoutBits(32768L * (1L << 28)) // ~8.8e12 vectors
+    }
+  }
 }

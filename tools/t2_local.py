@@ -43,7 +43,10 @@ def run_compare(sf_dir, out_dir, name, sql):
     # producing an answer nothing compares against
     import glob
     if not glob.glob(f"{out_dir}/{name}/*.parquet"):
-        return (name, False, "spark output unreadable: No files found")
+        # subset Verify dumps (SPARK_GRAFT_ONLY / scale-ledger runs)
+        # simply didn't dump this query — SKIP, not FAIL (mirrors
+        # sampled_check's have() handling)
+        return (name, None, "not in this Verify dump (subset run)")
     con = connect(sf_dir)
     try:
         expect = norm(con.execute(sql).fetchdf())
@@ -130,14 +133,17 @@ def main(sf_dir: str, out_dir: str, timeout_sec: float | None = None) -> int:
                 print(f"SKIP {name}: oracle exceeded {timeout_sec:.0f}s budget")
                 continue
             name_, ok, msg = q.get()
-        if ok:
+        if ok is None:
+            skipped.append(name)
+            print(f"SKIP {name}: {msg}")
+        elif ok:
             print(f"PASS {name} {msg}")
         else:
             failures.append((name, msg))
     for name, msg in failures:
         print(f"FAIL {name}: {msg}")
     done = len(oracle) - len(failures) - len(skipped)
-    extra = f" ({len(skipped)} skipped on budget)" if skipped else ""
+    extra = f" ({len(skipped)} skipped: over budget or not dumped)" if skipped else ""
     print(f"\n{done}/{len(oracle) - len(skipped)} oracle queries pass{extra}")
     return 1 if failures else 0
 
