@@ -41,7 +41,8 @@ object PlanDump {
       "q_maxsim_ann", "q_maxsim_postings",
       "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
       "q_curriculum", "q_span_corruption", "q_rerank", "q_bm25_segments",
-      "q_bm25_merge", "q_rouge", "q_bleu", "q_ann_ivf_flat"
+      "q_bm25_merge", "q_rouge", "q_bleu", "q_ann_ivf_flat",
+      "q_bm25_tiered", "q_bleu_multi"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -404,6 +405,22 @@ object PlanDump {
           "bleu2 = sqrt of ONE exact-integer-product division (sqrt is " +
           "correctly-rounded IEEE, unlike exp/ln — the brevity exp stays with the " +
           "consumer, the query emits the exact len_ratio)."),
+      "q_bm25_tiered" ->
+        ("the tiered merge POLICY's post-state probed: exactly K=2 final_i postings " +
+          "scans (term IN pushdown) through the IDENTICAL multi-segment combine path " +
+          "as q_bm25_segments; documents.parquet AND both pre-policy layouts " +
+          "(graft_bm25_multi_, graft_bm25_segs_) are absent — the driver loop folded " +
+          "6 uneven segments smallest-pair-first by index algebra (merge_log.parquet " +
+          "records each decision), so probe cost is bounded by K whatever the absorb " +
+          "history was."),
+      "q_bleu_multi" ->
+        ("Papineni's multi-reference clip (min(tf_cand, MAX over refs tf_ref)): the " +
+          "q_bleu gram machinery unchanged — ONE union'd tagged explode, ONE " +
+          "map-side-combined (doc, n, gram) count; the ref-set key fans a gram by " +
+          "k ≤ 3 reference multiplicity only and the per-candidate MAX (map-side " +
+          "combined) collapses it back to one row per (cand, n, gram) BEFORE the " +
+          "clip join; every corpus-scale side SORT-MERGE (the sf10 hash-build OOM " +
+          "rule); r_eff = closest-ref-length-ties-shorter via ONE packed-BIGINT min."),
       "q_ann_ivf_flat" ->
         ("the sf10 ledger's red-row fix: fixed-K IVF probe cost is Θ(nprobe·n/K), so " +
           "the probe is routed through the materialized (cid·2^b + sig) layout whose " +

@@ -925,46 +925,59 @@ object TextOps {
     * TakeOrderedAndProject. Maintenance: a new batch = one new
     * segment build ∝ batch size; the merge is the query.
     */
+  /** The multi-segment combine probe of [[qBm25Segments]], factored
+    * over ANY segment-directory list so the post-policy index
+    * ([[qBm25Tiered]]) probes through the IDENTICAL code path: union
+    * the segments' postings (term pushdown into each scan), sum
+    * per-term dfs across dicts and n_docs/Σdl across stats at query
+    * time — legal because every BM25 statistic is additive — then the
+    * exact-rational [[qBm25]] scoring in the same fixed term order.
+    */
+  private def bm25ProbeSegments(s: org.apache.spark.sql.SparkSession,
+      segDirs: Seq[String]): DataFrame = {
+    val qterms = Seq("dup", "query", "batch", "vector")
+    def seg(p: String) =
+      segDirs.map(sd => s.read.parquet(s"$sd/$p")).reduce(_ unionAll _)
+    val posts = seg("postings.parquet").where(col("term").isin(qterms: _*))
+    val aggs =
+      max("dl").as("dl") +:
+        (qterms.map(t =>
+          coalesce(sum(when(col("term") === lit(t), col("tf"))), lit(0L))
+            .as(s"tf_$t")) :+
+          count(lit(1)).as("n_terms"))
+    val cand = posts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // per-term df across segments: the union'd dicts sum naturally
+    val dfRow = seg("dict.parquet")
+      .where(col("term").isin(qterms: _*))
+      .agg(
+        coalesce(sum(when(col("term") === lit(qterms.head), col("df"))), lit(0L))
+          .as(s"df_${qterms.head}"),
+        qterms.tail.map(t =>
+          coalesce(sum(when(col("term") === lit(t), col("df"))), lit(0L))
+            .as(s"df_$t")): _*)
+    val stats = seg("stats.parquet")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+    def termScore(t: String) = {
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      val num = lit(44L) * tf * col("sum_dl")
+      val den = lit(20L) * tf * col("sum_dl") + lit(6L) * col("sum_dl") +
+        lit(18L) * col("dl") * col("n_docs")
+      (num.cast("double") / den.cast("double")) *
+        ((lit(2L) * col("n_docs") - lit(2L) * df + lit(1L)).cast("double") /
+          (lit(2L) * df + lit(1L)).cast("double"))
+    }
+    cand.crossJoin(broadcast(dfRow)).crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), col("n_terms"),
+        qterms.map(termScore).reduceLeft(_ + _).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+  }
+
   val qBm25Segments = Q(
     "q_bm25_segments",
     (s, d) => {
-      val qterms = Seq("dup", "query", "batch", "vector")
       val ix = segmentedIndexLayout(s, d)
-      def seg(p: String) =
-        s.read.parquet(s"$ix/seg_a/$p").unionAll(s.read.parquet(s"$ix/seg_b/$p"))
-      val posts = seg("postings.parquet").where(col("term").isin(qterms: _*))
-      val aggs =
-        max("dl").as("dl") +:
-          (qterms.map(t =>
-            coalesce(sum(when(col("term") === lit(t), col("tf"))), lit(0L))
-              .as(s"tf_$t")) :+
-            count(lit(1)).as("n_terms"))
-      val cand = posts.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      // per-term df across segments: the union'd dicts sum naturally
-      val dfRow = seg("dict.parquet")
-        .where(col("term").isin(qterms: _*))
-        .agg(
-          coalesce(sum(when(col("term") === lit(qterms.head), col("df"))), lit(0L))
-            .as(s"df_${qterms.head}"),
-          qterms.tail.map(t =>
-            coalesce(sum(when(col("term") === lit(t), col("df"))), lit(0L))
-              .as(s"df_$t")): _*)
-      val stats = seg("stats.parquet")
-        .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
-      def termScore(t: String) = {
-        val tf = col(s"tf_$t"); val df = col(s"df_$t")
-        val num = lit(44L) * tf * col("sum_dl")
-        val den = lit(20L) * tf * col("sum_dl") + lit(6L) * col("sum_dl") +
-          lit(18L) * col("dl") * col("n_docs")
-        (num.cast("double") / den.cast("double")) *
-          ((lit(2L) * col("n_docs") - lit(2L) * df + lit(1L)).cast("double") /
-            (lit(2L) * df + lit(1L)).cast("double"))
-      }
-      cand.crossJoin(broadcast(dfRow)).crossJoin(broadcast(stats))
-        .select(col("doc_id"), col("dl"), col("n_terms"),
-          qterms.map(termScore).reduceLeft(_ + _).as("score"))
-        .orderBy(desc("score"), col("doc_id"))
-        .limit(20)
+      bm25ProbeSegments(s, Seq(s"$ix/seg_a", s"$ix/seg_b"))
     },
     Some(bm25PostingsOracle)
   )
@@ -1205,6 +1218,162 @@ object TextOps {
             ORDER BY cand_id""")
   )
 
+  /** MULTI-REFERENCE BLEU-2 (r11) — Papineni's ACTUAL clip definition,
+    * of which [[qBleu]]'s 1-reference pairing is the degenerate case:
+    * each candidate scores against a reference SET (here the next
+    * k ≤ 3 docs of its source by id — the same fixture pairing device;
+    * a production eval swaps in its own (cand, ref) table and the
+    * algebra is unchanged), and a gram's credit is
+    * clip_g = min(tf_cand(g), MAX over refs tf_ref(g)) — a candidate
+    * phrase counts if ANY reference supports it at that multiplicity.
+    * Also emits the multi-reference brevity pieces: r_eff = the
+    * reference length CLOSEST to the candidate's, ties to the SHORTER
+    * (the original BLEU convention), selected as ONE packed-BIGINT min
+    * `|n1_ref − n1_cand|·10⁹ + n1_ref` — the q_preference_pairs
+    * packed-order idiom (sound while doc lengths < 10⁹ tokens) — and
+    * `len_ratio = n1_cand / r_eff` for the consumer's one-op
+    * exp(1 − 1/len_ratio) brevity fold.
+    *
+    * Exactness: clips, lengths, n_refs, r_eff are exact BIGINTs;
+    * p1/p2/bleu2 keep [[qBleu]]'s one-division + IEEE-exact-sqrt
+    * discipline; round(,6) once per emitted double.
+    *
+    * Scale shape: the [[qBleu]] gram machinery UNCHANGED (ONE union'd
+    * tagged explode, ONE map-side-combined (doc, n, gram) count
+    * aggregate); the clip join gains the ref-SET key — refs ⋈ gc keyed
+    * on ref_id fans a gram by the candidate's reference multiplicity
+    * (k ≤ 3), never corpus frequency, and the per-candidate MAX
+    * (map-side-combined) collapses the set back to ONE row per
+    * (cand, n, gram) BEFORE the clip join, whose two sides are then
+    * both unique per key. Every corpus-scale side SORT-MERGE joined
+    * (the sf10 hash-build OOM rule), nothing broadcasts. Work ∝
+    * k·Σ tokens at any corpus size.
+    */
+  val qBleuMulti = Q(
+    "q_bleu_multi",
+    (s, d) => {
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      val lens = toks.select(col("doc_id"),
+        size(col("w")).cast("long").as("n1"),
+        greatest(size(col("w")) - 1, lit(0)).cast("long").as("n2"))
+      val sw = Window.partitionBy("source").orderBy("doc_id")
+      val refs = docs
+        .select(col("doc_id").as("cand_id"),
+          array(lead("doc_id", 1).over(sw), lead("doc_id", 2).over(sw),
+            lead("doc_id", 3).over(sw)).as("rs"))
+        .select(col("cand_id"), explode(col("rs")).as("ref_id"))
+        .where(col("ref_id").isNotNull)
+      val g1 = toks.select(col("doc_id"), lit(1).as("n"), explode(col("w")).as("gram"))
+      val g2 = toks.where(size(col("w")) >= 2)
+        .select(col("doc_id"), lit(2).as("n"),
+          explode(expr(
+            "transform(sequence(1, size(w) - 1)," +
+              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("gram"))
+      val gc = g1.unionByName(g2).groupBy("doc_id", "n", "gram")
+        .agg(count(lit(1)).as("c"))
+      // the qRouge/qBleu rule: every side below is corpus-scale — SMJ
+      // only, nothing broadcasts, no forced hash builds
+      val refmax = refs.hint("merge")
+        .join(gc.select(col("doc_id").as("ref_id"), col("n"), col("gram"),
+          col("c")).hint("merge"), "ref_id")
+        .groupBy("cand_id", "n", "gram").agg(max(col("c")).as("c_ref"))
+      val clip = gc.withColumnRenamed("doc_id", "cand_id").hint("merge")
+        .join(refmax.hint("merge"), Seq("cand_id", "n", "gram"))
+        .groupBy("cand_id")
+        .agg(
+          sum(when(col("n") === 1, least(col("c"), col("c_ref"))).otherwise(lit(0L)))
+            .as("clip1"),
+          sum(when(col("n") === 2, least(col("c"), col("c_ref"))).otherwise(lit(0L)))
+            .as("clip2"))
+      val reff = refs.hint("merge")
+        .join(lens.select(col("doc_id").as("ref_id"), col("n1").as("n1_ref"))
+          .hint("merge"), "ref_id")
+        .hint("merge")
+        .join(lens.select(col("doc_id").as("cand_id"), col("n1").as("n1_cand"))
+          .hint("merge"), "cand_id")
+        .groupBy("cand_id")
+        .agg(count(lit(1)).as("n_refs"),
+          min(abs(col("n1_ref") - col("n1_cand")) * lit(1000000000L) + col("n1_ref"))
+            .as("packed"))
+        .select(col("cand_id"), col("n_refs"),
+          (col("packed") % lit(1000000000L)).as("r_eff"))
+      reff.hint("merge")
+        .join(clip.hint("merge"), Seq("cand_id"), "left")
+        .na.fill(0L, Seq("clip1", "clip2"))
+        .hint("merge")
+        .join(lens.select(col("doc_id").as("cand_id"), col("n1").as("n1_cand"),
+          col("n2").as("n2_cand")).hint("merge"), "cand_id")
+        .select(col("cand_id"), col("n_refs"), col("clip1"), col("clip2"),
+          col("n1_cand"), col("n2_cand"), col("r_eff"),
+          round(col("clip1").cast("double") / col("n1_cand").cast("double"), 6).as("p1"),
+          round(col("clip2").cast("double")
+            / nullif(col("n2_cand"), lit(0L)).cast("double"), 6).as("p2"),
+          round(sqrt((col("clip1") * col("clip2")).cast("double")
+            / nullif(col("n1_cand") * col("n2_cand"), lit(0L)).cast("double")), 6)
+            .as("bleu2"),
+          round(col("n1_cand").cast("double") / col("r_eff").cast("double"), 6)
+            .as("len_ratio"))
+        .orderBy("cand_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            lens AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS n1,
+                     CAST(greatest(len(w) - 1, 0) AS BIGINT) AS n2
+              FROM toks),
+            nx AS (
+              SELECT doc_id AS cand_id,
+                     lead(doc_id, 1) OVER (PARTITION BY source ORDER BY doc_id) AS r1,
+                     lead(doc_id, 2) OVER (PARTITION BY source ORDER BY doc_id) AS r2,
+                     lead(doc_id, 3) OVER (PARTITION BY source ORDER BY doc_id) AS r3
+              FROM documents),
+            refs AS (
+              SELECT cand_id, r AS ref_id
+              FROM (SELECT cand_id, unnest([r1, r2, r3]) AS r FROM nx)
+              WHERE r IS NOT NULL),
+            grams AS (
+              SELECT doc_id, 1 AS n, unnest(w) AS gram FROM toks
+              UNION ALL
+              SELECT doc_id, 2 AS n,
+                     unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+              FROM toks WHERE len(w) >= 2),
+            gc AS (
+              SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c
+              FROM grams GROUP BY doc_id, n, gram),
+            refmax AS (
+              SELECT r.cand_id, g.n, g.gram, max(g.c) AS c_ref
+              FROM refs r JOIN gc g ON g.doc_id = r.ref_id
+              GROUP BY r.cand_id, g.n, g.gram),
+            clip AS (
+              SELECT a.doc_id AS cand_id,
+                     CAST(sum(CASE WHEN a.n = 1 THEN least(a.c, m.c_ref) ELSE 0 END) AS BIGINT) AS clip1,
+                     CAST(sum(CASE WHEN a.n = 2 THEN least(a.c, m.c_ref) ELSE 0 END) AS BIGINT) AS clip2
+              FROM gc a
+              JOIN refmax m ON m.cand_id = a.doc_id AND m.n = a.n AND m.gram = a.gram
+              GROUP BY a.doc_id),
+            reff AS (
+              SELECT r.cand_id, CAST(count(*) AS BIGINT) AS n_refs,
+                     min(abs(lr.n1 - lc.n1) * 1000000000 + lr.n1) % 1000000000 AS r_eff
+              FROM refs r
+              JOIN lens lr ON lr.doc_id = r.ref_id
+              JOIN lens lc ON lc.doc_id = r.cand_id
+              GROUP BY r.cand_id)
+            SELECT e.cand_id AS cand_id, e.n_refs AS n_refs,
+                   COALESCE(c.clip1, 0) AS clip1, COALESCE(c.clip2, 0) AS clip2,
+                   lc.n1 AS n1_cand, lc.n2 AS n2_cand, e.r_eff AS r_eff,
+                   round(CAST(COALESCE(c.clip1, 0) AS DOUBLE) / CAST(lc.n1 AS DOUBLE), 6) AS p1,
+                   round(CAST(COALESCE(c.clip2, 0) AS DOUBLE)
+                         / CAST(nullif(lc.n2, 0) AS DOUBLE), 6) AS p2,
+                   round(sqrt(CAST(COALESCE(c.clip1, 0) * COALESCE(c.clip2, 0) AS DOUBLE)
+                         / CAST(nullif(lc.n1 * lc.n2, 0) AS DOUBLE)), 6) AS bleu2,
+                   round(CAST(lc.n1 AS DOUBLE) / CAST(e.r_eff AS DOUBLE), 6) AS len_ratio
+            FROM reff e
+            LEFT JOIN clip c ON c.cand_id = e.cand_id
+            JOIN lens lc ON lc.doc_id = e.cand_id
+            ORDER BY cand_id""")
+  )
+
   /** SEGMENT MERGE (r10) — the index-MAINTENANCE op that keeps the
     * segmented model honest (VERDICT r9 #3, the q_dv_compact
     * debt-payment pattern): [[segmentedIndexLayout]] lets a batch be
@@ -1236,6 +1405,28 @@ object TextOps {
     * posting/dict/stats row of the merged segment equals the
     * single-build [[invertedIndexLayout]]).
     */
+  /** Fold N existing segments into ONE by the pure index algebra above,
+    * generalized to any source count (a merged segment is itself a
+    * legal merge input — df/n_docs/Σdl stay additive monoids over the
+    * still-disjoint doc sets): postings CONCATENATE, dict dfs SUM,
+    * corpus constants SUM. Cost ∝ index size of the inputs; the corpus
+    * is never touched. Shared by [[mergedSegmentLayout]] (one pairwise
+    * merge) and [[tieredIndexLayout]] (the policy's every step).
+    */
+  private def writeMergedSegment(s: org.apache.spark.sql.SparkSession,
+      srcs: Seq[String], dir: String): Unit = {
+    def u(p: String) =
+      srcs.map(sd => s.read.parquet(s"$sd/$p")).reduce(_ unionAll _)
+    u("postings.parquet")
+      .write.mode("overwrite").parquet(s"$dir/postings.parquet")
+    u("dict.parquet")
+      .groupBy("term").agg(sum("df").as("df"))
+      .write.mode("overwrite").parquet(s"$dir/dict.parquet")
+    u("stats.parquet")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$dir/stats.parquet")
+  }
+
   def mergedSegmentLayout(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val segs = segmentedIndexLayout(s, d)
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_merged_" +
@@ -1244,16 +1435,7 @@ object TextOps {
     def complete() = parts.forall(p => Partitioned.successExists(s, s"$out/$p"))
     if (!complete()) {
       Partitioned.buildAtomically(s, out, () => complete()) { tmp =>
-        def seg(p: String) =
-          s.read.parquet(s"$segs/seg_a/$p").unionAll(s.read.parquet(s"$segs/seg_b/$p"))
-        seg("postings.parquet")
-          .write.mode("overwrite").parquet(s"$tmp/postings.parquet")
-        seg("dict.parquet")
-          .groupBy("term").agg(sum("df").as("df"))
-          .write.mode("overwrite").parquet(s"$tmp/dict.parquet")
-        seg("stats.parquet")
-          .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
-          .write.mode("overwrite").parquet(s"$tmp/stats.parquet")
+        writeMergedSegment(s, Seq(s"$segs/seg_a", s"$segs/seg_b"), tmp)
       }
     }
     out
@@ -1262,6 +1444,130 @@ object TextOps {
   val qBm25Merge = Q(
     "q_bm25_merge",
     (s, d) => bm25Probe(s, mergedSegmentLayout(s, d)),
+    Some(bm25PostingsOracle)
+  )
+
+  /** Six-segment index layout with UNEVEN sizes (≈ 1,1,1,2,4,7
+    * sixteenths of the corpus, by doc_id % 16 ranges) — the mid-life
+    * state of a segmented index that has absorbed batches of varying
+    * size, i.e. the input a merge POLICY exists to clean up. Same
+    * per-segment parts and build shape as [[segmentedIndexLayout]].
+    */
+  private[ops] val multiSegRanges: Seq[(String, Int, Int)] = Seq(
+    ("seg_00", 0, 0), ("seg_01", 1, 1), ("seg_02", 2, 2),
+    ("seg_03", 3, 4), ("seg_04", 5, 8), ("seg_05", 9, 15))
+
+  def multiSegmentIndexLayout(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_multi_" +
+      Partitioned.sourceKey(Seq(s"$d/documents.parquet"))
+    val parts = for {
+      (seg, _, _) <- multiSegRanges
+      p <- Seq("postings.parquet", "dict.parquet", "stats.parquet")
+    } yield s"$seg/$p"
+    def complete() = parts.forall(p => Partitioned.successExists(s, s"$out/$p"))
+    if (!complete()) {
+      Partitioned.buildAtomically(s, out, () => complete()) { tmp =>
+        for ((seg, lo, hi) <- multiSegRanges) {
+          val docs = documents(s, d)
+            .where(col("doc_id") % 16 >= lo && col("doc_id") % 16 <= hi)
+          docs
+            .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("dl"),
+              explode(split(col("text"), " ")).as("term"))
+            .groupBy("term", "doc_id")
+            .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+            .write.mode("overwrite").parquet(s"$tmp/$seg/postings.parquet")
+          s.read.parquet(s"$tmp/$seg/postings.parquet")
+            .groupBy("term").agg(count(lit(1)).as("df"))
+            .write.mode("overwrite").parquet(s"$tmp/$seg/dict.parquet")
+          docs
+            .agg(count(lit(1)).as("n_docs"),
+              sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+            .write.mode("overwrite").parquet(s"$tmp/$seg/stats.parquet")
+        }
+      }
+    }
+    out
+  }
+
+  /** TIERED MERGE POLICY (r11, VERDICT r10 next #6) — the DECISION
+    * layer over the proven merge algebra: [[qBm25Merge]] proved ONE
+    * pairwise merge is exact; this is the Lucene-style size-tiered
+    * maintenance loop that decides WHICH segments to merge. Given the
+    * [[multiSegmentIndexLayout]]'s uneven segments, repeatedly fold
+    * the two SMALLEST live segments (ties by name; the classic
+    * log-merge shape — a posting is only ever re-copied into a
+    * segment ≥ its previous home's size, so total policy work is
+    * O(N log N) postings) until at most [[TieredK]] segments remain.
+    * Survivors publish as `final_i` (largest first; a surviving
+    * ORIGINAL segment is copy-promoted into the layout — Lucene's
+    * addIndexes copy — so the probe never reads outside the published
+    * dir), plus `merge_log.parquet` recording every decision
+    * (gen, left, right, input sizes) — the audit trail TextOpsSpec
+    * replays to prove each step chose the two smallest then-live
+    * segments. Driver work is |segments| one-row stats reads + the
+    * loop counter; every data move is a distributed index-algebra
+    * merge: cost ∝ index size, the corpus is never re-scanned.
+    */
+  val TieredK = 2
+
+  def tieredIndexLayout(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val multi = multiSegmentIndexLayout(s, d)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_tiered_" +
+      Partitioned.sourceKey(Seq(s"$d/documents.parquet"))
+    val parts = (0 until TieredK).flatMap(i =>
+      Seq("postings.parquet", "dict.parquet", "stats.parquet")
+        .map(p => s"final_$i/$p")) :+ "merge_log.parquet"
+    def complete() = parts.forall(p => Partitioned.successExists(s, s"$out/$p"))
+    if (!complete()) {
+      Partitioned.buildAtomically(s, out, () => complete()) { tmp =>
+        def nDocs(dir: String): Long =
+          s.read.parquet(s"$dir/stats.parquet").head().getAs[Long]("n_docs")
+        var live = multiSegRanges.map { case (seg, _, _) =>
+          (s"$multi/$seg", seg, nDocs(s"$multi/$seg"))
+        }.toVector
+        val log = Vector.newBuilder[(Int, String, String, Long, Long)]
+        var gen = 0
+        while (live.size > TieredK) {
+          val sorted = live.sortBy { case (_, name, n) => (n, name) }
+          val a = sorted(0); val b = sorted(1)
+          val name = s"m$gen"
+          writeMergedSegment(s, Seq(a._1, b._1), s"$tmp/$name")
+          log += ((gen, a._2, b._2, a._3, b._3))
+          live = sorted.drop(2) :+ ((s"$tmp/$name", name, a._3 + b._3))
+          gen += 1
+        }
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        live.sortBy { case (_, name, n) => (-n, name) }.zipWithIndex.foreach {
+          case ((dir, _, _), i) =>
+            if (dir.startsWith(tmp))
+              fs.rename(new org.apache.hadoop.fs.Path(dir),
+                new org.apache.hadoop.fs.Path(s"$tmp/final_$i"))
+            else writeMergedSegment(s, Seq(dir), s"$tmp/final_$i")
+        }
+        import s.implicits._
+        log.result().toDF("gen", "left", "right", "left_docs", "right_docs")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/merge_log.parquet")
+      }
+    }
+    out
+  }
+
+  /** Post-policy retrieval: probe the [[TieredK]] `final_i` segments
+    * through the IDENTICAL multi-segment combine path as
+    * [[qBm25Segments]] ([[bm25ProbeSegments]]), carrying
+    * [[bm25PostingsOracle]] VERBATIM — the hash match proves
+    * policy(6 uneven segments) ≡ the whole-corpus index ≡ the full
+    * scan. Probe cost is bounded by K segments whatever the absorb
+    * history was — the exact property a merge policy buys.
+    */
+  val qBm25Tiered = Q(
+    "q_bm25_tiered",
+    (s, d) => {
+      val ix = tieredIndexLayout(s, d)
+      bm25ProbeSegments(s, (0 until TieredK).map(i => s"$ix/final_$i"))
+    },
     Some(bm25PostingsOracle)
   )
 
@@ -1481,6 +1787,6 @@ object TextOps {
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
       qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms,
       qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex, qBm25Postings,
-      qBm25Segments, qBm25Merge, qHardNegatives, qSpanCorruption, qRerank,
-      qRouge, qBleu)
+      qBm25Segments, qBm25Merge, qBm25Tiered, qHardNegatives, qSpanCorruption,
+      qRerank, qRouge, qBleu, qBleuMulti)
 }

@@ -1227,27 +1227,42 @@ object Replay {
         when(col("event_type") === "purchase", 0).otherwise(1).as("kind"),
         col("event_id"), col("user_id"), col("tsu"), col("wk"), col("value"))
     val live = Files.createTempDirectory("replay-pit-in-")
-    // ONE driver-small job lists the NON-EMPTY (week, kind) slices
-    // (≤ 2·|weeks| rows — the same scale as the distinct-weeks collect
-    // it replaces); empty slices never round-trip a zero-row parquet
-    // through a temp dir, halving the staged jobs on sparse fixtures.
-    val slices = staged.groupBy("wk", "kind").count()
-      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    // ONE partitioned write stages every (week, kind) slice (r11,
+    // VERDICT r10 next #4: the previous per-slice coalesce(1) loop ran
+    // one Spark job per slice — driver work ∝ weeks, and at sf10 the
+    // ~200 slice jobs dominated the 28.5 s query). partitionBy on
+    // COPIES of the keys keeps wk/kind in the data files (the stream
+    // reader's schema needs them); repartition on the same keys lands
+    // each slice in ONE task, so each dir holds exactly ONE file; an
+    // empty slice produces no dir at all (dynamic partition writes
+    // skip them — the r10 empty-slice rule, now free).
+    val stagedir = Files.createTempDirectory("pit-staged-")
+    staged
+      .withColumn("pwk", col("wk")).withColumn("pkind", col("kind"))
+      .repartition(col("pwk"), col("pkind"))
+      .write.mode("overwrite").partitionBy("pwk", "pkind")
+      .parquet(stagedir.toString)
+    // post-hoc mtime stamping, (week asc, versions-before-probes)
+    // order — the mtime contract documented on the reader below is
+    // applied AFTER the one write, driver-side file moves only
+    val slices = for {
+      wd <- new java.io.File(stagedir.toString).listFiles().toSeq
+      if wd.getName.startsWith("pwk=")
+      kd <- wd.listFiles().toSeq if kd.getName.startsWith("pkind=")
+    } yield (wd.getName.stripPrefix("pwk=").toLong,
+      kd.getName.stripPrefix("pkind=").toInt, kd)
     var slot = 0
-    for ((w, k) <- slices) {
-      val part = staged.where(col("wk") === w && col("kind") === k)
-      val tmp = Files.createTempDirectory("pit-file-")
-      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val listing = Files.list(tmp)
-      val f =
-        try listing.filter(_.toString.endsWith(".parquet")).findFirst.get
-        finally listing.close()
-      Files.move(f, live.resolve(f"$slot%02d.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    for ((w, k, dir) <- slices.sortBy(t => (t._1, t._2))) {
+      val fs = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      require(fs.length == 1,
+        s"PIT slice (wk=$w, kind=$k) staged ${fs.length} files — the one-task-per-slice repartition contract broke")
+      Files.move(fs.head.toPath, live.resolve(f"$slot%02d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(live.resolve(f"$slot%02d.parquet"),
         FileTime.fromMillis(1000000000000L + slot * 60000L))
-      graft.FsUtil.deleteRecursively(tmp)
       slot += 1
     }
+    graft.FsUtil.deleteRecursively(stagedir)
     live
   }
 

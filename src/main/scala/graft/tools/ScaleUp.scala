@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   *    zero — without this, every doc would gain `factor-1` artificial
   *    twins and the dedup queries would measure a corpus that no longer
   *    resembles the original workload;
+  *  - `documents.source` in copy i>0 is suffixed `_i` (r11): domains
+  *    are entities too — source cardinality grows ∝ factor with
+  *    per-source density fixed, so per-source windows are exercised
+  *    with MORE partitions, not BIGGER ones;
   *  - embeddings in copy i>0 are multiplied by a per-copy deterministic
   *    ±1 sign pattern: cos(s.x, s.y) = cos(x, y), so within-copy cosine
   *    geometry is EXACTLY preserved, while cross-copy agreement decays
@@ -97,6 +101,16 @@ object ScaleUp {
                 transform(split(col("text"), " "), w => concat(w, lit(s"_$i"))),
                 " "))
             .withColumn("n_chars", length(col("text")))
+            // source is an ENTITY key like every other (r11, VERDICT
+            // r10 missing #2): real corpora grow domains with size, so
+            // copy i's sources are distinct domains — source
+            // CARDINALITY grows ∝ factor, per-source density stays the
+            // fixture's. Without this, every per-source window
+            // (q_rouge/q_bleu pairing, q_nucleus_sources,
+            // q_domain_filter, q_sample_stratified) benches with
+            // per-partition size ∝ corpus and parallelism capped at
+            // the fixture's 20 sources.
+            .withColumn("source", concat(col("source"), lit(s"_$i")))
       },
       "embeddings" -> copies("embeddings") { (df, i) =>
         val shifted = shiftKeys(df, i, "vec_id" -> docVecSpace)

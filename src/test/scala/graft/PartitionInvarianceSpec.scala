@@ -116,6 +116,10 @@ object PartitionInvarianceSpec {
     // cluster-keyed split (CC label propagation + Knuth projection)
     "q_bm25_merge", "q_rouge", "q_bleu", "q_split_leakproof",
     // round-10: the flat-probe IVF (layout build + pruned probe scan)
-    "q_ann_ivf_flat"
+    "q_ann_ivf_flat",
+    // round-11: the post-policy segment probe (doc_id pivot + stats
+    // rollups over K merged segments) and the multi-reference BLEU
+    // (tagged-gram counts + ref-set max + clip joins)
+    "q_bm25_tiered", "q_bleu_multi"
   )
 }

@@ -1016,6 +1016,39 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("Union"), "the unigram and bigram streams must feed ONE tagged count aggregate")
   }
 
+  test("q_bm25_tiered: probe is bounded by K=2 post-policy segments — corpus, multi-segment and pairwise layouts all absent") {
+    val p = plan("q_bm25_tiered")
+    assert(!p.contains("documents.parquet"),
+      "post-policy probe scans the corpus — the tiered layout is being ignored")
+    assert(!p.contains("graft_bm25_multi_") && !p.contains("graft_bm25_segs_"),
+      "probe still reads pre-policy segments — the policy didn't bound the probed set")
+    assert(p.contains("graft_bm25_tiered_"), "tiered layout missing from the probe")
+    assert(p.linesIterator.count(_.contains("postings.parquet")) == graft.ops.TextOps.TieredK,
+      s"exactly ${graft.ops.TextOps.TieredK} postings scans: bounding probed segment count is the policy's whole point")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("In(term"),
+      "query terms must push into the post-policy postings scans")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+  }
+
+  test("q_bleu_multi: ref-set clip joins sort-merge both sides — corpus never broadcasts or hash-builds, max/counts map-side combined") {
+    val p = plan("q_bleu_multi")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      "every q_bleu_multi join side is corpus-scale — nothing may broadcast")
+    // the sf10 hash-build OOM rule carried from q_bleu: an unbounded
+    // build side may never be forced into a hash join
+    assert(!p.contains("ShuffledHashJoin"),
+      "corpus-scale build side in a hash join — OOMs when a partition outgrows task memory")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "no pair may form outside the ref_id / (cand_id, n, gram) / id keys")
+    assert("SortMergeJoin".r.findAllIn(p).size >= 4,
+      "ref fan-out, clip, r_eff and final joins must all be keyed sort-merge joins")
+    assert(p.contains("partial_count"), "(doc, n, gram) counts lost their map-side combine")
+    assert(p.contains("partial_max"), "per-candidate reference MAX lost its map-side combine")
+    assert(p.contains("partial_sum"), "clipped-overlap sums lost their map-side combine")
+    assert(p.contains("Union"), "the unigram and bigram streams must feed ONE tagged count aggregate")
+  }
+
   test("plan-pin ledger: the companion `pinned` set equals what this suite actually planned") {
     // run LAST (registration order): `pinned` is the contract
     // InventorySpec audits every declared query against — this test
@@ -1068,5 +1101,7 @@ object QueriesPlanSpec {
     "q_curriculum", "q_span_corruption", "q_stream_pit", "q_rerank",
     "q_bm25_segments",
     // round-10 pins
-    "q_bm25_merge", "q_rouge", "q_bleu", "q_ann_ivf_flat")
+    "q_bm25_merge", "q_rouge", "q_bleu", "q_ann_ivf_flat",
+    // round-11 pins
+    "q_bm25_tiered", "q_bleu_multi")
 }

@@ -185,6 +185,121 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_bm25_tiered: the policy terminates at ≤ K segments, preserves every posting, and each step merged the two smallest") {
+    val tiered = TextOps.tieredIndexLayout(spark, sf0001)
+    val multi = TextOps.multiSegmentIndexLayout(spark, sf0001)
+    val single = TextOps.invertedIndexLayout(spark, sf0001)
+    def rows(dir: String, part: String): Seq[Seq[Any]] =
+      spark.read.parquet(s"$dir/$part").collect().map(_.toSeq).toSeq
+    // (1) termination: exactly the final_i dirs, i < K — no stray segment
+    val finals = new java.io.File(tiered).listFiles()
+      .map(_.getName).filter(_.startsWith("final_")).sorted.toSeq
+    assert(finals == (0 until TextOps.TieredK).map(i => s"final_$i"),
+      s"policy left the wrong segment set: $finals")
+    // (2) preservation: the union of final segments IS the single-build
+    // index — every posting, every df, the corpus constants
+    val fp = finals.flatMap(f => rows(s"$tiered/$f", "postings.parquet")).toSet
+    val sp = rows(single, "postings.parquet").toSet
+    assert(fp == sp,
+      s"postings diverged: ${(fp diff sp).take(3)} only-tiered; ${(sp diff fp).take(3)} only-single")
+    val fdict = finals.flatMap(f => rows(s"$tiered/$f", "dict.parquet"))
+      .groupBy(_.head).map { case (t, rs) => (t, rs.map(_(1).asInstanceOf[Long]).sum) }
+    val sdict = rows(single, "dict.parquet")
+      .map(r => (r.head, r(1).asInstanceOf[Long])).toMap
+    assert(fdict == sdict, "per-term df diverged across the post-policy segments")
+    val fstats = finals.flatMap(f => rows(s"$tiered/$f", "stats.parquet"))
+    assert(fstats.map(_.head.asInstanceOf[Long]).sum ==
+      rows(single, "stats.parquet").head.head.asInstanceOf[Long],
+      "n_docs diverged")
+    // (3) the policy LAW replayed from the audit log: every merge took
+    // the two smallest then-live segments (ties by name), and the log
+    // length is exactly initial − final
+    val log = spark.read.parquet(s"$tiered/merge_log.parquet")
+      .orderBy("gen").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("left_docs"), r.getAs[Long]("right_docs")))
+    assert(log.length == TextOps.multiSegRanges.size - TextOps.TieredK,
+      s"merge count ${log.length} != ${TextOps.multiSegRanges.size} - ${TextOps.TieredK}")
+    var live = TextOps.multiSegRanges.map { case (seg, _, _) =>
+      seg -> spark.read.parquet(s"$multi/$seg/stats.parquet")
+        .head().getAs[Long]("n_docs")
+    }.toMap
+    log.zipWithIndex.foreach { case ((l, r, ld, rd), gen) =>
+      val expected = live.toSeq.sortBy { case (n, c) => (c, n) }.take(2)
+      assert(expected.map(_._1).toSet == Set(l, r),
+        s"gen $gen merged ($l, $r) but the two smallest were ${expected.map(_._1)}")
+      assert(live(l) == ld && live(r) == rd, s"gen $gen logged stale sizes")
+      live = (live - l - r) + (s"m$gen" -> (ld + rd))
+    }
+    // (4) and the probe result is bit-identical to the single-build probe
+    val a = TextOps.qBm25Tiered.fn(spark, sf0001).collect().map(_.toSeq).toSeq
+    val b = TextOps.qBm25Postings.fn(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(a == b, "post-policy probe result drifted from the single-build probe")
+  }
+
+  test("q_bleu_multi: every candidate's max-over-refs clips and closest-ref brevity re-derived in plain Scala") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String, n: Int): Map[String, Long] =
+      t.split(" ", -1).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val text = docs.map(d => d._1 -> d._3).toMap
+    val expect = docs.groupBy(_._2).values.flatMap { ds =>
+      val ids = ds.map(_._1).sorted
+      ids.zipWithIndex.flatMap { case (cand, i) =>
+        val refs = ids.slice(i + 1, i + 4)
+        if (refs.isEmpty) None
+        else {
+          def clip(n: Int): Long = {
+            val ca = grams(text(cand), n)
+            val refGrams = refs.map(r => grams(text(r), n))
+            ca.map { case (g, c) =>
+              math.min(c, refGrams.map(_.getOrElse(g, 0L)).max)
+            }.sum
+          }
+          val nc = text(cand).split(" ", -1).length.toLong
+          // closest reference length, ties to the SHORTER
+          val rEff = refs.map(r => text(r).split(" ", -1).length.toLong)
+            .sortBy(nr => (math.abs(nr - nc), nr)).head
+          Some(cand -> (refs.length.toLong, clip(1), clip(2), nc, rEff))
+        }
+      }
+    }.toMap
+    val got = TextOps.qBleuMulti.fn(spark, sf0001).collect()
+    assert(got.nonEmpty && got.length == expect.size,
+      s"candidate universe drifted: got ${got.length}, expected ${expect.size}")
+    got.foreach { r =>
+      val cand = r.getAs[Long]("cand_id")
+      val (nRefs, c1, c2, nc, rEff) = expect(cand)
+      assert(r.getAs[Long]("n_refs") == nRefs, s"$cand n_refs drifted")
+      assert(r.getAs[Long]("clip1") == c1 && r.getAs[Long]("clip2") == c2,
+        s"$cand clips drifted: got (${r.getAs[Long]("clip1")}, ${r.getAs[Long]("clip2")}), expected ($c1, $c2)")
+      assert(r.getAs[Long]("n1_cand") == nc && r.getAs[Long]("n2_cand") == nc - 1,
+        s"$cand gram totals drifted")
+      assert(r.getAs[Long]("r_eff") == rEff, s"$cand r_eff drifted")
+      assert(math.abs(r.getAs[Double]("p1") - c1.toDouble / nc) < 1e-6, s"$cand p1 drifted")
+      assert(math.abs(r.getAs[Double]("bleu2")
+        - math.sqrt((c1 * c2).toDouble / (nc * (nc - 1)))) < 1e-6, s"$cand bleu2 drifted")
+      assert(math.abs(r.getAs[Double]("len_ratio") - nc.toDouble / rEff) < 1e-6,
+        s"$cand len_ratio drifted")
+    }
+    // and the degenerate case: a candidate whose ref SET is a single doc
+    // must score exactly like the 1-reference q_bleu pairing
+    val single = TextOps.qBleu.fn(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("cand_id") ->
+        (r.getAs[Long]("clip1"), r.getAs[Long]("clip2"), r.getAs[Long]("n1_ref"))).toMap
+    val degenerate = got.filter(_.getAs[Long]("n_refs") == 1L)
+    assert(degenerate.nonEmpty, "fixture has no single-ref candidates — the degenerate law is vacuous")
+    degenerate.foreach { r =>
+      val cand = r.getAs[Long]("cand_id")
+      val (c1, c2, nr) = single(cand)
+      assert(r.getAs[Long]("clip1") == c1 && r.getAs[Long]("clip2") == c2 &&
+        r.getAs[Long]("r_eff") == nr,
+        s"$cand: 1-ref multi scoring != q_bleu pairwise scoring")
+    }
+  }
+
   test("q_rouge: every pair's clipped overlap re-derived from raw text in plain Scala") {
     // independent formulation: token multisets as Scala Maps, clip =
     // Σ min counts, the same pairing rule re-walked from (doc_id, source)
