@@ -42,7 +42,7 @@ object PlanDump {
       "q_importance_sample", "q_grpo_advantage", "q_hard_negatives",
       "q_curriculum", "q_span_corruption", "q_rerank", "q_bm25_segments",
       "q_bm25_merge", "q_rouge", "q_bleu", "q_ann_ivf_flat",
-      "q_bm25_tiered", "q_bleu_multi"
+      "q_bm25_tiered", "q_bleu_multi", "q_rouge_multi"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).
@@ -421,6 +421,14 @@ object PlanDump {
           "combined) collapses it back to one row per (cand, n, gram) BEFORE the " +
           "clip join; every corpus-scale side SORT-MERGE (the sf10 hash-build OOM " +
           "rule); r_eff = closest-ref-length-ties-shorter via ONE packed-BIGINT min."),
+      "q_rouge_multi" ->
+        ("Lin's multi-reference ROUGE best-match: pairwise clipped overlap over the " +
+          "(cand, ref≤3) pair table — the q_rouge machinery with a ref-SET key, all " +
+          "corpus-scale sides SORT-MERGE; the best pair per candidate is selected by " +
+          "an EXACT integer f1 key ((clip·10^12) div (n_cand+n_ref), order-preserving " +
+          "because distinct BIGINT-rational f1s with denominators ≤ 10^6 differ by " +
+          "≥ 10^-12 — the bound enforced by a raise_error INSIDE the key's divisor) " +
+          "through a WindowGroupLimit rank window moving ≤ k rows per candidate."),
       "q_ann_ivf_flat" ->
         ("the sf10 ledger's red-row fix: fixed-K IVF probe cost is Θ(nprobe·n/K), so " +
           "the probe is routed through the materialized (cid·2^b + sig) layout whose " +

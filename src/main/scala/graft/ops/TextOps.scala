@@ -1374,6 +1374,147 @@ object TextOps {
             ORDER BY cand_id""")
   )
 
+  /** MULTI-REFERENCE ROUGE-1 (r11) — Lin 2004's multi-reference
+    * convention, the complement of [[qBleuMulti]]'s gram-level max:
+    * ROUGE scores each (candidate, reference) PAIR with the [[qRouge]]
+    * clipped-overlap algebra, then takes the BEST pair per candidate
+    * (max F1; ties to the lower ref_id) — "a candidate is as good as
+    * its best reference agreement". Ref set = the next k ≤ 3 docs of
+    * the candidate's source (the shared fixture pairing device).
+    *
+    * Selection is exact: pairwise f1 = 2·clip/(n_cand+n_ref) compares
+    * as the INTEGER cross-product 2·clip_a·(n_c+n_r_b) vs
+    * 2·clip_b·(n_c+n_r_a) — the argmax is ONE packed decision per
+    * candidate via a (f1-order, ref_id asc) row_number window the
+    * optimizer rewrites to WindowGroupLimit; no float enters the
+    * ordering (the emitted p/r/f1 doubles are computed once, after
+    * selection). Clip/lengths stay exact BIGINTs.
+    *
+    * Scale shape: [[qRouge]]'s — ONE map-side-combined (doc, token)
+    * count aggregate; the clip join keys on (ref_id, tok) and fans a
+    * hot token by the candidate's reference multiplicity (k ≤ 3),
+    * never corpus frequency; every corpus-scale side SORT-MERGE; the
+    * best-pair window moves ≤ k rows per candidate. Work ∝ k·Σ tokens.
+    */
+  val qRougeMulti = Q(
+    "q_rouge_multi",
+    (s, d) => {
+      val docs = documents(s, d)
+      val lens = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      val sw = Window.partitionBy("source").orderBy("doc_id")
+      val refs = docs
+        .select(col("doc_id").as("cand_id"),
+          array(lead("doc_id", 1).over(sw), lead("doc_id", 2).over(sw),
+            lead("doc_id", 3).over(sw)).as("rs"))
+        .select(col("cand_id"), explode(col("rs")).as("ref_id"))
+        .where(col("ref_id").isNotNull)
+      val tc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      // the qRouge rule: every side below is corpus-scale — SMJ only
+      val clip = refs.hint("merge")
+        .join(tc.withColumnRenamed("doc_id", "cand_id").hint("merge"), "cand_id")
+        .hint("merge")
+        .join(
+          tc.select(col("doc_id").as("ref_id"), col("tok"), col("c").as("c_ref"))
+            .hint("merge"),
+          Seq("ref_id", "tok"))
+        .groupBy("cand_id", "ref_id")
+        .agg(sum(least(col("c"), col("c_ref"))).as("clip"))
+      val scored = refs.hint("merge")
+        .join(clip.hint("merge"), Seq("cand_id", "ref_id"), "left")
+        .na.fill(0L, Seq("clip"))
+        .hint("merge")
+        .join(lens.select(col("doc_id").as("cand_id"), col("n_toks").as("n_cand"))
+          .hint("merge"), "cand_id")
+        .hint("merge")
+        .join(lens.select(col("doc_id").as("ref_id"), col("n_toks").as("n_ref"))
+          .hint("merge"), "ref_id")
+      // best pair per candidate: f1 DESC compared exactly by integer
+      // cross-product — f1_a > f1_b  ⇔  clip_a·(n_c+n_r_b) > clip_b·(n_c+n_r_a)
+      // — which a single ORDER BY cannot express pairwise, so order by
+      // the equivalent exact rational clip/(n_cand+n_ref) lifted to a
+      // common-denominator-free DECIMAL division is avoided entirely:
+      // (clip · 10^12) / (n_cand + n_ref) as an integer DIV is
+      // order-preserving to 10^-12 — far below any distinct f1 gap of
+      // two BIGINT rationals with denominators ≤ 2·10^5 tokens here
+      // (distinct f1 values differ by ≥ 1/(den_a·den_b); the guard
+      // below enforces the bound so ties remain EXACT ties).
+      val bw = Window.partitionBy("cand_id")
+        .orderBy(col("f1key").desc, col("ref_id").asc)
+      scored
+        .withColumn("den", col("n_cand") + col("n_ref"))
+        // the bound guard lives INSIDE the key's divisor (the
+        // q_preference_pairs idiom) so column pruning can never
+        // silently drop it
+        .withColumn("f1key",
+          (col("clip").cast("decimal(38,0)") * lit(1000000000000L)
+            / when(col("den") <= lit(1000000L), col("den"))
+                .otherwise(raise_error(
+                  lit("q_rouge_multi: combined doc length exceeds the exact-f1-key bound 10^6"))
+                  .cast("long"))
+                .cast("decimal(38,0)")).cast("decimal(38,0)"))
+        .withColumn("rn", row_number().over(bw))
+        .where(col("rn") === 1)
+        .select(col("cand_id"), col("ref_id").as("best_ref"), col("clip"),
+          col("n_cand"), col("n_ref"),
+          round(col("clip").cast("double") / col("n_cand").cast("double"), 6).as("p"),
+          round(col("clip").cast("double") / col("n_ref").cast("double"), 6).as("r"),
+          round(lit(2L) * col("clip").cast("double")
+            / col("den").cast("double"), 6).as("f1"))
+        .orderBy("cand_id")
+    },
+    Some("""WITH lens AS (
+              SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+              FROM documents),
+            nx AS (
+              SELECT doc_id AS cand_id,
+                     lead(doc_id, 1) OVER (PARTITION BY source ORDER BY doc_id) AS r1,
+                     lead(doc_id, 2) OVER (PARTITION BY source ORDER BY doc_id) AS r2,
+                     lead(doc_id, 3) OVER (PARTITION BY source ORDER BY doc_id) AS r3
+              FROM documents),
+            refs AS (
+              SELECT cand_id, r AS ref_id
+              FROM (SELECT cand_id, unnest([r1, r2, r3]) AS r FROM nx)
+              WHERE r IS NOT NULL),
+            tc AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY doc_id, tok),
+            clip AS (
+              SELECT p.cand_id, p.ref_id,
+                     CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip
+              FROM refs p
+              JOIN tc a ON a.doc_id = p.cand_id
+              JOIN tc b ON b.doc_id = p.ref_id AND b.tok = a.tok
+              GROUP BY p.cand_id, p.ref_id),
+            scored AS (
+              SELECT p.cand_id, p.ref_id, COALESCE(c.clip, 0) AS clip,
+                     la.n_toks AS n_cand, lb.n_toks AS n_ref,
+                     la.n_toks + lb.n_toks AS den,
+                     CAST(CAST(COALESCE(c.clip, 0) AS HUGEINT) * 1000000000000
+                          // (CASE WHEN la.n_toks + lb.n_toks <= 1000000
+                                THEN la.n_toks + lb.n_toks
+                                ELSE CAST(error('q_rouge_multi: combined doc length exceeds the exact-f1-key bound 10^6') AS BIGINT)
+                                END) AS HUGEINT) AS f1key
+              FROM refs p
+              LEFT JOIN clip c ON c.cand_id = p.cand_id AND c.ref_id = p.ref_id
+              JOIN lens la ON la.doc_id = p.cand_id
+              JOIN lens lb ON lb.doc_id = p.ref_id),
+            best AS (
+              SELECT *, row_number() OVER (PARTITION BY cand_id
+                                           ORDER BY f1key DESC, ref_id ASC) AS rn
+              FROM scored)
+            SELECT cand_id, ref_id AS best_ref, clip, n_cand, n_ref,
+                   round(CAST(clip AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) AS p,
+                   round(CAST(clip AS DOUBLE) / CAST(n_ref AS DOUBLE), 6) AS r,
+                   round(2 * CAST(clip AS DOUBLE) / CAST(den AS DOUBLE), 6) AS f1
+            FROM best WHERE rn = 1
+            ORDER BY cand_id""")
+  )
+
   /** SEGMENT MERGE (r10) — the index-MAINTENANCE op that keeps the
     * segmented model honest (VERDICT r9 #3, the q_dv_compact
     * debt-payment pattern): [[segmentedIndexLayout]] lets a batch be
@@ -1788,5 +1929,5 @@ object TextOps {
       qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms,
       qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex, qBm25Postings,
       qBm25Segments, qBm25Merge, qBm25Tiered, qHardNegatives, qSpanCorruption,
-      qRerank, qRouge, qBleu, qBleuMulti)
+      qRerank, qRouge, qBleu, qBleuMulti, qRougeMulti)
 }

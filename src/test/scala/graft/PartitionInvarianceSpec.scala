@@ -120,6 +120,9 @@ object PartitionInvarianceSpec {
     // round-11: the post-policy segment probe (doc_id pivot + stats
     // rollups over K merged segments) and the multi-reference BLEU
     // (tagged-gram counts + ref-set max + clip joins)
-    "q_bm25_tiered", "q_bleu_multi"
+    "q_bm25_tiered", "q_bleu_multi",
+    // round-11: the multi-reference ROUGE best-match (clip joins + the
+    // exact-integer-f1 rank window)
+    "q_rouge_multi"
   )
 }

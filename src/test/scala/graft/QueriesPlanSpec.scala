@@ -1049,6 +1049,22 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("Union"), "the unigram and bigram streams must feed ONE tagged count aggregate")
   }
 
+  test("q_rouge_multi: ref-set clip joins sort-merge both sides, best-pair selection is a group-limit window") {
+    val p = plan("q_rouge_multi")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      "every q_rouge_multi join side is corpus-scale — nothing may broadcast")
+    assert(!p.contains("ShuffledHashJoin"),
+      "corpus-scale build side in a hash join — the sf10 OOM rule")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "no pair may form outside the ref_id / (ref_id, tok) / id keys")
+    assert("SortMergeJoin".r.findAllIn(p).size >= 4,
+      "ref fan-out, clip, and both length joins must be keyed sort-merge joins")
+    assert(p.contains("partial_count"), "(doc, token) counts lost their map-side combine")
+    assert(p.contains("partial_sum"), "clipped-overlap sums lost their map-side combine")
+    assert(p.contains("WindowGroupLimit"),
+      "best-pair selection must be a group-limit window (≤ k rows per candidate), not a full sort")
+  }
+
   test("plan-pin ledger: the companion `pinned` set equals what this suite actually planned") {
     // run LAST (registration order): `pinned` is the contract
     // InventorySpec audits every declared query against — this test
@@ -1103,5 +1119,5 @@ object QueriesPlanSpec {
     // round-10 pins
     "q_bm25_merge", "q_rouge", "q_bleu", "q_ann_ivf_flat",
     // round-11 pins
-    "q_bm25_tiered", "q_bleu_multi")
+    "q_bm25_tiered", "q_bleu_multi", "q_rouge_multi")
 }

@@ -300,6 +300,53 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_rouge_multi: best-match reference selection re-derived in plain Scala (exact f1 order, ties to lower ref)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def counts(t: String): Map[String, Long] =
+      t.split(" ", -1).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val text = docs.map(d => d._1 -> d._3).toMap
+    val expect = docs.groupBy(_._2).values.flatMap { ds =>
+      val ids = ds.map(_._1).sorted
+      ids.zipWithIndex.flatMap { case (cand, i) =>
+        val refs = ids.slice(i + 1, i + 4)
+        if (refs.isEmpty) None
+        else {
+          val ca = counts(text(cand))
+          val nc = text(cand).split(" ", -1).length.toLong
+          val scored = refs.map { r =>
+            val cb = counts(text(r))
+            val clip = ca.map { case (t, n) => math.min(n, cb.getOrElse(t, 0L)) }.sum
+            val nr = text(r).split(" ", -1).length.toLong
+            (r, clip, nr)
+          }
+          // exact rational f1 comparison: clip_a/(nc+nr_a) vs clip_b/(nc+nr_b)
+          // cross-multiplied in BigInt; ties -> lower ref_id
+          val best = scored.reduceLeft { (a, b) =>
+            val cmp = (BigInt(a._2) * (nc + b._3)) compare (BigInt(b._2) * (nc + a._3))
+            if (cmp > 0 || (cmp == 0 && a._1 < b._1)) a else b
+          }
+          Some(cand -> best)
+        }
+      }
+    }.toMap
+    val got = TextOps.qRougeMulti.fn(spark, sf0001).collect()
+    assert(got.nonEmpty && got.length == expect.size,
+      s"candidate universe drifted: got ${got.length}, expected ${expect.size}")
+    got.foreach { r =>
+      val cand = r.getAs[Long]("cand_id")
+      val (bestRef, clip, nr) = expect(cand)
+      assert(r.getAs[Long]("best_ref") == bestRef,
+        s"$cand picked ref ${r.getAs[Long]("best_ref")}, exact-f1 best is $bestRef")
+      assert(r.getAs[Long]("clip") == clip && r.getAs[Long]("n_ref") == nr,
+        s"$cand clip/length drifted")
+      val nc = r.getAs[Long]("n_cand")
+      assert(math.abs(r.getAs[Double]("f1") - 2.0 * clip / (nc + nr)) < 1e-6,
+        s"$cand f1 drifted")
+    }
+  }
+
   test("q_rouge: every pair's clipped overlap re-derived from raw text in plain Scala") {
     // independent formulation: token multisets as Scala Maps, clip =
     // Σ min counts, the same pairing rule re-walked from (doc_id, source)
