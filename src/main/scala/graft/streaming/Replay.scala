@@ -303,15 +303,71 @@ object Replay {
       java.nio.file.Files.createTempDirectory("replay-join-out-").toString
     )
 
+  /** Week-sliced staged copy of the raw events file (r11) — the
+    * [[pitReplayDir]] one-write staging applied to the stream-stream
+    * join replay. A single-file replay delivers the WHOLE corpus as
+    * one micro-batch, so the join holds corpus-sized state no matter
+    * what the watermark says (the r11 sf10 ledger measured it: 33 s
+    * and >8 GB of state at 10 M events — the one entry growing ∝
+    * events). Event-time-ascending week files + readEvents'
+    * maxFilesPerTrigger=1 advance the watermark BETWEEN batches, so
+    * each side's state evicts down to the previous week's trailing
+    * 1 h + 60 s — O(week), not O(corpus) — which is the live-stream
+    * shape (arrival-bounded batches). The INNER join's emission is
+    * trigger-invariant (see [[rangeJoinStream]]), so the result —
+    * and the q_range_join oracle it carries — is unchanged by the
+    * slicing. ONE partitioned write stages every week (the pit rule:
+    * never a per-slice job loop); raw columns pass through byte-exact
+    * (the week key is a partition-column COPY that never lands in the
+    * data files).
+    */
+  private[graft] def weekSlicedEventsDir(s: SparkSession, glob: String): java.nio.file.Path = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val longShape = tsIsLong(s, glob)
+    val raw = s.read.schema(if (longShape) rawSchema else rawSchemaNtz).parquet(glob)
+    val wkCol =
+      if (longShape) expr("ts div 604800000000000L")
+      else expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000L")
+    val staged = Files.createTempDirectory("sjoin-staged-")
+    raw.withColumn("pweek", wkCol)
+      .repartition(col("pweek"))
+      .write.mode("overwrite").partitionBy("pweek").parquet(staged.toString)
+    val live = Files.createTempDirectory("replay-sjoin-in-")
+    val slices = for {
+      wd <- new java.io.File(staged.toString).listFiles().toSeq
+      if wd.getName.startsWith("pweek=")
+    } yield (wd.getName.stripPrefix("pweek=").toLong, wd)
+    var slot = 0
+    for ((w, dir0) <- slices.sortBy(_._1)) {
+      val fs = dir0.listFiles().filter(_.getName.endsWith(".parquet"))
+      require(fs.length == 1,
+        s"week $w staged ${fs.length} files — the one-task-per-slice repartition contract broke")
+      Files.move(fs.head.toPath, live.resolve(f"$slot%03d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(live.resolve(f"$slot%03d.parquet"),
+        FileTime.fromMillis(1000000000000L + slot * 60000L))
+      slot += 1
+    }
+    graft.FsUtil.deleteRecursively(staged)
+    live
+  }
+
   /** Declared query: the streaming range join over the sf directory,
     * totally ordered — and ORACLED with the same SQL as q_range_join
-    * (see [[rangeJoinStream]] for why the result is trigger-invariant).
+    * (see [[rangeJoinStream]] for why the result is trigger-invariant,
+    * and [[weekSlicedEventsDir]] for why the replay feeds week-sized
+    * micro-batches instead of one corpus-sized batch).
     */
   val qStreamJoin: graft.ops.Q = graft.ops.Q(
     "q_stream_join",
-    (s, d) =>
-      replayRangeJoin(s, s"$d/events*.parquet")
-        .orderBy("user_id", "a_id", "b_id"),
+    (s, d) => {
+      val live = weekSlicedEventsDir(s, s"$d/events*.parquet")
+      try
+        replayRangeJoin(s, s"$live/*.parquet")
+          .orderBy("user_id", "a_id", "b_id")
+      finally graft.FsUtil.deleteRecursively(live)
+    },
     Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
             FROM events a JOIN events b
               ON a.user_id = b.user_id AND a.event_id < b.event_id
