@@ -311,38 +311,48 @@ object Replay {
     * and >8 GB of state at 10 M events — the one entry growing ∝
     * events). Event-time-ascending week files + readEvents'
     * maxFilesPerTrigger=1 advance the watermark BETWEEN batches, so
-    * each side's state evicts down to the previous week's trailing
-    * 1 h + 60 s — O(week), not O(corpus) — which is the live-stream
+    * each side's state evicts down to the previous slice's trailing
+    * 1 h + 60 s — O(slice), not O(corpus) — which is the live-stream
     * shape (arrival-bounded batches). The INNER join's emission is
     * trigger-invariant (see [[rangeJoinStream]]), so the result —
     * and the q_range_join oracle it carries — is unchanged by the
-    * slicing. ONE partitioned write stages every week (the pit rule:
+    * slicing. ONE partitioned write stages every slice (the pit rule:
     * never a per-slice job loop); raw columns pass through byte-exact
-    * (the week key is a partition-column COPY that never lands in the
-    * data files).
+    * (the slice key is a partition-column COPY that never lands in
+    * the data files).
+    *
+    * Slice granularity is DATA-DERIVED, like an arrival-bounded
+    * ingest's batch size: the driver fixtures span ~30 days, so week
+    * slices cap the batch at ~n/5 — fine until even that outgrows a
+    * task (the r11 sf10 follow-up measured a week-sliced ~2M-row
+    * micro-batch OOMing the default 8 g heap). At ≥ 2M events the
+    * staging drops to DAY slices (~n/30 per batch — ~333k rows at
+    * sf10's 10M events); one footer-metadata count() decides, so the
+    * granularity is deterministic from the corpus.
     */
   private[graft] def weekSlicedEventsDir(s: SparkSession, glob: String): java.nio.file.Path = {
     import java.nio.file.{Files, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     val longShape = tsIsLong(s, glob)
     val raw = s.read.schema(if (longShape) rawSchema else rawSchemaNtz).parquet(glob)
+    val unitMicros = if (raw.count() >= 2000000L) 86400000000L else 604800000000L
     val wkCol =
-      if (longShape) expr("ts div 604800000000000L")
-      else expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000L")
+      if (longShape) expr(s"ts div ${unitMicros}000L")
+      else expr(s"unix_micros(CAST(ts AS TIMESTAMP)) div ${unitMicros}L")
     val staged = Files.createTempDirectory("sjoin-staged-")
-    raw.withColumn("pweek", wkCol)
-      .repartition(col("pweek"))
-      .write.mode("overwrite").partitionBy("pweek").parquet(staged.toString)
+    raw.withColumn("pslice", wkCol)
+      .repartition(col("pslice"))
+      .write.mode("overwrite").partitionBy("pslice").parquet(staged.toString)
     val live = Files.createTempDirectory("replay-sjoin-in-")
     val slices = for {
       wd <- new java.io.File(staged.toString).listFiles().toSeq
-      if wd.getName.startsWith("pweek=")
-    } yield (wd.getName.stripPrefix("pweek=").toLong, wd)
+      if wd.getName.startsWith("pslice=")
+    } yield (wd.getName.stripPrefix("pslice=").toLong, wd)
     var slot = 0
     for ((w, dir0) <- slices.sortBy(_._1)) {
       val fs = dir0.listFiles().filter(_.getName.endsWith(".parquet"))
       require(fs.length == 1,
-        s"week $w staged ${fs.length} files — the one-task-per-slice repartition contract broke")
+        s"slice $w staged ${fs.length} files — the one-task-per-slice repartition contract broke")
       Files.move(fs.head.toPath, live.resolve(f"$slot%03d.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       Files.setLastModifiedTime(live.resolve(f"$slot%03d.parquet"),
@@ -356,7 +366,7 @@ object Replay {
   /** Declared query: the streaming range join over the sf directory,
     * totally ordered — and ORACLED with the same SQL as q_range_join
     * (see [[rangeJoinStream]] for why the result is trigger-invariant,
-    * and [[weekSlicedEventsDir]] for why the replay feeds week-sized
+    * and [[weekSlicedEventsDir]] for why the replay feeds slice-sized
     * micro-batches instead of one corpus-sized batch).
     */
   val qStreamJoin: graft.ops.Q = graft.ops.Q(

@@ -619,6 +619,71 @@ def main(sf, out_dir, n_samples=100, seed=42):
         print(f"q_incremental_dedup: {inc_n} batch docs re-derived against the full "
               f"corpus, {inc_bad} failures ({len(inc)} batch docs total)")
 
+    # --- q_rouge_multi (r11): the pairwise-clip oracle budget-skips at
+    # sf1 (3x q_rouge's token join); re-derive sampled candidates'
+    # max-F1 best-match selection exactly in plain Python (clip counts
+    # as Counters, the argmax by integer cross-multiplication — the
+    # same exactness the engine's packed f1 key encodes), plus the
+    # candidate-universe completeness count.
+    if not have(out_dir, "q_rouge_multi"):
+        print("SKIP q_rouge_multi (not dumped)")
+    else:
+        from collections import Counter
+        docs = con.execute(
+            f"SELECT doc_id, source, text FROM '{sf}/documents.parquet'").fetchall()
+        by_src = {}
+        for did, src, _ in docs:
+            by_src.setdefault(src, []).append(did)
+        for src in by_src:
+            by_src[src].sort()
+        text_of = {did: txt for did, _, txt in docs}
+        pos = {}
+        for src, ids in by_src.items():
+            for i, did in enumerate(ids):
+                pos[did] = (src, i)
+        rows = con.execute(
+            f"SELECT cand_id, best_ref, clip, n_cand, n_ref, f1 "
+            f"FROM '{out_dir}/q_rouge_multi/*.parquet'").fetchall()
+        rm_bad = 0
+        rm_n = min(n_samples, len(rows))
+        for cand, best_ref, clip_c, n_cand, n_ref, f1 in rng.sample(rows, rm_n):
+            src, i = pos[int(cand)]
+            refs = by_src[src][i + 1 : i + 4]
+            ca = Counter(text_of[int(cand)].split(" "))
+            nc = sum(ca.values())
+            best = None
+            for r in refs:
+                cb = Counter(text_of[r].split(" "))
+                clip = sum(min(n, cb.get(t, 0)) for t, n in ca.items())
+                s2 = (r, clip, sum(cb.values()))
+                if best is None:
+                    best = s2
+                else:
+                    # exact f1 order: clip_a/(nc+nr_a) vs clip_b/(nc+nr_b)
+                    lhs = best[1] * (nc + s2[2])
+                    rhs = s2[1] * (nc + best[2])
+                    if rhs > lhs or (rhs == lhs and s2[0] < best[0]):
+                        best = s2
+            exp = (best[0], best[1], nc, best[2])
+            if (int(best_ref), int(clip_c), int(n_cand), int(n_ref)) != exp:
+                rm_bad += 1
+                failures.append(
+                    f"q_rouge_multi: cand {cand} claimed "
+                    f"(ref={best_ref},clip={clip_c},nc={n_cand},nr={n_ref}) "
+                    f"vs re-derived {exp}")
+            elif abs(f1 - 2.0 * best[1] / (nc + best[2])) > 1e-6:
+                rm_bad += 1
+                failures.append(f"q_rouge_multi: cand {cand} f1 {f1} drifted")
+        expected_n = sum(max(0, len(ids) - 1) for ids in by_src.values())
+        if len(rows) != expected_n:
+            rm_bad += 1
+            failures.append(
+                f"q_rouge_multi: {len(rows)} rows dumped, "
+                f"candidate universe is {expected_n}")
+        print(f"q_rouge_multi: {rm_n} sampled candidates re-derived (best-ref "
+              f"argmax by exact cross-multiplication), {rm_bad} failures "
+              f"({len(rows)} candidates total)")
+
     for f in failures:
         print(f"FAIL {f}")
     print(f"\nsampled check: {'PASS' if not failures else f'{len(failures)} FAILURES'}")
