@@ -44,6 +44,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_shingle_hashes", 2)(cs =>
       WordShingleHashes(cs(0), intLit(cs(1), "shingle width")))
     register("graft_intersect_count", 2)(cs => SortedLongIntersectCount(cs(0), cs(1)))
+    register("graft_lcs", 2)(cs => LcsLength(cs(0), cs(1)))
     register("graft_gram_stats", 2)(cs => WordGramStats(cs(0), intLit(cs(1), "gram width")))
     // the UDTF surface: a native Generator usable in LATERAL VIEW
     register("graft_explode_shingles", 2)(cs =>

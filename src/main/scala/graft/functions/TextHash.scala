@@ -40,6 +40,16 @@ object TextHash {
         org.apache.spark.sql.graft.ColumnBridge.expression(off))
     )
 
+  /** Token-level LCS length of two text columns — the ROUGE-L
+    * primitive, one codegen DP pass per pair ([[LcsLength]]).
+    */
+  def lcsLen(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      LcsLength(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b))
+    )
+
   /** |A ∩ B| of two sorted distinct `array<long>` columns (the
     * [[shingleHashes]] contract) — codegen merge loop, no per-pair
     * allocation ([[SortedLongIntersectCount]]).

@@ -1412,6 +1412,97 @@ object Sampling {
             FROM ranked ORDER BY doc_id""")
   )
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    * select raw pre-training data whose HASHED-N-GRAM distribution
+    * matches a target corpus, the standard scalable alternative to a
+    * trained quality classifier. Features are word uni+bigrams hashed
+    * into a FIXED B = 4096-bucket space ([[Quality.qFeatureHash]]'s
+    * hashing trick and its cross-engine md5 bucket — 16 hash bits over
+    * 12 bucket bits divides EXACTLY, so the bucket map is uniform and
+    * bit-identical in both engines); bag-of-buckets models are fitted
+    * to the target (here `lang = 'en'` — match an English target out
+    * of multilingual raw web data) and to the raw corpus, and each
+    * doc's importance weight is  log w(x) = Σ_g [log p_t(b(g)) −
+    * log p_r(b(g))].
+    *
+    * Exact-arithmetic form (the Q discipline): Laplace-smoothed
+    * probabilities quantize to the power of two below — p̂(b) =
+    * (c_b+1)/(tot+B) becomes the integer bit pair ([[TextOps.flog2]]
+    * (c_b+1), flog2(tot+B)) — so the weight is the pure BIGINT
+    *   w_bits = Σ_g [flog2(ct+1) − flog2(cr+1)]
+    *            + n_grams·[flog2(R+B) − flog2(T+B)]
+    * — order-free integer sums, hash-exact on any engine/partitioning.
+    * Resampling composes downstream (q_weighted_sample's exponential-
+    * clock idiom over 2^w_bits-proportional weights); the declared
+    * query emits the per-doc weights, the part with data-scale shape.
+    *
+    * Scale shape: the model fit is ONE map-side-combined aggregate to
+    * a ≤ 4096-row bucket table (target and raw counts as two columns
+    * of the SAME aggregate — one corpus pass, not two), totals are a
+    * 2-value agg over THAT table (never a second corpus pass); scoring
+    * joins the gram stream to the bucket table via BROADCAST (the
+    * hashing trick's whole point: the model is corpus-size-independent,
+    * exactly the bounded build side the sf10 OOM rule allows) + one
+    * per-doc aggregate — at 100 TB: two corpus scans, one doc-keyed
+    * shuffle, nothing driver-side.
+    */
+  val qDsir = Q(
+    "q_dsir",
+    (s, d) => {
+      val B = 4096
+      val toks = Tables.fanOut(documents(s, d))
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      val grams = toks
+        .select(col("doc_id"), col("lang"),
+          explode(concat(col("w"),
+            when(size(col("w")) >= 2,
+              expr("transform(sequence(0, size(w) - 2), " +
+                "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+              .otherwise(array().cast("array<string>")))).as("g"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long") % B).as("b"))
+      val bkt = grams.groupBy("b").agg(
+        count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+      val tot = bkt.agg(sum("cr").as("r_tot"), sum("ct").as("t_tot"))
+      import TextOps.flog2
+      grams
+        .join(broadcast(bkt), Seq("b"))
+        .groupBy("doc_id", "lang")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum((flog2(col("ct") + 1) - flog2(col("cr") + 1)).cast("long")).as("s_bits"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("lang"), col("n_grams"),
+          (col("s_bits") + col("n_grams") *
+            (flog2(col("r_tot") + B) - flog2(col("t_tot") + B)).cast("long")).as("w_bits"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+             g AS (SELECT doc_id, lang,
+                          unnest(w || [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+                   FROM b),
+             gb AS (SELECT doc_id, lang,
+                           ('0x' || substr(md5(g), 1, 4))::BIGINT % 4096 AS bk
+                    FROM g),
+             bkt AS (SELECT bk, count(*) AS cr,
+                            count(*) FILTER (WHERE lang = 'en') AS ct
+                     FROM gb GROUP BY bk),
+             tot AS (SELECT CAST(sum(cr) AS BIGINT) AS r_tot,
+                            CAST(sum(ct) AS BIGINT) AS t_tot
+                     FROM bkt)
+             SELECT gb.doc_id, gb.lang,
+                    count(*) AS n_grams,
+                    CAST(CAST(sum(${TextOps.flog2Sql("bkt.ct + 1")}
+                                  - ${TextOps.flog2Sql("bkt.cr + 1")}) AS BIGINT)
+                         + count(*) * (${TextOps.flog2Sql("r_tot + 4096")}
+                                       - ${TextOps.flog2Sql("t_tot + 4096")})
+                         AS BIGINT) AS w_bits
+             FROM gb JOIN bkt USING (bk), tot
+             GROUP BY gb.doc_id, gb.lang, r_tot, t_tot
+             ORDER BY gb.doc_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qSampleHash, qSampleStratified, qSamplePerKey, qInterleave, qEpochShuffle,
       qNegativeSampling,
@@ -1419,5 +1510,5 @@ object Sampling {
       qGlobalRownum, qMixBalance, qMixTemperature, qIncrementalAgg,
       qSequenceAssemble, qIvmJoin, qHilbertKey, qNormalize, qWinsorize,
       qPreferencePairs, qWeightedSample, qLengthBatching,
-      qImportanceSample, qGrpoAdvantage, qCurriculum)
+      qImportanceSample, qGrpoAdvantage, qCurriculum, qDsir)
 }

@@ -356,6 +356,136 @@ object TextOps {
              ORDER BY d.doc_id""")
   )
 
+  /** floor(log2(c)) of a positive BIGINT, computed EXACTLY in both
+    * engines as `length(bin(c)) - 1` — the binary digit count, an
+    * integer string operation with no float anywhere. A libm
+    * `floor(log2(c))` would be wrong at scale: log2(2^k − 1) rounds UP
+    * to k in double precision once k ≳ 48, flipping the floor at
+    * exactly the counts a 100 TB corpus produces. Shared by
+    * [[qLmBackoff]] and Sampling.qDsir (token-identical SQL emitted
+    * for the oracle) so the quantization can never drift between the
+    * two power-of-two-probability queries.
+    */
+  private[ops] def flog2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    length(bin(c)) - 1
+  private[ops] def flog2Sql(c: String): String = s"(length(bin($c)) - 1)"
+
+  /** STUPID BACKOFF LM SCORING (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the LM *designed* for MapReduce
+    * scale: no discounting, no normalization pass, scores directly
+    * from raw count tables). Each bigram position scores
+    *   S(w_i | w_{i-1}) = c2(w_{i-1} w_i)/c1(w_{i-1})        if c2 > 0
+    *                      α · c1(w_i)/N                      otherwise
+    * against the train split's own count tables (the corpus-absorbs-
+    * a-batch idiom of [[qLmScore]], same 90% `q_split_assign` bucket).
+    *
+    * Exact-arithmetic form (the Q discipline: no transcendentals in
+    * hash-compared columns): probabilities are quantized to the
+    * power of two below — log2 S becomes INTEGER BITS via [[flog2]] —
+    * and α = 1/4 (the power-of-two neighbor of Brants' 0.4), so a
+    * position's surprisal is
+    *   bits = flog2(c2) − flog2(c1_prev)                     if seen
+    *          −2 + flog2(c1_cur + 1) − flog2(N + 1)          backoff
+    * and a doc's score `bits_total` = Σ bits is a pure BIGINT sum —
+    * bit-identical at any partitioning, any engine. Ranks the same
+    * direction as Stupid-Backoff log-prob (within-quantization), and
+    * unlike [[qLmScore]]'s flat familiarity it keeps the backoff
+    * HIERARCHY: an unseen bigram of a common unigram scores far above
+    * an OOV token, the distinction perplexity filters actually use.
+    *
+    * Scale shape (the [[qLmScore]] contract): bigram/unigram
+    * occurrences hash to 8 bytes map-side (the gram string never
+    * shuffles); each count table is ONE hash aggregate with map-side
+    * combine; scoring is three `shuffle_hash` left joins on the hash
+    * keys (build sides are DISTINCT-vocab-sized — the bounded-build
+    * rule's safe case, they grow with vocabulary, not corpus
+    * occurrences) + one per-doc aggregate; N rides a broadcast 1-row
+    * frame, never a driver action. Nothing is driver-side.
+    */
+  val qLmBackoff = Q(
+    "q_lm_backoff",
+    (s, d) => {
+      val bucket = expr(Sampling.bucketSql("doc_id", 0L, 100L))
+      val toks = Tables.fanOut(documents(s, d))
+        .select(col("doc_id"), bucket.as("bucket"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+      // one row per bigram position: hashes of the bigram, its prefix
+      // unigram (context) and its current unigram (backoff target)
+      val pos = toks
+        .where(col("n") >= 2)
+        .select(col("doc_id"), col("bucket"), col("w"),
+          explode(sequence(lit(0), col("n") - 2)).as("i"))
+        .select(col("doc_id"), col("bucket"),
+          xxhash64(array_join(slice(col("w"), col("i") + 1, lit(2)), " ")).as("h2"),
+          xxhash64(element_at(col("w"), col("i") + 1)).as("h1p"),
+          xxhash64(element_at(col("w"), col("i") + 2)).as("h1c"))
+      val uniTrain = toks.where(col("bucket") < 90)
+        .select(explode(col("w")).as("t"))
+        .select(xxhash64(col("t")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c1"))
+      val biTrain = pos.where(col("bucket") < 90)
+        .groupBy("h2").agg(count(lit(1)).as("c2"))
+      // total train tokens from the VOCAB table, not a third corpus
+      // pass — the q_dsir totals-from-the-bucket-table rule
+      val nTrain = uniTrain.agg(sum("c1").as("n_train"))
+      val bits =
+        when(col("c2").isNotNull, flog2(col("c2")) - flog2(col("c1p")))
+          .otherwise(lit(-2) + flog2(coalesce(col("c1c"), lit(0L)) + 1)
+            - flog2(col("n_train") + 1))
+      val scored = pos
+        .join(biTrain.hint("shuffle_hash"), Seq("h2"), "left")
+        .join(uniTrain.withColumnRenamed("h", "h1p")
+          .withColumnRenamed("c1", "c1p").hint("shuffle_hash"), Seq("h1p"), "left")
+        .join(uniTrain.withColumnRenamed("h", "h1c")
+          .withColumnRenamed("c1", "c1c").hint("shuffle_hash"), Seq("h1c"), "left")
+        .crossJoin(broadcast(nTrain))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_scored"),
+          count(when(col("c2").isNull, 1)).as("n_backoff"),
+          sum(bits.cast("long")).as("bits_total"))
+      documents(s, d)
+        .select(col("doc_id"))
+        .join(scored.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+          coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+          coalesce(col("bits_total"), lit(0L)).as("bits_total"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH b AS (SELECT doc_id,
+                               ${Sampling.bucketSql("doc_id", 0L, 100L)} AS bucket,
+                               string_split(text, ' ') AS w
+                        FROM documents),
+             tu AS (SELECT unnest(w) AS t FROM b WHERE bucket < 90),
+             uni AS (SELECT t, count(*) AS c1 FROM tu GROUP BY t),
+             ntr AS (SELECT count(*) AS n_train FROM tu),
+             pos AS (SELECT doc_id, bucket, w[i] AS prev, w[i+1] AS cur,
+                            w[i] || ' ' || w[i+1] AS g
+                     FROM (SELECT doc_id, bucket, w, unnest(range(1, len(w))) AS i
+                           FROM b WHERE len(w) >= 2)),
+             bi AS (SELECT g, count(*) AS c2 FROM pos WHERE bucket < 90 GROUP BY g),
+             sc AS (SELECT p.doc_id, count(*) AS n_scored,
+                           count(*) FILTER (WHERE bi.g IS NULL) AS n_backoff,
+                           CAST(sum(CASE WHEN bi.g IS NOT NULL
+                                    THEN ${flog2Sql("bi.c2")} - ${flog2Sql("up.c1")}
+                                    ELSE -2 + ${flog2Sql("coalesce(uc.c1, 0) + 1")}
+                                           - ${flog2Sql("n_train + 1")} END) AS BIGINT)
+                             AS bits_total
+                    FROM pos p
+                    LEFT JOIN bi ON p.g = bi.g
+                    LEFT JOIN uni up ON p.prev = up.t
+                    LEFT JOIN uni uc ON p.cur = uc.t, ntr
+                    GROUP BY p.doc_id)
+             SELECT d.doc_id,
+                    coalesce(sc.n_scored, 0) AS n_scored,
+                    coalesce(sc.n_backoff, 0) AS n_backoff,
+                    coalesce(sc.bits_total, 0) AS bits_total
+             FROM documents d LEFT JOIN sc USING (doc_id)
+             ORDER BY d.doc_id""")
+  )
+
   /** The UDTF surface exercised from pure SQL: top-10 corpus shingles
     * by document frequency via `LATERAL VIEW graft_explode_shingles`
     * (the custom Catalyst Generator [[graft.functions.ExplodeWordShingles]]
@@ -1085,6 +1215,90 @@ object TextOps {
             LEFT JOIN clip c ON c.cand_id = p.cand_id AND c.ref_id = p.ref_id
             JOIN lens la ON la.doc_id = p.cand_id
             JOIN lens lb ON lb.doc_id = p.ref_id
+            ORDER BY cand_id""")
+  )
+
+  /** ROUGE-L (Lin 2004 §3) — the LCS member of the eval-metric family,
+    * over the same deterministic (candidate, reference) pairing as
+    * [[qRouge]]: R_lcs = LCS/|ref|, P_lcs = LCS/|cand|, F_lcs their
+    * β=1 harmonic mean = 2·LCS/(|cand|+|ref|). Unlike the clip family,
+    * LCS rewards IN-ORDER matches at any gap — the sentence-structure
+    * signal clipped-unigram ROUGE-1 cannot see — and is not a count
+    * join: it is the classic O(len²) dynamic program, which here is
+    * ONE native codegen expression per pair
+    * ([[graft.functions.LcsLength]], the SpanCorrupt treatment —
+    * per-row compute bounded by document length squared, zero extra
+    * shuffle), not a UDF and not an exploded self-join.
+    *
+    * Exactness: LCS and both lengths are exact BIGINTs; p/r/f1 are ONE
+    * IEEE division each, round(,6) — the [[qRouge]] discipline. The
+    * oracle replays the IDENTICAL two-row DP as a DuckDB recursive CTE
+    * whose per-step row update is a `list_reduce` left fold (the
+    * within-row max-carry is exactly a fold), so both engines compute
+    * the same matrix cell by cell.
+    *
+    * Scale shape: pairing window + ONE sort-merge join carrying the
+    * two text columns to their pair row, then a per-row projection —
+    * at 100 TB the metric costs one corpus-scale keyed join; no side
+    * may broadcast or hash-build (the q_rouge/q_bleu pin rule), and
+    * per-pair work is independent of corpus size.
+    */
+  val qRougeL = Q(
+    "q_rouge_l",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = docs
+        .withColumn("ref_id",
+          lead("doc_id", 1).over(Window.partitionBy("source").orderBy("doc_id")))
+        .where(col("ref_id").isNotNull)
+        .select(col("doc_id").as("cand_id"), col("ref_id"),
+          col("text").as("cand_text"),
+          size(split(col("text"), " ")).cast("long").as("n_cand"))
+      val refs = docs.select(col("doc_id").as("ref_id"),
+        col("text").as("ref_text"),
+        size(split(col("text"), " ")).cast("long").as("n_ref"))
+      pairs.hint("merge")
+        .join(refs.hint("merge"), "ref_id")
+        .select(col("cand_id"), col("ref_id"),
+          graft.functions.TextHash.lcsLen(col("cand_text"), col("ref_text")).as("lcs"),
+          col("n_cand"), col("n_ref"))
+        .select(col("cand_id"), col("ref_id"), col("lcs"),
+          col("n_cand"), col("n_ref"),
+          round(col("lcs").cast("double") / col("n_cand").cast("double"), 6).as("p"),
+          round(col("lcs").cast("double") / col("n_ref").cast("double"), 6).as("r"),
+          round(lit(2L) * col("lcs").cast("double")
+            / (col("n_cand") + col("n_ref")).cast("double"), 6).as("f1"))
+        .orderBy("cand_id")
+    },
+    Some("""WITH RECURSIVE pairs AS (
+              SELECT doc_id AS cand_id,
+                     lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id,
+                     string_split(text, ' ') AS wc
+              FROM documents),
+            live AS (
+              SELECT p.cand_id, p.ref_id, p.wc, string_split(r.text, ' ') AS wr
+              FROM pairs p JOIN documents r ON r.doc_id = p.ref_id
+              WHERE p.ref_id IS NOT NULL),
+            dp AS (
+              SELECT cand_id, ref_id, wc, wr, 0 AS i,
+                     [0 for j in range(0, len(wr) + 1)] AS row
+              FROM live
+              UNION ALL
+              SELECT cand_id, ref_id, wc, wr, i + 1,
+                     list_reduce([[0]] || [[j] for j in range(1, len(wr) + 1)],
+                       (acc, x) -> acc || [CASE WHEN wc[i + 1] = wr[x[1]]
+                                                THEN row[x[1]] + 1
+                                                ELSE greatest(row[x[1] + 1],
+                                                              acc[len(acc)]) END])
+              FROM dp WHERE i < len(wc))
+            SELECT cand_id, ref_id,
+                   CAST(row[len(wr) + 1] AS BIGINT) AS lcs,
+                   CAST(len(wc) AS BIGINT) AS n_cand,
+                   CAST(len(wr) AS BIGINT) AS n_ref,
+                   round(CAST(row[len(wr) + 1] AS DOUBLE) / len(wc), 6) AS p,
+                   round(CAST(row[len(wr) + 1] AS DOUBLE) / len(wr), 6) AS r,
+                   round(2 * CAST(row[len(wr) + 1] AS DOUBLE) / (len(wc) + len(wr)), 6) AS f1
+            FROM dp WHERE i = len(wc)
             ORDER BY cand_id""")
   )
 
@@ -1926,8 +2140,8 @@ object TextOps {
 
   val all: Seq[Q] =
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
-      qFingerprint, qSplitAssign, qTfidf, qLmScore, qSqlShingles, qCmsTerms,
+      qFingerprint, qSplitAssign, qTfidf, qLmScore, qLmBackoff, qSqlShingles, qCmsTerms,
       qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex, qBm25Postings,
       qBm25Segments, qBm25Merge, qBm25Tiered, qHardNegatives, qSpanCorruption,
-      qRerank, qRouge, qBleu, qBleuMulti, qRougeMulti)
+      qRerank, qRouge, qRougeL, qBleu, qBleuMulti, qRougeMulti)
 }

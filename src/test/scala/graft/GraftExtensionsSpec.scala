@@ -25,6 +25,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) == 2) // "a b c", "b c d"
   }
 
+  test("graft_lcs evaluates from SQL (the ROUGE-L primitive, codegen path)") {
+    val r = spark.sql(
+      """SELECT graft_lcs('a b c b d a b', 'b d c a b a') AS l,
+                graft_lcs('x y', 'p q') AS none,
+                graft_lcs('same same', 'same same') AS self"""
+    ).head()
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == 2L)
+  }
+
   test("graft_gram_stats evaluates from SQL: [total, top, distinct]") {
     val r = spark.sql(
       "SELECT graft_gram_stats('a b a b a b', 2) AS s"

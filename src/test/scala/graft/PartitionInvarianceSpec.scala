@@ -123,6 +123,12 @@ object PartitionInvarianceSpec {
     "q_bm25_tiered", "q_bleu_multi",
     // round-11: the multi-reference ROUGE best-match (clip joins + the
     // exact-integer-f1 rank window)
-    "q_rouge_multi"
+    "q_rouge_multi",
+    // round-11: stupid-backoff LM scoring (three hashed count-table
+    // lookups + per-doc integer-bit sums) and DSIR importance weights
+    // (bucket-model fit + broadcast-join scoring)
+    "q_lm_backoff", "q_dsir",
+    // round-11: ROUGE-L (pairing window + one keyed merge join)
+    "q_rouge_l"
   )
 }

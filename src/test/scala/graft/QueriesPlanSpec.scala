@@ -1065,6 +1065,57 @@ class QueriesPlanSpec extends SparkSpec {
       "best-pair selection must be a group-limit window (≤ k rows per candidate), not a full sort")
   }
 
+  test("q_lm_backoff: count-table lookups are vocab-build hash joins, counts map-side combined, N never a corpus pass") {
+    val p = plan("q_lm_backoff")
+    // the three count lookups (bigram, prefix unigram, backoff unigram)
+    // and the doc join-back ride hash joins whose build sides are
+    // DISTINCT-vocAB/doc aggregates — the q_lm_score shape; the corpus
+    // occurrence stream is always the STREAMED side
+    assert("ShuffledHashJoin LeftOuter".r.findAllIn(p).size >= 4,
+      "count-table lookups must be hashed left joins on the 8-byte gram keys")
+    assert(!p.contains("SortMergeJoin"),
+      "a vocab-table lookup degenerated to a sort of the corpus stream")
+    assert(!p.contains("BroadcastHashJoin"),
+      "count tables grow with vocabulary — they may never broadcast")
+    // N (total train tokens) is an aggregate OVER the unigram table —
+    // a 1-row broadcast cross, never a third corpus pass
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(p).size == 1)
+    assert(p.linesIterator.filter(_.contains("NestedLoop"))
+      .forall(_.contains("BroadcastNestedLoopJoin")))
+    assert(p.contains("partial_count"), "count tables lost their map-side combine")
+  }
+
+  test("q_dsir: the 4096-bucket model broadcasts against the gram scan — the corpus never shuffle-joins, ONE fit pass") {
+    val p = plan("q_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bounded bucket table must broadcast against the gram stream")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus side must never shuffle-join — the hashed model is corpus-size-independent")
+    // totals are an aggregate OVER the bucket table (1-row broadcast
+    // cross) — never a second corpus aggregate
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(p).size == 1)
+    assert(p.linesIterator.filter(_.contains("NestedLoop"))
+      .forall(_.contains("BroadcastNestedLoopJoin")))
+    assert(p.contains("partial_count"), "bucket model fit lost its map-side combine")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      "document scan must prune to the 3 consumed columns")
+  }
+
+  test("q_rouge_l: ONE sort-merge pair join + a per-row codegen DP — no broadcast, no hash build, no explode") {
+    val p = plan("q_rouge_l")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      "both q_rouge_l join sides are corpus-scale — nothing may broadcast")
+    assert(!p.contains("ShuffledHashJoin"),
+      "corpus-scale build side in a hash join — the sf10 OOM rule")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) SortMergeJoin.*""")) == 1,
+      "exactly ONE keyed merge join carries both texts to the pair row")
+    assert(p.contains("graft_lcs"),
+      "the LCS must be the native codegen expression, not an exploded join")
+    assert(!p.contains("Generate"),
+      "ROUGE-L must not explode tokens — the DP is a per-row projection")
+  }
+
   test("plan-pin ledger: the companion `pinned` set equals what this suite actually planned") {
     // run LAST (registration order): `pinned` is the contract
     // InventorySpec audits every declared query against — this test
@@ -1119,5 +1170,6 @@ object QueriesPlanSpec {
     // round-10 pins
     "q_bm25_merge", "q_rouge", "q_bleu", "q_ann_ivf_flat",
     // round-11 pins
-    "q_bm25_tiered", "q_bleu_multi", "q_rouge_multi")
+    "q_bm25_tiered", "q_bleu_multi", "q_rouge_multi",
+    "q_lm_backoff", "q_dsir", "q_rouge_l")
 }

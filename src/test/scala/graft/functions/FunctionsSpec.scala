@@ -76,6 +76,42 @@ class FunctionsSpec extends AnyFunSuite {
       assert(got == naive(t, n), s"mismatch for '$t' n=$n: $got")
     }
   }
+
+  test("LcsUtil matches the full-matrix reference DP (edges + seeded random)") {
+    // textbook O(n·m) full matrix — the independent reference
+    def ref(a: String, b: String): Long = {
+      val x = a.split(" ", -1); val y = b.split(" ", -1)
+      val m = Array.ofDim[Int](x.length + 1, y.length + 1)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        m(i)(j) =
+          if (x(i - 1) == y(j - 1)) m(i - 1)(j - 1) + 1
+          else math.max(m(i - 1)(j), m(i)(j - 1))
+      m(x.length)(y.length).toLong
+    }
+    def lcs(a: String, b: String): Long =
+      LcsUtil.lcs(UTF8String.fromString(a), UTF8String.fromString(b))
+    val edges = Seq(
+      ("a b c b d a b", "b d c a b a"), // classic, multiple optima
+      ("", ""),                         // empty splits to [""] — LCS 1
+      ("a", ""), ("", "a"),
+      ("x x x", "x x x x"),             // repeats
+      ("a b c", "c b a"),               // reversal
+      (" lead", "lead "),               // empty-token edges
+      ("same same", "same same"))
+    edges.foreach { case (a, b) =>
+      assert(lcs(a, b) == ref(a, b), s"edge mismatch for ('$a','$b')")
+      // laws: symmetry, bound by min length, identity = own length
+      assert(lcs(a, b) == lcs(b, a), s"asymmetric for ('$a','$b')")
+      assert(lcs(a, a) == a.split(" ", -1).length)
+    }
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "dog", "cat", "")
+    (1 to 200).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val b = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      assert(lcs(a, b) == ref(a, b), s"random mismatch for ('$a','$b')")
+    }
+  }
 }
 
 /** Codegen expressions must equal their interpreted/naive references —

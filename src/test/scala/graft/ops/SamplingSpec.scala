@@ -439,4 +439,40 @@ class SamplingSpec extends SparkSpec {
       else assert(es.forall(e => emitted(e._1)), s"user $uid rows missing")
     }
   }
+
+  test("dsir: every weight re-derived in plain Scala from raw text (bucket hash, quantized bits, normalizer)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ", -1).toSeq
+      w ++ w.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(g: String): Long = synchronized {
+      md.reset()
+      val h = md.digest(g.getBytes("UTF-8")).take(2)
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(h, 16) % 4096L
+    }
+    def flog2(c: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(c)
+    val all = docs.flatMap { case (id, lang, t) => grams(t).map(g => (id, lang, bucket(g))) }
+    val cr = all.groupBy(_._3).map { case (b, g) => b -> g.length.toLong }
+    val ct = all.filter(_._2 == "en").groupBy(_._3).map { case (b, g) => b -> g.length.toLong }
+    val rTot = all.length.toLong
+    val tTot = all.count(_._2 == "en").toLong
+    val norm = flog2(rTot + 4096) - flog2(tTot + 4096)
+    val expect = all.groupBy(_._1).map { case (id, gs) =>
+      id -> (gs.length.toLong,
+        gs.map(x => flog2(ct.getOrElse(x._3, 0L) + 1) - flog2(cr(x._3) + 1)).sum
+          + gs.length * norm)
+    }
+    val got = Sampling.qDsir.fn(spark, sf0001).collect()
+    assert(got.length == expect.size, "doc universe drifted")
+    got.foreach { r =>
+      val (n, w) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_grams") == n, s"doc ${r.get(0)} gram count drifted")
+      assert(r.getAs[Long]("w_bits") == w, s"doc ${r.get(0)} weight drifted")
+    }
+  }
 }

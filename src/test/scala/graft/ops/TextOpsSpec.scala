@@ -378,4 +378,94 @@ class TextOpsSpec extends SparkSpec {
         s"$key f1 drifted")
     }
   }
+
+  test("q_rouge_l: every pair's LCS and F re-derived with an independent full-matrix DP") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def lcsRef(a: String, b: String): Long = {
+      val x = a.split(" ", -1); val y = b.split(" ", -1)
+      val m = Array.ofDim[Int](x.length + 1, y.length + 1)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        m(i)(j) =
+          if (x(i - 1) == y(j - 1)) m(i - 1)(j - 1) + 1
+          else math.max(m(i - 1)(j), m(i)(j - 1))
+      m(x.length)(y.length).toLong
+    }
+    val expect = docs.groupBy(_._2).values.flatMap { ds =>
+      val sorted = ds.sortBy(_._1)
+      sorted.zip(sorted.tail).map { case ((a, _, ta), (b, _, tb)) =>
+        (a, b) -> (lcsRef(ta, tb),
+          ta.split(" ", -1).length.toLong, tb.split(" ", -1).length.toLong)
+      }
+    }.toMap
+    val got = TextOps.qRougeL.fn(spark, sf0001).collect()
+    assert(got.nonEmpty && got.length == expect.size,
+      s"pair universe drifted: got ${got.length}, expected ${expect.size}")
+    got.foreach { r =>
+      val key = (r.getAs[Long]("cand_id"), r.getAs[Long]("ref_id"))
+      val (l, nc, nr) = expect(key)
+      assert(r.getAs[Long]("lcs") == l, s"$key lcs drifted")
+      assert(r.getAs[Long]("n_cand") == nc && r.getAs[Long]("n_ref") == nr,
+        s"$key token lengths drifted")
+      assert(math.abs(r.getAs[Double]("p") - l.toDouble / nc) < 1e-6, s"$key p drifted")
+      assert(math.abs(r.getAs[Double]("r") - l.toDouble / nr) < 1e-6, s"$key r drifted")
+      assert(math.abs(r.getAs[Double]("f1") - 2.0 * l / (nc + nr)) < 1e-6,
+        s"$key f1 drifted")
+    }
+    // metric law vs the clip sibling: LCS never exceeds the unigram
+    // clip (an in-order common subsequence is a common multiset)
+    val clips = TextOps.qRouge.fn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("cand_id"), r.getAs[Long]("ref_id")) -> r.getAs[Long]("clip"))
+      .toMap
+    got.foreach { r =>
+      val key = (r.getAs[Long]("cand_id"), r.getAs[Long]("ref_id"))
+      assert(r.getAs[Long]("lcs") <= clips(key),
+        s"$key: LCS ${r.getAs[Long]("lcs")} exceeds unigram clip ${clips(key)}")
+    }
+  }
+
+  test("q_lm_backoff: every doc's integer-bit surprisal re-derived in plain Scala (string grams, no hashes)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Long =
+      (id % 2147483647L) % 2147483647L * 2654435761L % 4294967296L % 100L
+    def flog2(c: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(c)
+    val train = docs.filter(d => bucket(d._1) < 90)
+    val uni = train.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nTrain = train.map(_._2.split(" ", -1).length.toLong).sum
+    val bi = train.flatMap(_._2.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val expect = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val pos = w.sliding(2).filter(_.length == 2).toSeq
+      val bits = pos.map { p =>
+        bi.get(p.mkString(" ")) match {
+          case Some(c2) => flog2(c2) - flog2(uni(p(0)))
+          case None => -2L + flog2(uni.getOrElse(p(1), 0L) + 1) - flog2(nTrain + 1)
+        }
+      }.sum
+      id -> (pos.length.toLong,
+        pos.count(p => !bi.contains(p.mkString(" "))).toLong, bits)
+    }.toMap
+    val got = TextOps.qLmBackoff.fn(spark, sf0001).collect()
+    assert(got.length == expect.size, "doc universe drifted")
+    got.foreach { r =>
+      val (n, nb, bits) = expect(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_scored") == n, s"doc ${r.get(0)} position count drifted")
+      assert(r.getAs[Long]("n_backoff") == nb, s"doc ${r.get(0)} backoff count drifted")
+      assert(r.getAs[Long]("bits_total") == bits, s"doc ${r.get(0)} surprisal drifted")
+    }
+    // hierarchy law: a doc whose every bigram is train-seen scores
+    // strictly above (less negative per position than) the OOV floor
+    val floor = -2L + 0L - flog2(nTrain + 1)
+    got.filter(r => r.getAs[Long]("n_backoff") == 0 && r.getAs[Long]("n_scored") > 0)
+      .foreach { r =>
+        assert(r.getAs[Long]("bits_total") > floor * r.getAs[Long]("n_scored"),
+          s"doc ${r.get(0)}: seen-bigram score fell to the OOV floor")
+      }
+  }
 }
