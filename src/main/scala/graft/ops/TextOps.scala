@@ -2138,10 +2138,205 @@ object TextOps {
     }
   )
 
+  /** chrF (Popović 2015) — the CHARACTER-level member of the eval-metric
+    * family: clipped char-n-gram F_β=2 over the [[qRouge]] pairing,
+    * n = 1, 2, whitespace stripped (the chrF convention). Character
+    * grams see sub-word overlap (morphology, typos, tokenizer-robust
+    * similarity) that every word-gram metric above misses.
+    *
+    * Exactness: the β=2 F-score ALGEBRAICALLY REDUCES to one integer
+    * division — F_n = (1+β²)·P·R/(β²·P+R) with P = clip/nc, R = clip/nr
+    * simplifies to 5·clip_n/(4·nr_n + nc_n) — so each F is exact
+    * BIGINTs under ONE IEEE division (the Q discipline), with no P/R
+    * intermediate floats at all; the n-average
+    * chrf2 = (F1+F2)/2 = 5·(clip1·D2 + clip2·D1)/(2·D1·D2),
+    * D_n = 4·nr_n + nc_n, is likewise ONE division of exact integer
+    * products (c·D < 2⁶³ to ~10⁸-char documents).
+    *
+    * Scale shape: the [[qBleu]] contract verbatim — ONE union'd tagged
+    * (doc, n, gram) count with map-side combine (fan-out ∝ chars, the
+    * honest cost of a char-level metric), clip join keyed
+    * (ref_id, n, gram), every corpus-scale side SORT-MERGE (the sf10
+    * hash-build OOM rule), per-pair sums map-side combined.
+    */
+  val qChrf = Q(
+    "q_chrf",
+    (s, d) => {
+      val docs = documents(s, d)
+      val chars = docs.select(col("doc_id"), translate(col("text"), " ", "").as("t"))
+      val lens = chars.select(col("doc_id"),
+        length(col("t")).cast("long").as("n1"),
+        greatest(length(col("t")) - 1, lit(0)).cast("long").as("n2"))
+      val pairs = docs
+        .withColumn("ref_id",
+          lead("doc_id", 1).over(Window.partitionBy("source").orderBy("doc_id")))
+        .where(col("ref_id").isNotNull)
+        .select(col("doc_id").as("cand_id"), col("ref_id"))
+      val g1 = chars.where(length(col("t")) >= 1)
+        .select(col("doc_id"), lit(1).as("n"),
+          explode(expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"))
+            .as("gram"))
+      val g2 = chars.where(length(col("t")) >= 2)
+        .select(col("doc_id"), lit(2).as("n"),
+          explode(expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+            .as("gram"))
+      val gc = g1.unionByName(g2).groupBy("doc_id", "n", "gram")
+        .agg(count(lit(1)).as("c"))
+      val clip = pairs.hint("merge")
+        .join(gc.withColumnRenamed("doc_id", "cand_id").hint("merge"), "cand_id")
+        .hint("merge")
+        .join(
+          gc.select(col("doc_id").as("ref_id"), col("n"), col("gram"),
+            col("c").as("c_ref")).hint("merge"),
+          Seq("ref_id", "n", "gram"))
+        .groupBy("cand_id", "ref_id")
+        .agg(
+          sum(when(col("n") === 1, least(col("c"), col("c_ref"))).otherwise(lit(0L)))
+            .as("clip1"),
+          sum(when(col("n") === 2, least(col("c"), col("c_ref"))).otherwise(lit(0L)))
+            .as("clip2"))
+      val d1 = lit(4L) * col("nr1") + col("nc1")
+      val d2 = lit(4L) * col("nr2") + col("nc2")
+      pairs.hint("merge")
+        .join(clip.hint("merge"), Seq("cand_id", "ref_id"), "left")
+        .na.fill(0L, Seq("clip1", "clip2"))
+        .hint("merge")
+        .join(lens.withColumnRenamed("doc_id", "cand_id")
+          .withColumnRenamed("n1", "nc1").withColumnRenamed("n2", "nc2")
+          .hint("merge"), "cand_id")
+        .hint("merge")
+        .join(lens.select(col("doc_id").as("ref_id"),
+          col("n1").as("nr1"), col("n2").as("nr2")).hint("merge"), "ref_id")
+        .select(col("cand_id"), col("ref_id"),
+          col("clip1"), col("clip2"), col("nc1"), col("nc2"), col("nr1"), col("nr2"),
+          round((lit(5L) * col("clip1")).cast("double")
+            / nullif(d1, lit(0L)).cast("double"), 6).as("f1"),
+          round((lit(5L) * col("clip2")).cast("double")
+            / nullif(d2, lit(0L)).cast("double"), 6).as("f2"),
+          round((lit(5L) * (col("clip1") * d2 + col("clip2") * d1)).cast("double")
+            / nullif(lit(2L) * d1 * d2, lit(0L)).cast("double"), 6).as("chrf2"))
+        .orderBy("cand_id")
+    },
+    Some("""WITH ch AS (SELECT doc_id, replace(text, ' ', '') AS t FROM documents),
+            lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n1,
+                            CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n2
+                     FROM ch),
+            pairs AS (
+              SELECT doc_id AS cand_id,
+                     lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id
+              FROM documents),
+            live AS (SELECT * FROM pairs WHERE ref_id IS NOT NULL),
+            grams AS (
+              SELECT doc_id, 1 AS n, unnest([substr(t, i, 1) for i in range(1, len(t) + 1)]) AS gram
+              FROM ch WHERE len(t) >= 1
+              UNION ALL
+              SELECT doc_id, 2 AS n, unnest([substr(t, i, 2) for i in range(1, len(t))]) AS gram
+              FROM ch WHERE len(t) >= 2),
+            gc AS (
+              SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c
+              FROM grams GROUP BY doc_id, n, gram),
+            clip AS (
+              SELECT p.cand_id, p.ref_id,
+                     CAST(sum(CASE WHEN a.n = 1 THEN least(a.c, b.c) ELSE 0 END) AS BIGINT) AS clip1,
+                     CAST(sum(CASE WHEN a.n = 2 THEN least(a.c, b.c) ELSE 0 END) AS BIGINT) AS clip2
+              FROM live p
+              JOIN gc a ON a.doc_id = p.cand_id
+              JOIN gc b ON b.doc_id = p.ref_id AND b.n = a.n AND b.gram = a.gram
+              GROUP BY p.cand_id, p.ref_id)
+            SELECT p.cand_id AS cand_id, p.ref_id AS ref_id,
+                   COALESCE(c.clip1, 0) AS clip1, COALESCE(c.clip2, 0) AS clip2,
+                   la.n1 AS nc1, la.n2 AS nc2, lb.n1 AS nr1, lb.n2 AS nr2,
+                   round(CAST(5 * COALESCE(c.clip1, 0) AS DOUBLE)
+                         / CAST(nullif(4 * lb.n1 + la.n1, 0) AS DOUBLE), 6) AS f1,
+                   round(CAST(5 * COALESCE(c.clip2, 0) AS DOUBLE)
+                         / CAST(nullif(4 * lb.n2 + la.n2, 0) AS DOUBLE), 6) AS f2,
+                   round(CAST(5 * (COALESCE(c.clip1, 0) * (4 * lb.n2 + la.n2)
+                                   + COALESCE(c.clip2, 0) * (4 * lb.n1 + la.n1)) AS DOUBLE)
+                         / CAST(nullif(2 * (4 * lb.n1 + la.n1) * (4 * lb.n2 + la.n2), 0)
+                                AS DOUBLE), 6) AS chrf2
+            FROM live p
+            LEFT JOIN clip c ON c.cand_id = p.cand_id AND c.ref_id = p.ref_id
+            JOIN lens la ON la.doc_id = p.cand_id
+            JOIN lens lb ON lb.doc_id = p.ref_id
+            ORDER BY cand_id""")
+  )
+
+  /** DISTINCT-N corpus diversity (Li et al. 2016, "A Diversity-
+    * Promoting Objective"): the fraction of DISTINCT uni/bigrams per
+    * source — the standard audit for mode collapse in generated or
+    * over-deduplicated corpora (a source whose distinct-2 craters is
+    * emitting the same phrases over and over). The corpus-curation
+    * complement of the per-doc [[qRepetition]] stats: repetition finds
+    * degenerate DOCUMENTS, distinct-n finds degenerate SOURCES.
+    *
+    * Exactness: totals and distinct counts are exact BIGINTs from one
+    * tagged (source, n, gram) count (distinct-count = the row count of
+    * that aggregate — never an approximate sketch); each ratio is ONE
+    * IEEE division, round(,6).
+    *
+    * Scale shape: ONE union'd tagged hash aggregate with map-side
+    * combine (state ∝ |sources|·|vocab|, the q_lm_score vocab-table
+    * bound) + ONE |sources×2|-row rollup — no join, no window, two
+    * keyed exchanges total at any corpus size.
+    */
+  val qDistinctN = Q(
+    "q_distinct_n",
+    (s, d) => {
+      val toks = Tables.fanOut(documents(s, d))
+        .select(col("source"), split(col("text"), " ").as("w"))
+      val g1 = toks.select(col("source"), lit(1).as("n"), explode(col("w")).as("gram"))
+      val g2 = toks.where(size(col("w")) >= 2)
+        .select(col("source"), lit(2).as("n"),
+          explode(expr(
+            "transform(sequence(1, size(w) - 1)," +
+              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("gram"))
+      g1.unionByName(g2)
+        .groupBy("source", "n", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(
+          sum(when(col("n") === 1, col("c")).otherwise(lit(0L))).as("n1_total"),
+          count(when(col("n") === 1, 1)).as("n1_distinct"),
+          sum(when(col("n") === 2, col("c")).otherwise(lit(0L))).as("n2_total"),
+          count(when(col("n") === 2, 1)).as("n2_distinct"))
+        .select(col("source"),
+          col("n1_total"), col("n1_distinct"), col("n2_total"), col("n2_distinct"),
+          round(col("n1_distinct").cast("double")
+            / nullif(col("n1_total"), lit(0L)).cast("double"), 6).as("distinct_1"),
+          round(col("n2_distinct").cast("double")
+            / nullif(col("n2_total"), lit(0L)).cast("double"), 6).as("distinct_2"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT source, 1 AS n, unnest(w) AS gram FROM toks
+              UNION ALL
+              SELECT source, 2 AS n,
+                     unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+              FROM toks WHERE len(w) >= 2),
+            gc AS (
+              SELECT source, n, gram, CAST(count(*) AS BIGINT) AS c
+              FROM grams GROUP BY source, n, gram)
+            SELECT source,
+                   CAST(sum(CASE WHEN n = 1 THEN c ELSE 0 END) AS BIGINT) AS n1_total,
+                   CAST(count(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n1_distinct,
+                   CAST(sum(CASE WHEN n = 2 THEN c ELSE 0 END) AS BIGINT) AS n2_total,
+                   CAST(count(CASE WHEN n = 2 THEN 1 END) AS BIGINT) AS n2_distinct,
+                   round(CAST(count(CASE WHEN n = 1 THEN 1 END) AS DOUBLE)
+                         / CAST(nullif(sum(CASE WHEN n = 1 THEN c ELSE 0 END), 0) AS DOUBLE), 6)
+                     AS distinct_1,
+                   round(CAST(count(CASE WHEN n = 2 THEN 1 END) AS DOUBLE)
+                         / CAST(nullif(sum(CASE WHEN n = 2 THEN c ELSE 0 END), 0) AS DOUBLE), 6)
+                     AS distinct_2
+            FROM gc
+            GROUP BY source
+            ORDER BY source""")
+  )
+
   val all: Seq[Q] =
     Seq(qTextStats, qTopTerms, qTokenCount, qQualityScore, qLangId,
       qFingerprint, qSplitAssign, qTfidf, qLmScore, qLmBackoff, qSqlShingles, qCmsTerms,
       qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex, qBm25Postings,
       qBm25Segments, qBm25Merge, qBm25Tiered, qHardNegatives, qSpanCorruption,
-      qRerank, qRouge, qRougeL, qBleu, qBleuMulti, qRougeMulti)
+      qRerank, qRouge, qRougeL, qBleu, qBleuMulti, qRougeMulti, qChrf,
+      qDistinctN)
 }

@@ -129,6 +129,9 @@ object PartitionInvarianceSpec {
     // (bucket-model fit + broadcast-join scoring)
     "q_lm_backoff", "q_dsir",
     // round-11: ROUGE-L (pairing window + one keyed merge join)
-    "q_rouge_l"
+    "q_rouge_l",
+    // round-11: chrF (tagged char-gram counts + clip joins) and
+    // distinct-n diversity (tagged gram agg + source rollup)
+    "q_chrf", "q_distinct_n"
   )
 }

@@ -1116,6 +1116,30 @@ class QueriesPlanSpec extends SparkSpec {
       "ROUGE-L must not explode tokens — the DP is a per-row projection")
   }
 
+  test("q_chrf: char-gram clip joins sort-merge both sides — corpus never broadcasts or hash-builds, counts map-side combined") {
+    val p = plan("q_chrf")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      "every q_chrf join side is corpus-scale — nothing may broadcast")
+    assert(!p.contains("ShuffledHashJoin"),
+      "corpus-scale build side in a hash join — the sf10 OOM rule")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert(p.contains("partial_count"), "(doc, n, gram) counts lost their map-side combine")
+    assert(p.contains("partial_sum"), "clipped-overlap sums lost their map-side combine")
+    assert(p.contains("Union"), "the char-unigram and char-bigram streams must feed ONE tagged count aggregate")
+  }
+
+  test("q_distinct_n: two map-side-combined aggregates, no join, no window") {
+    val p = plan("q_distinct_n")
+    assert(!p.contains("Join"), "diversity stats must not join — two chained aggregates only")
+    assert(!p.contains("Window"), "no window — the rollup is a plain groupBy")
+    assert(p.contains("partial_count"), "(source, n, gram) counts lost their map-side combine")
+    assert(p.contains("Union"), "uni/bigram streams must feed ONE tagged aggregate")
+    // 5 static = gram agg + source rollup + output sort + the fanOut
+    // repartition duplicated under each Union branch (one per gram
+    // width — AQE exchange reuse collapses the pair at runtime)
+    assert(shuffles(p) <= 5, "gram agg + source rollup + output sort + fanOut only")
+  }
+
   test("plan-pin ledger: the companion `pinned` set equals what this suite actually planned") {
     // run LAST (registration order): `pinned` is the contract
     // InventorySpec audits every declared query against — this test
@@ -1171,5 +1195,5 @@ object QueriesPlanSpec {
     "q_bm25_merge", "q_rouge", "q_bleu", "q_ann_ivf_flat",
     // round-11 pins
     "q_bm25_tiered", "q_bleu_multi", "q_rouge_multi",
-    "q_lm_backoff", "q_dsir", "q_rouge_l")
+    "q_lm_backoff", "q_dsir", "q_rouge_l", "q_chrf", "q_distinct_n")
 }

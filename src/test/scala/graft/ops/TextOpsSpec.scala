@@ -425,6 +425,74 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_chrf: every pair's clips and reduced-form F re-derived in plain Scala") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).replace(" ", "")))
+    def grams(t: String, n: Int): Map[String, Long] =
+      t.sliding(n).toSeq.filter(_.length == n)
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    def clip(a: String, b: String, n: Int): Long = {
+      val (ca, cb) = (grams(a, n), grams(b, n))
+      ca.map { case (g, c) => math.min(c, cb.getOrElse(g, 0L)) }.sum
+    }
+    val expect = docs.groupBy(_._2).values.flatMap { ds =>
+      val sorted = ds.sortBy(_._1)
+      sorted.zip(sorted.tail).map { case ((a, _, ta), (b, _, tb)) =>
+        (a, b) -> (clip(ta, tb, 1), clip(ta, tb, 2),
+          ta.length.toLong, tb.length.toLong)
+      }
+    }.toMap
+    val got = TextOps.qChrf.fn(spark, sf0001).collect()
+    assert(got.nonEmpty && got.length == expect.size,
+      s"pair universe drifted: got ${got.length}, expected ${expect.size}")
+    got.foreach { r =>
+      val key = (r.getAs[Long]("cand_id"), r.getAs[Long]("ref_id"))
+      val (c1, c2, nc, nr) = expect(key)
+      assert(r.getAs[Long]("clip1") == c1 && r.getAs[Long]("clip2") == c2, s"$key clips drifted")
+      assert(r.getAs[Long]("nc1") == nc && r.getAs[Long]("nc2") == math.max(nc - 1, 0) &&
+        r.getAs[Long]("nr1") == nr && r.getAs[Long]("nr2") == math.max(nr - 1, 0),
+        s"$key char totals drifted")
+      // the reduced single-division form must equal the textbook
+      // (1+β²)PR/(β²P+R) with β=2 — the algebra the scaladoc claims
+      def fRef(c: Long, ncn: Long, nrn: Long): Double =
+        if (c == 0) 0.0
+        else { val p = c.toDouble / ncn; val rr = c.toDouble / nrn; 5.0 * p * rr / (4 * p + rr) }
+      val (d1, d2) = (4 * nr + nc, 4 * (nr - 1) + (nc - 1))
+      assert(math.abs(r.getAs[Double]("f1") - 5.0 * c1 / d1) < 1e-6, s"$key f1 drifted")
+      assert(math.abs(r.getAs[Double]("f1") - fRef(c1, nc, nr)) < 1e-6,
+        s"$key reduced f1 != textbook F_2")
+      assert(math.abs(r.getAs[Double]("f2") - 5.0 * c2 / d2) < 1e-6, s"$key f2 drifted")
+      assert(math.abs(r.getAs[Double]("f2") - fRef(c2, nc - 1, nr - 1)) < 1e-6,
+        s"$key reduced f2 != textbook F_2")
+      assert(math.abs(r.getAs[Double]("chrf2")
+        - 5.0 * (c1 * d2 + c2 * d1) / (2.0 * d1 * d2)) < 1e-6, s"$key chrf2 drifted")
+    }
+  }
+
+  test("q_distinct_n: per-source totals, distincts and ratios re-derived in plain Scala") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (src, ds) =>
+      val unis = ds.flatMap(_._2.split(" ", -1))
+      val bis = ds.flatMap(_._2.split(" ", -1).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")))
+      src -> (unis.length.toLong, unis.distinct.length.toLong,
+        bis.length.toLong, bis.distinct.length.toLong)
+    }
+    val got = TextOps.qDistinctN.fn(spark, sf0001).collect()
+    assert(got.length == expect.size, "source universe drifted")
+    got.foreach { r =>
+      val (t1, d1, t2, d2) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n1_total") == t1 && r.getAs[Long]("n1_distinct") == d1 &&
+        r.getAs[Long]("n2_total") == t2 && r.getAs[Long]("n2_distinct") == d2,
+        s"${r.get(0)} counts drifted")
+      assert(math.abs(r.getAs[Double]("distinct_1") - d1.toDouble / t1) < 1e-6)
+      assert(math.abs(r.getAs[Double]("distinct_2") - d2.toDouble / t2) < 1e-6)
+    }
+  }
+
   test("q_lm_backoff: every doc's integer-bit surprisal re-derived in plain Scala (string grams, no hashes)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").collect()

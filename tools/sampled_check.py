@@ -684,6 +684,58 @@ def main(sf, out_dir, n_samples=100, seed=42):
               f"argmax by exact cross-multiplication), {rm_bad} failures "
               f"({len(rows)} candidates total)")
 
+    # ---- q_chrf: sampled pairs' char-gram clips + reduced-form F ----
+    # (the r11 char-level metric: its DuckDB oracle is ~6x the word-gram
+    # join volume and exceeds the sf1 t2 budget — same treatment as
+    # q_rouge_multi: re-derive sampled pairs in plain Python and count
+    # the pair universe)
+    if not have(out_dir, "q_chrf"):
+        print("SKIP q_chrf (not dumped)")
+    else:
+        from collections import Counter
+        docs = con.execute(
+            f"SELECT doc_id, source, text FROM '{sf}/documents.parquet'").fetchall()
+        by_src = {}
+        for did, src, _ in docs:
+            by_src.setdefault(src, []).append(did)
+        for src in by_src:
+            by_src[src].sort()
+        chars_of = {did: txt.replace(" ", "") for did, _, txt in docs}
+        rows = con.execute(
+            f"SELECT cand_id, ref_id, clip1, clip2, nc1, nc2, nr1, nr2, f1, f2, chrf2 "
+            f"FROM '{out_dir}/q_chrf/*.parquet'").fetchall()
+        ch_bad = 0
+        ch_n = min(n_samples, len(rows))
+        for cand, ref, c1, c2, nc1, nc2, nr1, nr2, f1, f2, chrf2 in rng.sample(rows, ch_n):
+            ta, tb = chars_of[int(cand)], chars_of[int(ref)]
+            def clip(n):
+                ca = Counter(ta[i:i + n] for i in range(len(ta) - n + 1))
+                cb = Counter(tb[i:i + n] for i in range(len(tb) - n + 1))
+                return sum(min(v, cb.get(g, 0)) for g, v in ca.items())
+            e1, e2 = clip(1), clip(2)
+            enc1, enr1 = len(ta), len(tb)
+            enc2, enr2 = max(len(ta) - 1, 0), max(len(tb) - 1, 0)
+            if (int(c1), int(c2), int(nc1), int(nc2), int(nr1), int(nr2)) != \
+                    (e1, e2, enc1, enc2, enr1, enr2):
+                ch_bad += 1
+                failures.append(
+                    f"q_chrf: pair ({cand},{ref}) counts "
+                    f"({c1},{c2},{nc1},{nc2},{nr1},{nr2}) vs re-derived "
+                    f"({e1},{e2},{enc1},{enc2},{enr1},{enr2})")
+                continue
+            d1, d2 = 4 * enr1 + enc1, 4 * enr2 + enc2
+            if abs(f1 - 5.0 * e1 / d1) > 1e-6 or abs(f2 - 5.0 * e2 / d2) > 1e-6 \
+                    or abs(chrf2 - 5.0 * (e1 * d2 + e2 * d1) / (2.0 * d1 * d2)) > 1e-6:
+                ch_bad += 1
+                failures.append(f"q_chrf: pair ({cand},{ref}) F values drifted")
+        expected_n = sum(max(0, len(ids) - 1) for ids in by_src.values())
+        if len(rows) != expected_n:
+            ch_bad += 1
+            failures.append(
+                f"q_chrf: {len(rows)} rows dumped, pair universe is {expected_n}")
+        print(f"q_chrf: {ch_n} sampled pairs re-derived (char clips + "
+              f"reduced-form F), {ch_bad} failures ({len(rows)} pairs total)")
+
     for f in failures:
         print(f"FAIL {f}")
     print(f"\nsampled check: {'PASS' if not failures else f'{len(failures)} FAILURES'}")
