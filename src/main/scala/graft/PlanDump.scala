@@ -43,7 +43,8 @@ object PlanDump {
       "q_curriculum", "q_span_corruption", "q_rerank", "q_bm25_segments",
       "q_bm25_merge", "q_rouge", "q_bleu", "q_ann_ivf_flat",
       "q_bm25_tiered", "q_bleu_multi", "q_rouge_multi",
-      "q_lm_backoff", "q_dsir", "q_rouge_l", "q_chrf", "q_distinct_n"
+      "q_lm_backoff", "q_dsir", "q_rouge_l", "q_chrf", "q_distinct_n",
+      "q_embedding_shift"
     )
     // One-line annotations naming each plan's load-bearing operators
     // (VERDICT r4 #4 — the plans a reviewer can't eyeball from code).

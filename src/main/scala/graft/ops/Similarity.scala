@@ -1871,8 +1871,92 @@ object Similarity {
     Some(maxsimAnnOracleSql)
   )
 
+  /** EMBEDDING DISTRIBUTION-SHIFT AUDIT — the drift monitor an
+    * embedding pipeline runs before absorbing a new batch: quantize
+    * every vector against the FROZEN coarse codebook (the
+    * [[qAnnIvf]]/[[qKmeans]] 8-centroid quantizer — drift is only
+    * meaningful against a FIXED reference partition of the space) and
+    * compare the reference split's cluster histogram against the
+    * candidate split's with the two-sample χ² statistic. Splits are
+    * the deterministic Knuth halves of `vec_id` (salt 777 — a stand-in
+    * for yesterday's corpus vs today's batch; the operator is the
+    * histogram comparison, not the split rule).
+    *
+    * Exactness: each emitted row is one cluster's EXACT χ² term. The
+    * textbook two-sample statistic Σ_groups (O−E)²/E algebraically
+    * collapses per cluster to d²/(T_r·T_c·(n_r+n_c)) with
+    * d = n_c·T_r − n_r·T_c (AnnSpec proves the identity
+    * numerically); d is an EXACT BIGINT (≤ n_total² < 2⁶³ to ~10⁹
+    * vectors), and the emitted double is the fixed IEEE chain
+    * `d·d / (T_r·T_c·(n_r+n_c))` written token-identically in both
+    * dialects (the q_grpo_advantage rule: exact inputs + correctly-
+    * rounded ops in one shared order = bit equality), rounded once.
+    * The consumer sums the ≤ K terms for the statistic (df = K−1).
+    *
+    * Scale shape: ONE corpus scan → ONE map-side-combined K-row
+    * aggregate (ref and cand counts as two conditional columns of the
+    * SAME groupBy — the q_dsir one-fit-pass rule); totals aggregate
+    * over THAT K-row table (never a second corpus pass) and ride a
+    * 1-row broadcast cross. No join, no window, nothing driver-side:
+    * drift detection at 100 TB is exactly one pass.
+    */
+  val qEmbeddingShift = Q(
+    "q_embedding_shift",
+    (s, d) => {
+      val emb = Tables.fanOut(embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      val best = array_min(array(IvfCodebook.centroids.zipWithIndex.map { case (cv, cid) =>
+        struct(sqDist(col("v"), typedLit(cv.toSeq)).as("dist"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+      val bycid = emb
+        .select(best.as("cid"),
+          expr(Sampling.bucketSql("vec_id", 777L, 100L)).as("bucket"))
+        .groupBy("cid")
+        .agg(
+          count(when(col("bucket") < 50, 1)).as("n_ref"),
+          count(when(col("bucket") >= 50, 1)).as("n_cand"))
+      val tot = bycid.agg(sum("n_ref").as("t_ref"), sum("n_cand").as("t_cand"))
+      val dd = col("n_cand") * col("t_ref") - col("n_ref") * col("t_cand")
+      bycid.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_ref"), col("n_cand"),
+          round(dd.cast("double") * dd.cast("double")
+            / (col("t_ref").cast("double") * col("t_cand").cast("double")
+              * (col("n_ref") + col("n_cand")).cast("double")), 6).as("chi2_term"))
+        .orderBy("cid")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             c AS (SELECT * FROM (VALUES
+               $duckCodebook) t(cid, cv)),
+             dists AS (
+               SELECT e.vec_id, c.cid,
+                      list_sum([(e.v[i]-c.cv[i])*(e.v[i]-c.cv[i]) for i in range(1,65)]) AS dist
+               FROM e, c),
+             assign AS (
+               SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+                 FROM dists) t WHERE rn = 1),
+             bycid AS (
+               SELECT cid,
+                      count(*) FILTER (WHERE ${Sampling.bucketSql("vec_id", 777L, 100L)} < 50)
+                        AS n_ref,
+                      count(*) FILTER (WHERE ${Sampling.bucketSql("vec_id", 777L, 100L)} >= 50)
+                        AS n_cand
+               FROM assign GROUP BY cid),
+             tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                            CAST(sum(n_cand) AS BIGINT) AS t_cand
+                     FROM bycid)
+             SELECT cid, n_ref, n_cand,
+                    round(CAST(n_cand * t_ref - n_ref * t_cand AS DOUBLE)
+                          * CAST(n_cand * t_ref - n_ref * t_cand AS DOUBLE)
+                          / (CAST(t_ref AS DOUBLE) * CAST(t_cand AS DOUBLE)
+                             * CAST(n_ref + n_cand AS DOUBLE)), 6) AS chi2_term
+             FROM bycid, tot
+             ORDER BY cid""")
+  )
+
   val all: Seq[Q] =
     Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qKnnJoin, qKnnJoinAnn, qSemdedup, qPrototypePrune, qKmeans, qDedupEmbedding,
       qEmbeddingCc, qAnnIvf, qAnnIvfFlat, qAnnPq, qAnnSq8, qAnnLsh, qPairwiseNear, qRankFusion, qMultimodalJoin,
-      qMultimodalMeta, qMaxsim, qMaxsimAnn, qMaxsimPostings)
+      qMultimodalMeta, qMaxsim, qMaxsimAnn, qMaxsimPostings, qEmbeddingShift)
 }

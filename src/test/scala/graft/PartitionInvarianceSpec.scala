@@ -132,6 +132,8 @@ object PartitionInvarianceSpec {
     "q_rouge_l",
     // round-11: chrF (tagged char-gram counts + clip joins) and
     // distinct-n diversity (tagged gram agg + source rollup)
-    "q_chrf", "q_distinct_n"
+    "q_chrf", "q_distinct_n",
+    // round-11: embedding drift audit (K-row histogram aggregate)
+    "q_embedding_shift"
   )
 }

@@ -1140,6 +1140,20 @@ class QueriesPlanSpec extends SparkSpec {
     assert(shuffles(p) <= 5, "gram agg + source rollup + output sort + fanOut only")
   }
 
+  test("q_embedding_shift: ONE corpus pass — a map-side-combined K-row aggregate, totals from that table, no join") {
+    val p = plan("q_embedding_shift")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin"),
+      "drift detection must not join at data scale — the histogram IS the aggregate")
+    // totals are an aggregate OVER the K-row histogram riding a 1-row
+    // broadcast cross — never a second corpus aggregate
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(p).size == 1)
+    assert(p.linesIterator.filter(_.contains("NestedLoop"))
+      .forall(_.contains("BroadcastNestedLoopJoin")))
+    assert(p.contains("partial_count"), "cluster histogram lost its map-side combine")
+    assert(!p.contains("Window"), "assignment is argmin projection, not a rank window")
+  }
+
   test("plan-pin ledger: the companion `pinned` set equals what this suite actually planned") {
     // run LAST (registration order): `pinned` is the contract
     // InventorySpec audits every declared query against — this test
@@ -1195,5 +1209,6 @@ object QueriesPlanSpec {
     "q_bm25_merge", "q_rouge", "q_bleu", "q_ann_ivf_flat",
     // round-11 pins
     "q_bm25_tiered", "q_bleu_multi", "q_rouge_multi",
-    "q_lm_backoff", "q_dsir", "q_rouge_l", "q_chrf", "q_distinct_n")
+    "q_lm_backoff", "q_dsir", "q_rouge_l", "q_chrf", "q_distinct_n",
+    "q_embedding_shift")
 }

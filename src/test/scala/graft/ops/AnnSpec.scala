@@ -240,4 +240,45 @@ class AnnSpec extends SparkSpec {
       Similarity.flatLayoutBits(32768L * (1L << 28)) // ~8.8e12 vectors
     }
   }
+
+  test("q_embedding_shift: counts re-derived from raw vectors; each term IS the textbook two-sample chi-square") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    // replicate assignment: left-to-right squared-distance fold, ties
+    // to the lower cid (the array_min struct order)
+    def assign(v: Array[Double]): Int =
+      IvfCodebook.centroids.zipWithIndex.map { case (cv, cid) =>
+        var acc = 0.0; var i = 0
+        while (i < 64) { val d = v(i) - cv(i); acc += d * d; i += 1 }
+        (acc, cid)
+      }.minBy(identity)._2
+    def bucket(id: Long): Long =
+      (id % 2147483647L + 777L) % 2147483647L * 2654435761L % 4294967296L % 100L
+    val rows = emb.map { case (id, v) => (assign(v), bucket(id) < 50) }
+    val expect = rows.groupBy(_._1).map { case (cid, g) =>
+      cid -> (g.count(_._2).toLong, g.count(!_._2).toLong)
+    }
+    val tr = expect.values.map(_._1).sum
+    val tc = expect.values.map(_._2).sum
+    val got = Similarity.qEmbeddingShift.fn(spark, sf0001).collect()
+    assert(got.map(_.getAs[Long]("n_ref")).sum == tr &&
+      got.map(_.getAs[Long]("n_cand")).sum == tc, "split totals drifted")
+    got.foreach { r =>
+      val (nr, nc) = expect(r.getAs[Int]("cid"))
+      assert(r.getAs[Long]("n_ref") == nr && r.getAs[Long]("n_cand") == nc,
+        s"cluster ${r.get(0)} histogram drifted")
+      // identity: d^2/(Tr*Tc*(nr+nc)) == sum over both groups of (O-E)^2/E
+      val n = (tr + tc).toDouble
+      val eR = tr * (nr + nc) / n
+      val eC = tc * (nr + nc) / n
+      val textbook = math.pow(nr - eR, 2) / eR + math.pow(nc - eC, 2) / eC
+      val d = (nc * tr - nr * tc).toDouble
+      val reduced = d * d / (tr.toDouble * tc * (nr + nc))
+      assert(math.abs(textbook - reduced) < 1e-9 * math.max(1.0, textbook),
+        s"cluster ${r.get(0)}: reduced form $reduced != textbook $textbook")
+      assert(math.abs(r.getAs[Double]("chi2_term") - reduced) < 1e-6,
+        s"cluster ${r.get(0)} chi2_term drifted")
+    }
+  }
 }
