@@ -684,6 +684,52 @@ def main(sf, out_dir, n_samples=100, seed=42):
               f"argmax by exact cross-multiplication), {rm_bad} failures "
               f"({len(rows)} candidates total)")
 
+    # ---- q_rouge_l: sampled pairs' LCS re-derived with the full DP ----
+    # (feasible in DuckDB at sf1 but over the 600s budget at sf10 —
+    # the recursive list_reduce DP is O(len^2) per pair across 498k
+    # pairs; here the classic two-row DP re-derives sampled pairs)
+    if not have(out_dir, "q_rouge_l"):
+        print("SKIP q_rouge_l (not dumped)")
+    else:
+        docs = con.execute(
+            f"SELECT doc_id, source, text FROM '{sf}/documents.parquet'").fetchall()
+        by_src = {}
+        for did, src, _ in docs:
+            by_src.setdefault(src, []).append(did)
+        for src in by_src:
+            by_src[src].sort()
+        text_of = {did: txt for did, _, txt in docs}
+        rows = con.execute(
+            f"SELECT cand_id, ref_id, lcs, n_cand, n_ref, f1 "
+            f"FROM '{out_dir}/q_rouge_l/*.parquet'").fetchall()
+        rl_bad = 0
+        rl_n = min(n_samples, len(rows))
+        for cand, ref, lcs_c, n_cand, n_ref, f1 in rng.sample(rows, rl_n):
+            x = text_of[int(cand)].split(" ")
+            y = text_of[int(ref)].split(" ")
+            prev = [0] * (len(y) + 1)
+            for xi in x:
+                cur = [0] * (len(y) + 1)
+                for j, yj in enumerate(y):
+                    cur[j + 1] = prev[j] + 1 if xi == yj else max(prev[j + 1], cur[j])
+                prev = cur
+            exp = (prev[len(y)], len(x), len(y))
+            if (int(lcs_c), int(n_cand), int(n_ref)) != exp:
+                rl_bad += 1
+                failures.append(
+                    f"q_rouge_l: pair ({cand},{ref}) claimed "
+                    f"(lcs={lcs_c},nc={n_cand},nr={n_ref}) vs re-derived {exp}")
+            elif abs(f1 - 2.0 * exp[0] / (exp[1] + exp[2])) > 1e-6:
+                rl_bad += 1
+                failures.append(f"q_rouge_l: pair ({cand},{ref}) f1 {f1} drifted")
+        expected_n = sum(max(0, len(ids) - 1) for ids in by_src.values())
+        if len(rows) != expected_n:
+            rl_bad += 1
+            failures.append(
+                f"q_rouge_l: {len(rows)} rows dumped, pair universe is {expected_n}")
+        print(f"q_rouge_l: {rl_n} sampled pairs re-derived (two-row LCS DP), "
+              f"{rl_bad} failures ({len(rows)} pairs total)")
+
     # ---- q_chrf: sampled pairs' char-gram clips + reduced-form F ----
     # (the r11 char-level metric: its DuckDB oracle is ~6x the word-gram
     # join volume and exceeds the sf1 t2 budget — same treatment as
