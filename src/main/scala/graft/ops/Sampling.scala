@@ -1455,9 +1455,7 @@ object Sampling {
       val grams = toks
         .select(col("doc_id"), col("lang"),
           explode(concat(col("w"),
-            when(size(col("w")) >= 2,
-              expr("transform(sequence(0, size(w) - 2), " +
-                "i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))"))
+            when(size(col("w")) >= 2, expr(TextOps.wordBigramsExpr))
               .otherwise(array().cast("array<string>")))).as("g"))
         .select(col("doc_id"), col("lang"),
           (conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long") % B).as("b"))
@@ -1480,7 +1478,7 @@ object Sampling {
     },
     Some(s"""WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
              g AS (SELECT doc_id, lang,
-                          unnest(w || [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+                          unnest(w || ${TextOps.wordBigramsSql}) AS g
                    FROM b),
              gb AS (SELECT doc_id, lang,
                            ('0x' || substr(md5(g), 1, 4))::BIGINT % 4096 AS bk

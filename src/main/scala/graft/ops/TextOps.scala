@@ -356,6 +356,19 @@ object TextOps {
              ORDER BY d.doc_id""")
   )
 
+  /** Word-bigram construction over a token-array column named `w` —
+    * ONE code path for the Spark expression and its DuckDB twin, so
+    * the gram tokenization contract stays token-identical across the
+    * whole metric family (qBleu / qBleuMulti / qDistinctN /
+    * Sampling.qDsir): oracle hash-equality rides on these never
+    * drifting independently (the flog2/flog2Sql pairing rule).
+    */
+  private[ops] val wordBigramsExpr: String =
+    "transform(sequence(1, size(w) - 1)," +
+      " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+  private[ops] val wordBigramsSql: String =
+    "[w[i] || ' ' || w[i+1] for i in range(1, len(w))]"
+
   /** floor(log2(c)) of a positive BIGINT, computed EXACTLY in both
     * engines as `length(bin(c)) - 1` — the binary digit count, an
     * integer string operation with no float anywhere. A libm
@@ -426,8 +439,11 @@ object TextOps {
       val biTrain = pos.where(col("bucket") < 90)
         .groupBy("h2").agg(count(lit(1)).as("c2"))
       // total train tokens from the VOCAB table, not a third corpus
-      // pass — the q_dsir totals-from-the-bucket-table rule
-      val nTrain = uniTrain.agg(sum("c1").as("n_train"))
+      // pass — the q_dsir totals-from-the-bucket-table rule. coalesce
+      // matters: an EMPTY train split leaves sum() NULL, which would
+      // silently drop every backoff position from the bits sum while
+      // the oracle's count(*) computes them from n_train = 0
+      val nTrain = uniTrain.agg(coalesce(sum("c1"), lit(0L)).as("n_train"))
       val bits =
         when(col("c2").isNotNull, flog2(col("c2")) - flog2(col("c1p")))
           .otherwise(lit(-2) + flog2(coalesce(col("c1c"), lit(0L)) + 1)
@@ -1347,9 +1363,7 @@ object TextOps {
       val g1 = toks.select(col("doc_id"), lit(1).as("n"), explode(col("w")).as("gram"))
       val g2 = toks.where(size(col("w")) >= 2)
         .select(col("doc_id"), lit(2).as("n"),
-          explode(expr(
-            "transform(sequence(1, size(w) - 1)," +
-              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("gram"))
+          explode(expr(wordBigramsExpr)).as("gram"))
       val gc = g1.unionByName(g2).groupBy("doc_id", "n", "gram")
         .agg(count(lit(1)).as("c"))
       // the qRouge broadcast/merge rule: every side below is corpus-scale
@@ -1388,7 +1402,7 @@ object TextOps {
             .as("len_ratio"))
         .orderBy("cand_id")
     },
-    Some("""WITH toks AS (
+    Some(s"""WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             lens AS (
               SELECT doc_id, CAST(len(w) AS BIGINT) AS n1,
@@ -1403,7 +1417,7 @@ object TextOps {
               SELECT doc_id, 1 AS n, unnest(w) AS gram FROM toks
               UNION ALL
               SELECT doc_id, 2 AS n,
-                     unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+                     unnest($wordBigramsSql) AS gram
               FROM toks WHERE len(w) >= 2),
             gc AS (
               SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c
@@ -1481,9 +1495,7 @@ object TextOps {
       val g1 = toks.select(col("doc_id"), lit(1).as("n"), explode(col("w")).as("gram"))
       val g2 = toks.where(size(col("w")) >= 2)
         .select(col("doc_id"), lit(2).as("n"),
-          explode(expr(
-            "transform(sequence(1, size(w) - 1)," +
-              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("gram"))
+          explode(expr(wordBigramsExpr)).as("gram"))
       val gc = g1.unionByName(g2).groupBy("doc_id", "n", "gram")
         .agg(count(lit(1)).as("c"))
       // the qRouge/qBleu rule: every side below is corpus-scale — SMJ
@@ -1530,7 +1542,7 @@ object TextOps {
             .as("len_ratio"))
         .orderBy("cand_id")
     },
-    Some("""WITH toks AS (
+    Some(s"""WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             lens AS (
               SELECT doc_id, CAST(len(w) AS BIGINT) AS n1,
@@ -1550,7 +1562,7 @@ object TextOps {
               SELECT doc_id, 1 AS n, unnest(w) AS gram FROM toks
               UNION ALL
               SELECT doc_id, 2 AS n,
-                     unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+                     unnest($wordBigramsSql) AS gram
               FROM toks WHERE len(w) >= 2),
             gc AS (
               SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS c
@@ -2287,9 +2299,7 @@ object TextOps {
       val g1 = toks.select(col("source"), lit(1).as("n"), explode(col("w")).as("gram"))
       val g2 = toks.where(size(col("w")) >= 2)
         .select(col("source"), lit(2).as("n"),
-          explode(expr(
-            "transform(sequence(1, size(w) - 1)," +
-              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("gram"))
+          explode(expr(wordBigramsExpr)).as("gram"))
       g1.unionByName(g2)
         .groupBy("source", "n", "gram").agg(count(lit(1)).as("c"))
         .groupBy("source")
@@ -2306,12 +2316,12 @@ object TextOps {
             / nullif(col("n2_total"), lit(0L)).cast("double"), 6).as("distinct_2"))
         .orderBy("source")
     },
-    Some("""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+    Some(s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
             grams AS (
               SELECT source, 1 AS n, unnest(w) AS gram FROM toks
               UNION ALL
               SELECT source, 2 AS n,
-                     unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+                     unnest($wordBigramsSql) AS gram
               FROM toks WHERE len(w) >= 2),
             gc AS (
               SELECT source, n, gram, CAST(count(*) AS BIGINT) AS c

@@ -454,18 +454,26 @@ class TextOpsSpec extends SparkSpec {
         r.getAs[Long]("nr1") == nr && r.getAs[Long]("nr2") == math.max(nr - 1, 0),
         s"$key char totals drifted")
       // the reduced single-division form must equal the textbook
-      // (1+β²)PR/(β²P+R) with β=2 — the algebra the scaladoc claims
+      // (1+β²)PR/(β²P+R) with β=2 — the algebra the scaladoc claims.
+      // Denominators use the engine's greatest(·,0)-clamped lengths;
+      // a zero denominator must surface as NULL (the nullif guard),
+      // not a division artifact
       def fRef(c: Long, ncn: Long, nrn: Long): Double =
         if (c == 0) 0.0
         else { val p = c.toDouble / ncn; val rr = c.toDouble / nrn; 5.0 * p * rr / (4 * p + rr) }
-      val (d1, d2) = (4 * nr + nc, 4 * (nr - 1) + (nc - 1))
-      assert(math.abs(r.getAs[Double]("f1") - 5.0 * c1 / d1) < 1e-6, s"$key f1 drifted")
-      assert(math.abs(r.getAs[Double]("f1") - fRef(c1, nc, nr)) < 1e-6,
-        s"$key reduced f1 != textbook F_2")
-      assert(math.abs(r.getAs[Double]("f2") - 5.0 * c2 / d2) < 1e-6, s"$key f2 drifted")
-      assert(math.abs(r.getAs[Double]("f2") - fRef(c2, nc - 1, nr - 1)) < 1e-6,
-        s"$key reduced f2 != textbook F_2")
-      assert(math.abs(r.getAs[Double]("chrf2")
+      val (nc2, nr2) = (math.max(nc - 1, 0), math.max(nr - 1, 0))
+      val (d1, d2) = (4 * nr + nc, 4 * nr2 + nc2)
+      def checkF(field: String, c: Long, d: Long, ncn: Long, nrn: Long): Unit =
+        if (d == 0) assert(r.isNullAt(r.fieldIndex(field)), s"$key $field: 0-denominator must be NULL")
+        else {
+          assert(math.abs(r.getAs[Double](field) - 5.0 * c / d) < 1e-6, s"$key $field drifted")
+          assert(math.abs(r.getAs[Double](field) - fRef(c, ncn, nrn)) < 1e-6,
+            s"$key reduced $field != textbook F_2")
+        }
+      checkF("f1", c1, d1, nc, nr)
+      checkF("f2", c2, d2, nc2, nr2)
+      if (d1 * d2 == 0) assert(r.isNullAt(r.fieldIndex("chrf2")), s"$key chrf2: must be NULL")
+      else assert(math.abs(r.getAs[Double]("chrf2")
         - 5.0 * (c1 * d2 + c2 * d1) / (2.0 * d1 * d2)) < 1e-6, s"$key chrf2 drifted")
     }
   }

@@ -770,8 +770,20 @@ def main(sf, out_dir, n_samples=100, seed=42):
                     f"({e1},{e2},{enc1},{enc2},{enr1},{enr2})")
                 continue
             d1, d2 = 4 * enr1 + enc1, 4 * enr2 + enc2
-            if abs(f1 - 5.0 * e1 / d1) > 1e-6 or abs(f2 - 5.0 * e2 / d2) > 1e-6 \
-                    or abs(chrf2 - 5.0 * (e1 * d2 + e2 * d1) / (2.0 * d1 * d2)) > 1e-6:
+
+            # engine semantics: F_n is NULL when its denominator is 0
+            # (nullif), chrf2 NULL when d1*d2 == 0 — match that instead
+            # of dividing by zero here
+            def f_ok(val, c, d):
+                if d == 0:
+                    return val is None
+                return val is not None and abs(val - 5.0 * c / d) <= 1e-6
+
+            chrf_ok = (
+                (chrf2 is None) if d1 * d2 == 0
+                else (chrf2 is not None and
+                      abs(chrf2 - 5.0 * (e1 * d2 + e2 * d1) / (2.0 * d1 * d2)) <= 1e-6))
+            if not (f_ok(f1, e1, d1) and f_ok(f2, e2, d2) and chrf_ok):
                 ch_bad += 1
                 failures.append(f"q_chrf: pair ({cand},{ref}) F values drifted")
         expected_n = sum(max(0, len(ids) - 1) for ids in by_src.values())
