@@ -303,42 +303,71 @@ object Replay {
       java.nio.file.Files.createTempDirectory("replay-join-out-").toString
     )
 
-  /** Week-sliced staged copy of the raw events file (r11) — the
-    * [[pitReplayDir]] one-write staging applied to the stream-stream
-    * join replay. A single-file replay delivers the WHOLE corpus as
-    * one micro-batch, so the join holds corpus-sized state no matter
-    * what the watermark says (the r11 sf10 ledger measured it: 33 s
-    * and >8 GB of state at 10 M events — the one entry growing ∝
-    * events). Event-time-ascending week files + readEvents'
-    * maxFilesPerTrigger=1 advance the watermark BETWEEN batches, so
-    * each side's state evicts down to the previous slice's trailing
-    * 1 h + 60 s — O(slice), not O(corpus) — which is the live-stream
-    * shape (arrival-bounded batches). The INNER join's emission is
-    * trigger-invariant (see [[rangeJoinStream]]), so the result —
-    * and the q_range_join oracle it carries — is unchanged by the
-    * slicing. ONE partitioned write stages every slice (the pit rule:
-    * never a per-slice job loop); raw columns pass through byte-exact
-    * (the slice key is a partition-column COPY that never lands in
-    * the data files).
+  /** COUNT-TARGETED event-time-sliced staged copy of the raw events
+    * file (r11) — the [[pitReplayDir]] one-write staging applied to
+    * the stream-stream join replay. A single-file replay delivers the
+    * WHOLE corpus as one micro-batch, so the join holds corpus-sized
+    * state no matter what the watermark says (the r11 sf10 ledger
+    * measured it: 33 s and >8 GB of state at 10 M events — the one
+    * entry growing ∝ events). Event-time-ascending slice files +
+    * readEvents' maxFilesPerTrigger=1 advance the watermark BETWEEN
+    * batches, so each side's state evicts down to the previous
+    * slice's trailing 1 h + 60 s — O(slice), not O(corpus) — which is
+    * the live-stream shape (arrival-bounded batches). The INNER
+    * join's emission is trigger-invariant (see [[rangeJoinStream]]),
+    * so the result — and the q_range_join oracle it carries — is
+    * unchanged by the slicing. ONE partitioned write stages every
+    * slice (the pit rule: never a per-slice job loop); raw columns
+    * pass through byte-exact (the slice key is a partition-column
+    * COPY that never lands in the data files).
     *
-    * Slice granularity is DATA-DERIVED, like an arrival-bounded
-    * ingest's batch size: the driver fixtures span ~30 days, so week
-    * slices cap the batch at ~n/5 — fine until even that outgrows a
-    * task (the r11 sf10 follow-up measured a week-sliced ~2M-row
-    * micro-batch OOMing the default 8 g heap). At ≥ 2M events the
-    * staging drops to DAY slices (~n/30 per batch — ~333k rows at
-    * sf10's 10M events); one footer-metadata count() decides, so the
-    * granularity is deterministic from the corpus.
+    * Slice granularity is COUNT-TARGETED, the production
+    * `maxBytesPerTrigger` shape: nSlices = ⌈n / 500 k⌉ equal
+    * event-time spans, so a micro-batch holds ~500 k events at ANY
+    * corpus size or density. The first r11 cut used calendar units
+    * (week, day past 2 M events) — but a calendar slice's row count
+    * grows with corpus DENSITY, so the very bound the slicing exists
+    * for (state a default heap holds) silently erodes as corpora
+    * densify, and conversely a small corpus paid ~5 needless
+    * state-store commit rounds (measured +4.9 s at sf0.1's 100 k
+    * events, where ONE batch is the bounded shape already). One
+    * footer-metadata count() + one min/max scan decide the width;
+    * both deterministic from the corpus. Non-uniform arrival skews a
+    * slice above target proportionally to local density — the same
+    * approximation a time-based trigger makes live.
     */
   private[graft] def weekSlicedEventsDir(s: SparkSession, glob: String): java.nio.file.Path = {
     import java.nio.file.{Files, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     val longShape = tsIsLong(s, glob)
     val raw = s.read.schema(if (longShape) rawSchema else rawSchemaNtz).parquet(glob)
-    val unitMicros = if (raw.count() >= 2000000L) 86400000000L else 604800000000L
-    val wkCol =
-      if (longShape) expr(s"ts div ${unitMicros}000L")
-      else expr(s"unix_micros(CAST(ts AS TIMESTAMP)) div ${unitMicros}L")
+    val tsuSql =
+      if (longShape) "ts div 1000"
+      else "unix_micros(CAST(ts AS TIMESTAMP))"
+    val n = raw.count()
+    val nSlices = math.max(1L, (n + 499999L) / 500000L)
+    val bounds = raw.agg(
+      min(expr(tsuSql)).as("lo"), max(expr(tsuSql)).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / nSlices + 1L)
+    val wkCol = expr(s"($tsuSql - ${lo}L) div ${width}L")
+    // single-slice corpora (n ≤ target, the whole point of the
+    // count-targeted rule) need no re-staging at all: ONE batch IS the
+    // bounded shape, so the replay reads a byte-identical copy of the
+    // source file — no Spark write job, no repartition (measured ~2 s
+    // of needless staging at sf0.1's 100 k events)
+    if (nSlices == 1L) {
+      val hp = new org.apache.hadoop.fs.Path(glob)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val srcs = fs.globStatus(hp).map(_.getPath).sortBy(_.getName)
+      if (srcs.length == 1) {
+        val live = Files.createTempDirectory("replay-sjoin-in-")
+        val dst = live.resolve("000.parquet")
+        fs.copyToLocalFile(srcs.head, new org.apache.hadoop.fs.Path(dst.toString))
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000000000L))
+        return live
+      }
+    }
     val staged = Files.createTempDirectory("sjoin-staged-")
     raw.withColumn("pslice", wkCol)
       .repartition(col("pslice"))
