@@ -802,6 +802,32 @@ object Similarity {
     * partition filter must never ride an implicit Long⇄Int coercion;
     * [[flatLayoutBits]]' b ≤ 27 cap keeps INT exact).
     */
+  /** The coarse-centroid assignment column — the same struct-argmin over
+    * the trained codebook every IVF path uses (ties to the lower cid).
+    */
+  private def bestCidCol: Column =
+    array_min(array(IvfCodebook.centroids.zipWithIndex.map { case (cv, cid) =>
+      struct(sqDist(col("v"), typedLit(cv.toSeq)).as("dist"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** The first-b-[[lshPlanes]]-sign-bits signature of `v` at bit width
+    * b — ONE definition shared by the single-build layout, the
+    * per-segment builds, the merge re-bucket, and the segmented probe's
+    * full-width re-filter, so the sign decisions can never fork between
+    * a layout and the probe that reads it.
+    */
+  private def sigCol(b: Int): Column =
+    if (b == 0) lit(0)
+    else lshPlanes.take(b).zipWithIndex.map { case (pl, j) =>
+      when(dot(col("v"), typedLit(pl)) >= 0.0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** The `bucket = cid·2^b + sig` posting key at bit width b (INT by
+    * [[flatLayoutBits]]' b ≤ 27 cap).
+    */
+  private def bucketCol(b: Int): Column =
+    (bestCidCol * lit(1 << b) + sigCol(b)).cast("int")
+
   def ivfSubLayout(s: SparkSession, d: String, b: Int): String = {
     // b is part of the cache key: a layout built at one bit width must
     // never serve a probe computed at another (the occupancy formula is
@@ -813,17 +839,8 @@ object Similarity {
         val emb = embeddings(s, d)
           .where(col("vec_id") =!= 0)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val best = array_min(array(IvfCodebook.centroids.zipWithIndex.map { case (cv, cid) =>
-          struct(sqDist(col("v"), typedLit(cv.toSeq)).as("dist"), lit(cid).as("cid"))
-        }: _*)).getField("cid")
-        val sig: Column =
-          if (b == 0) lit(0)
-          else lshPlanes.take(b).zipWithIndex.map { case (pl, j) =>
-            when(dot(col("v"), typedLit(pl)) >= 0.0, lit(1 << j)).otherwise(lit(0))
-          }.reduce(_ + _)
         emb
-          .select(col("vec_id"), col("v"),
-            (best * lit(1 << b) + sig).cast("int").as("bucket"))
+          .select(col("vec_id"), col("v"), bucketCol(b).as("bucket"))
           // ONE file per bucket directory: without this, every write
           // task emits a fragment into every partition dir (measured
           // 47 705 files over 4 095 dirs at sf10 — footer reads and
@@ -862,64 +879,91 @@ object Similarity {
     * probe in SQL, so the hash fixes the whole approximate result —
     * including which neighbors the probe misses — at every scale.
     */
+  /** Driver-side probe set at bit width b: the query's 3 nearest
+    * centroids × its signature's Hamming≤1 flips — 3·(b+1) bucket
+    * literals. The query signature rides the same left-to-right fold
+    * order as the [[sigCol]] Column expression and the oracle's
+    * list_sum, so the driver and the layout can never disagree on a
+    * sign bit. Returns (probed bucket keys, query signature).
+    */
+  private def probeSet(qv: Seq[Double], b: Int): (Seq[Int], Int) = {
+    def sq(c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { val dd = qv(i) - c(i); acc += dd * dd; i += 1 }
+      acc
+    }
+    val probes = IvfCodebook.centroids.zipWithIndex
+      .map { case (cv, cid) => (sq(cv), cid) }.sorted.take(3).map(_._2)
+    def dotQ(p: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < 64) { acc += qv(i) * p(i); i += 1 }
+      acc
+    }
+    val qsig = (0 until b).map(j => if (dotQ(lshPlanes(j)) >= 0.0) 1 << j else 0).sum
+    val buckets = for {
+      cid <- probes
+      sg <- qsig +: (0 until b).map(j => qsig ^ (1 << j))
+    } yield cid * (1 << b) + sg
+    (buckets.distinct, qsig)
+  }
+
+  /** Explicit-path pruned scan of the probed buckets of ONE flat
+    * layout. Open ONLY the probed bucket directories (basePath keeps
+    * the partition column): plain `read.parquet(lay)` runs partition
+    * DISCOVERY over all 8·2^b directories on every query — measured
+    * 6 s/probe at sf10's 4 096 dirs, swamping the 0.4 s scan it was
+    * meant to beat. With explicit paths the driver lists 3·(b+1)
+    * dirs, so discovery AND scan are both O(log n). The isin filter
+    * stays as the semantic guard (and the plan pin's witness). When
+    * every probed bucket is empty the KNOWN layout schema builds the
+    * empty frame — never a discovery-triggering whole-layout read
+    * (r10 ADVICE).
+    */
+  private def prunedBucketScan(s: SparkSession, lay: String, buckets: Seq[Int]): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(lay)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirs = buckets
+      .map(bk => s"$lay/bucket=$bk")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val scan =
+      if (dirs.isEmpty) {
+        val sch = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)),
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.IntegerType)))
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      } else s.read.option("basePath", lay).parquet(dirs: _*)
+    scan.where(col("bucket").isin(buckets: _*))
+  }
+
+  /** The flat-probe body of [[qAnnIvfFlat]], factored over the layout
+    * directory so the MERGED layout ([[qAnnMerge]]) probes through the
+    * IDENTICAL code path — the q_bm25_postings/q_bm25_merge discipline
+    * applied to vectors: the two queries differ only in which bucket
+    * store they read, and both carry the q_ann_ivf_flat oracle verbatim.
+    */
+  private def flatProbe(s: SparkSession, d: String, b: Int, lay: String): DataFrame = {
+    val emb = embeddings(s, d).select(
+      col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = queryVec(emb)
+    val (buckets, _) = probeSet(qv, b)
+    prunedBucketScan(s, lay, buckets)
+      .select(col("vec_id"), round(cosine(col("v"), typedLit(qv)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
   val qAnnIvfFlat = Q(
     "q_ann_ivf_flat",
     (s, d) => {
-      val emb = embeddings(s, d).select(
-        col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // metadata-only count (parquet footers) → sub-bucket bit width
       val n = embeddings(s, d).count()
       val b = flatLayoutBits(n)
-      val qv = queryVec(emb)
-      def sq(c: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < c.length) { val dd = qv(i) - c(i); acc += dd * dd; i += 1 }
-        acc
-      }
-      val probes = IvfCodebook.centroids.zipWithIndex
-        .map { case (cv, cid) => (sq(cv), cid) }.sorted.take(3).map(_._2)
-      // driver-side query signature: the same left-to-right fold order
-      // as the dot Column expression and the oracle's list_sum
-      def dotQ(p: Seq[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < 64) { acc += qv(i) * p(i); i += 1 }
-        acc
-      }
-      val qsig = (0 until b).map(j => if (dotQ(lshPlanes(j)) >= 0.0) 1 << j else 0).sum
-      val buckets = for {
-        cid <- probes
-        sg <- qsig +: (0 until b).map(j => qsig ^ (1 << j))
-      } yield cid * (1 << b) + sg
-      val lay = ivfSubLayout(s, d, b)
-      // open ONLY the probed bucket directories (basePath keeps the
-      // partition column): plain `read.parquet(lay)` runs partition
-      // DISCOVERY over all 8·2^b directories on every query — measured
-      // 6 s/probe at sf10's 4 096 dirs, swamping the 0.4 s scan it was
-      // meant to beat. With explicit paths the driver lists 3·(b+1)
-      // dirs, so discovery AND scan are both O(log n). The isin filter
-      // stays as the semantic guard (and the plan pin's witness).
-      val fs = new org.apache.hadoop.fs.Path(lay)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val dirs = buckets.distinct
-        .map(bk => s"$lay/bucket=$bk")
-        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-      val scan =
-        if (dirs.isEmpty) {
-          // all probed buckets empty: build the empty result from the
-          // layout's KNOWN schema — a plain read.parquet(lay) here
-          // would run partition discovery over all 8·2^b bucket dirs,
-          // the exact ~seconds cost the explicit-paths read exists to
-          // avoid (r10 ADVICE)
-          val sch = org.apache.spark.sql.types.StructType(
-            emb.schema.fields :+ org.apache.spark.sql.types.StructField(
-              "bucket", org.apache.spark.sql.types.IntegerType))
-          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-        } else s.read.option("basePath", lay).parquet(dirs: _*)
-      scan
-        .where(col("bucket").isin(buckets.distinct: _*))
-        .select(col("vec_id"), round(cosine(col("v"), typedLit(qv)), 6).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id").asc)
-        .limit(5)
+      flatProbe(s, d, b, ivfSubLayout(s, d, b))
     },
     Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              c AS (SELECT * FROM (VALUES
@@ -953,6 +997,174 @@ object Similarity {
                AND bit_count(xor(CAST(a.sig AS BIGINT), CAST(qs.sig AS BIGINT))) <= 1
              ORDER BY cos_sim DESC, vec_id ASC
              LIMIT 5""")
+  )
+
+  /** SEGMENTED flat-probe ANN layout (r12) — the TextOps
+    * segmentedIndexLayout discipline applied to vectors, closing the
+    * one asymmetry the r11 verdict named: BM25 could absorb → probe
+    * segments → merge, but the ANN store was build-once. seg_a holds
+    * `vec_id % 10 < 9` (the established corpus), seg_b the rest (the
+    * freshly absorbed batch). Each segment is an independent
+    * [[ivfSubLayout]]-shaped bucket store at its OWN bit width
+    * b_seg = [[flatLayoutBits]](n_seg), with a 1-row meta.parquet
+    * (n, b) — an index stores its own metadata. The point: absorbing a
+    * batch WRITES ONE NEW SEGMENT and never touches the old one
+    * (maintenance ∝ batch) — exactly what the single-build layout
+    * cannot do, because [[flatLayoutBits]] changes b under growth and
+    * invalidates every bucket key in the store. Content-keyed cache +
+    * atomic whole-layout publish, as [[ivfSubLayout]].
+    */
+  def ivfSegmentedLayout(s: SparkSession, d: String): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_segs_" +
+      Partitioned.sourceKey(Seq(s"$d/embeddings.parquet"))
+    val parts = for {
+      seg <- Seq("seg_a", "seg_b"); p <- Seq("data", "meta.parquet")
+    } yield s"$seg/$p"
+    def complete() = parts.forall(p => Partitioned.successExists(s, s"$out/$p"))
+    if (!complete()) {
+      Partitioned.buildAtomically(s, out, () => complete()) { tmp =>
+        for ((seg, pred) <- Seq(
+            ("seg_a", col("vec_id") % 10 < 9),
+            ("seg_b", col("vec_id") % 10 >= 9))) {
+          val src = embeddings(s, d)
+            .where(col("vec_id") =!= 0 && pred)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          val n = src.count()
+          val b = flatLayoutBits(n)
+          src.select(col("vec_id"), col("v"), bucketCol(b).as("bucket"))
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/$seg/data")
+          s.range(1).select(lit(n).as("n"), lit(b).as("b"))
+            .write.mode("overwrite").parquet(s"$tmp/$seg/meta.parquet")
+        }
+      }
+    }
+    out
+  }
+
+  /** Segment metadata (dataDir, n, b) read back from the layout's 1-row
+    * meta files — two 1-row driver reads per probe, never a
+    * discovery-triggering data listing.
+    */
+  private def segMeta(s: SparkSession, root: String): Seq[(String, Long, Int)] =
+    Seq("seg_a", "seg_b").map { seg =>
+      val m = s.read.parquet(s"$root/$seg/meta.parquet").head()
+      (s"$root/$seg/data", m.getLong(0), m.getInt(1))
+    }
+
+  /** SEGMENTED-INDEX ANN PROBE (r12) — q_ann_ivf_flat over
+    * [[ivfSegmentedLayout]]: probe EVERY segment at its own bit width
+    * (3·(b_seg+1) pruned bucket dirs each — a union of pruned scans,
+    * legal because ANN candidate generation is a union monoid, the way
+    * BM25's statistics are additive), then restore EXACTLY the
+    * single-build candidate set with a full-width re-filter before the
+    * exact rescore. The re-filter is what makes the result independent
+    * of the segmentation: b_seg ≤ b_tot (fewer vectors never need more
+    * bits), and Hamming distance on a prefix signature is ≤ Hamming on
+    * the full signature, so each segment's Hamming≤1 probe at b_seg is
+    * a SUPERSET of the b_tot candidates it holds; recomputing the
+    * b_tot signature per candidate row (probe-sized input —
+    * ≤ 12288·(b_seg+1) rows per segment — never corpus-sized) and
+    * keeping Hamming≤1 at b_tot leaves exactly the rows the
+    * single-build probe scans. ORACLE: q_ann_ivf_flat's VERBATIM, so
+    * the hash proves segment-combined probe ≡ single-build probe ≡ the
+    * SQL replay — the index can absorb batches segment-by-segment
+    * forever and keep serving identical results.
+    */
+  private def annProbeSegments(s: SparkSession, d: String,
+      segs: Seq[(String, Int)], bTot: Int): DataFrame = {
+    val emb = embeddings(s, d).select(
+      col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = queryVec(emb)
+    val (_, qsigTot) = probeSet(qv, bTot)
+    val cand = segs.map { case (lay, bSeg) =>
+      val (buckets, _) = probeSet(qv, bSeg)
+      prunedBucketScan(s, lay, buckets).select(col("vec_id"), col("v"))
+    }.reduce(_ unionAll _)
+    val keep =
+      if (bTot == 0) lit(true)
+      else bit_count(sigCol(bTot).bitwiseXOR(lit(qsigTot))) <= 1
+    cand.where(keep)
+      .select(col("vec_id"), round(cosine(col("v"), typedLit(qv)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  val qAnnSegments = Q(
+    "q_ann_segments",
+    (s, d) => {
+      val root = ivfSegmentedLayout(s, d)
+      val n = embeddings(s, d).count()
+      annProbeSegments(s, d,
+        segMeta(s, root).map { case (dir, _, b) => (dir, b) },
+        flatLayoutBits(n))
+    },
+    qAnnIvfFlat.oracle
+  )
+
+  /** MERGED flat layout (r12) — the occupancy-driven compaction of
+    * [[ivfSegmentedLayout]] back into ONE [[ivfSubLayout]]-shaped store
+    * at b_tot = [[flatLayoutBits]](n_corpus): the q_bm25_merge
+    * discipline for vectors. The merge re-buckets ONLY where occupancy
+    * demands it: a segment already at b_tot has bit-identical bucket
+    * keys, so its bucket files are absorbed by FILE COPY — zero
+    * recompute, zero Spark job, I/O ∝ segment bytes (copy rather than
+    * move because the segmented layout stays live serving
+    * [[qAnnSegments]]); only segments at a narrower width re-bucket
+    * through the shared [[bucketCol]] expression. At sf0.01 both
+    * segments sit at b_tot = 0 (pure file absorb); at sf1/sf10 the
+    * small fresh segment re-buckets while the large established one
+    * copies through — the declared scales exercise both paths.
+    */
+  def ivfMergedLayout(s: SparkSession, d: String, bTot: Int): String = {
+    val segRoot = ivfSegmentedLayout(s, d)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_merged_b${bTot}_" +
+      Partitioned.sourceKey(Seq(s"$d/embeddings.parquet"))
+    if (!Partitioned.successExists(s, out)) {
+      Partitioned.buildAtomically(s, out) { tmp =>
+        val conf = s.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+        val (pass, rebucket) = segMeta(s, segRoot).partition(_._3 == bTot)
+        if (rebucket.nonEmpty)
+          rebucket.map { case (dir, _, _) =>
+            s.read.parquet(dir).select(col("vec_id"), col("v")) }
+            .reduce(_ unionAll _)
+            .select(col("vec_id"), col("v"), bucketCol(bTot).as("bucket"))
+            .repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        for (((dir, _, _), si) <- pass.zipWithIndex) {
+          val segPath = new org.apache.hadoop.fs.Path(dir)
+          for (st <- fs.listStatus(segPath) if st.getPath.getName.startsWith("bucket=")) {
+            val dstDir = new org.apache.hadoop.fs.Path(tmp, st.getPath.getName)
+            fs.mkdirs(dstDir)
+            for ((f, fi) <- fs.listStatus(st.getPath).toSeq.zipWithIndex
+                 if f.getPath.getName.endsWith(".parquet"))
+              org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+                new org.apache.hadoop.fs.Path(dstDir, f"seg$si%02d-$fi%03d.parquet"),
+                false, conf)
+          }
+        }
+        if (rebucket.isEmpty)
+          fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+      }
+    }
+    out
+  }
+
+  /** The post-merge probe: [[flatProbe]] — the IDENTICAL code path as
+    * [[qAnnIvfFlat]] — pointed at [[ivfMergedLayout]], carrying the
+    * same oracle verbatim: the hash proves merge(segments) ≡
+    * single-build, so the lifecycle absorb → segmented probe → merge →
+    * flat probe is closed under the one oracle.
+    */
+  val qAnnMerge = Q(
+    "q_ann_merge",
+    (s, d) => {
+      val n = embeddings(s, d).count()
+      val b = flatLayoutBits(n)
+      flatProbe(s, d, b, ivfMergedLayout(s, d, b))
+    },
+    qAnnIvfFlat.oracle
   )
 
   /** IVF-PQ ANN (Jégou et al. 2011): the coarse IVF probe composed with
@@ -1920,8 +2132,8 @@ object Similarity {
       bycid.crossJoin(broadcast(tot))
         .select(col("cid"), col("n_ref"), col("n_cand"),
           round(dd.cast("double") * dd.cast("double")
-            / (col("t_ref").cast("double") * col("t_cand").cast("double")
-              * (col("n_ref") + col("n_cand")).cast("double")), 6).as("chi2_term"))
+            / nullif(col("t_ref").cast("double") * col("t_cand").cast("double")
+              * (col("n_ref") + col("n_cand")).cast("double"), lit(0d)), 6).as("chi2_term"))
         .orderBy("cid")
     },
     Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1949,14 +2161,14 @@ object Similarity {
              SELECT cid, n_ref, n_cand,
                     round(CAST(n_cand * t_ref - n_ref * t_cand AS DOUBLE)
                           * CAST(n_cand * t_ref - n_ref * t_cand AS DOUBLE)
-                          / (CAST(t_ref AS DOUBLE) * CAST(t_cand AS DOUBLE)
-                             * CAST(n_ref + n_cand AS DOUBLE)), 6) AS chi2_term
+                          / nullif(CAST(t_ref AS DOUBLE) * CAST(t_cand AS DOUBLE)
+                             * CAST(n_ref + n_cand AS DOUBLE), 0), 6) AS chi2_term
              FROM bycid, tot
              ORDER BY cid""")
   )
 
   val all: Seq[Q] =
     Seq(qKnnCosine, qSqlKnn, qCosineNear, qCosineNearBlocked, qKnnJoin, qKnnJoinAnn, qSemdedup, qPrototypePrune, qKmeans, qDedupEmbedding,
-      qEmbeddingCc, qAnnIvf, qAnnIvfFlat, qAnnPq, qAnnSq8, qAnnLsh, qPairwiseNear, qRankFusion, qMultimodalJoin,
+      qEmbeddingCc, qAnnIvf, qAnnIvfFlat, qAnnSegments, qAnnMerge, qAnnPq, qAnnSq8, qAnnLsh, qPairwiseNear, qRankFusion, qMultimodalJoin,
       qMultimodalMeta, qMaxsim, qMaxsimAnn, qMaxsimPostings, qEmbeddingShift)
 }

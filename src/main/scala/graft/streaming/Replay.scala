@@ -346,10 +346,17 @@ object Replay {
       else "unix_micros(CAST(ts AS TIMESTAMP))"
     val n = raw.count()
     val nSlices = math.max(1L, (n + 499999L) / 500000L)
-    val bounds = raw.agg(
-      min(expr(tsuSql)).as("lo"), max(expr(tsuSql)).as("hi")).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val width = math.max(1L, (hi - lo) / nSlices + 1L)
+    // single-slice corpora (including n == 0, where min/max would be
+    // NULL and getLong would NPE) never need the bounds scan: every
+    // row, if any, lands in slice 0
+    val (lo, width) =
+      if (nSlices == 1L) (0L, Long.MaxValue)
+      else {
+        val bounds = raw.agg(
+          min(expr(tsuSql)).as("lo"), max(expr(tsuSql)).as("hi")).head()
+        val (l, h) = (bounds.getLong(0), bounds.getLong(1))
+        (l, math.max(1L, (h - l) / nSlices + 1L))
+      }
     val wkCol = expr(s"($tsuSql - ${lo}L) div ${width}L")
     // single-slice corpora (n ≤ target, the whole point of the
     // count-targeted rule) need no re-staging at all: ONE batch IS the

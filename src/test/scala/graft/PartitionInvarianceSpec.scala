@@ -134,6 +134,11 @@ object PartitionInvarianceSpec {
     // distinct-n diversity (tagged gram agg + source rollup)
     "q_chrf", "q_distinct_n",
     // round-11: embedding drift audit (K-row histogram aggregate)
-    "q_embedding_shift"
+    "q_embedding_shift",
+    // round-12: the segment-lifecycle ANN probes (per-segment layout
+    // builds ride a bucket repartition; the probes themselves are
+    // exchange-free, so the sweep proves the LAYOUT writes are
+    // partitioning-invariant end to end)
+    "q_ann_segments", "q_ann_merge"
   )
 }

@@ -999,6 +999,34 @@ class QueriesPlanSpec extends SparkSpec {
       "one row per vector in the layout — the probe needs no exchange at all")
   }
 
+  test("q_ann_segments: union of per-segment pruned scans — embeddings never scanned, zero shuffles") {
+    val p = plan("q_ann_segments")
+    assert(!p.contains("embeddings.parquet"),
+      "probe plan scans the corpus — the segmented IVF layout is being ignored")
+    assert(p.contains("graft_ivf_segs_"), "segmented IVF layout missing from the probe")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket#") && (pf.contains("INSET") || pf.contains(" IN (")),
+      "per-segment probe buckets must prune partitions, not filter rows post-scan")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "candidate union + re-filter is a projection — a join/agg appeared")
+    assert(p.contains("TakeOrderedAndProject"), "top-5 must not be a global sort")
+    assert(shuffles(p) == 0,
+      "probe-sized candidates per segment — the combine needs no exchange at all")
+  }
+
+  test("q_ann_merge: the merged store probes through the identical flat-probe shape") {
+    val p = plan("q_ann_merge")
+    assert(!p.contains("embeddings.parquet"),
+      "probe plan scans the corpus — the merged IVF layout is being ignored")
+    assert(p.contains("graft_ivf_merged_"), "merged IVF layout missing from the probe")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("bucket#") && (pf.contains("INSET") || pf.contains(" IN (")),
+      "probe buckets must prune partitions, not filter rows post-scan")
+    assert(p.contains("TakeOrderedAndProject"), "top-5 must not be a global sort")
+    assert(shuffles(p) == 0,
+      "one row per vector in the merged layout — the probe needs no exchange at all")
+  }
+
   test("q_bleu: tagged-gram clip join sort-merge both sides — corpus never broadcasts or hash-builds") {
     val p = plan("q_bleu")
     assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
@@ -1210,5 +1238,7 @@ object QueriesPlanSpec {
     // round-11 pins
     "q_bm25_tiered", "q_bleu_multi", "q_rouge_multi",
     "q_lm_backoff", "q_dsir", "q_rouge_l", "q_chrf", "q_distinct_n",
-    "q_embedding_shift")
+    "q_embedding_shift",
+    // round-12 pins
+    "q_ann_segments", "q_ann_merge")
 }

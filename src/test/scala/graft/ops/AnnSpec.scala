@@ -241,6 +241,50 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_segments / q_ann_merge ≡ q_ann_ivf_flat: the lifecycle changes NOTHING (b = 0)") {
+    // sf0.001 sits at b_tot = 0: both segments bucket at width 0, the
+    // merge is a pure file absorb — and all three probes must serve
+    // identical (vec_id, cos_sim) rows
+    val flat = graft.SparkEntry.queries("q_ann_ivf_flat")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val segd = graft.SparkEntry.queries("q_ann_segments")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val merged = graft.SparkEntry.queries("q_ann_merge")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(flat.nonEmpty && segd == flat, s"segmented=$segd flat=$flat")
+    assert(merged == flat, s"merged=$merged flat=$flat")
+  }
+
+  test("segment lifecycle at MIXED bit widths: prefix-Hamming re-filter and selective re-bucket are exact") {
+    // 40 001 vectors force b_tot = 1 while the fresh segment (10% ≈
+    // 4 000 vectors) builds at b = 0 — the case the r11 verdict called
+    // out: growth changes flatLayoutBits, so a naive absorb would
+    // invalidate every bucket key. The segmented probe's full-width
+    // re-filter and the merge's selective re-bucket must BOTH still
+    // reproduce the single-build probe row for row.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val cents = IvfCodebook.centroids
+    val vecs = (0L until 40001L).map { i =>
+      val c = cents((i % cents.length).toInt)
+      (i, c.map(x => x + rnd.nextGaussian() * 0.3).toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ann-mixed-b").toString
+    vecs.toDF("vec_id", "embedding").withColumn("label",
+      org.apache.spark.sql.functions.lit("c")).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.flatLayoutBits(40001L) == 1)
+    val flat = graft.SparkEntry.queries("q_ann_ivf_flat")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val segd = graft.SparkEntry.queries("q_ann_segments")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val merged = graft.SparkEntry.queries("q_ann_merge")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(flat.length == 5 && segd == flat, s"segmented=$segd flat=$flat")
+    assert(merged == flat, s"merged=$merged flat=$flat")
+    graft.FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("q_embedding_shift: counts re-derived from raw vectors; each term IS the textbook two-sample chi-square") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").collect()
       .map(r => (r.getAs[Long]("vec_id"),
