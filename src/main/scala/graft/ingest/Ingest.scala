@@ -97,6 +97,83 @@ object Ingest {
       to_timestamp(col("transaction_date"), PPComplete.dateTimeFormat)
     )
 
+  /** BAD-RECORDS QUARANTINE ingest (r12) — the production complement of
+    * §1.6's fail-on-malformed: the reference aborts the whole run on one
+    * malformed date (`main.py:218-222`, reproduced by [[typed]] +
+    * [[rethrowMalformed]]); a 100 TB ingest needs the mode where good
+    * rows flow through the §1.5/§1.6 path and bad rows land in a
+    * quarantine sink with a reason code instead of killing the job.
+    *
+    * Shape: ONE scan of the input classifies every line — token count
+    * first (`bad_columns`), then the strict §1.6 date parse
+    * (`bad_date`, via `try_to_timestamp`: the non-throwing twin of the
+    * ANSI parse [[typed]] relies on) — and writes a reason-partitioned
+    * staging (no shuffle: classification is a per-row codegen
+    * projection, the write fans out by partition column). The clean
+    * sink is then a partition-PRUNED re-read of `reason=ok` projected
+    * through the exact §1.5 discipline (unquoted empty → `''`, the bare
+    * token `\N` the ONLY null — the UrlCsvReader semantics, here as
+    * plain expressions) and [[typed]]'s strict timestamp; the
+    * quarantine sink keeps (id, reason, raw line) so every rejected
+    * byte is recoverable. The classify→route pass is the bronze→silver
+    * two-hop every lake ingest pays; at 100 TB the quarantine side is
+    * tiny and the clean re-encode reads columnar staging, not raw text.
+    *
+    * Dialect: lines split on bare commas (the fixture contract —
+    * unquoted, comma-free fields), which is what makes the DuckDB
+    * oracle's `string_split` replay exactly symmetric, including on
+    * ragged rows the builtin CSV parser silently null-pads (PERMISSIVE
+    * mode never flags token-count errors on an all-string schema —
+    * measured, not assumed). A quoted-dialect quarantine swaps this
+    * splitter for the univocity parse at the same seam.
+    *
+    * Returns (cleanDir, quarantineDir).
+    */
+  def quarantineIngest(s: SparkSession, path: String, outDir: String): (String, String) = {
+    val nCols = PPComplete.columns.length
+    val parts = split(col("value"), ",", -1)
+    val reason = when(size(parts) =!= lit(nCols), lit("bad_columns"))
+      .when(try_to_timestamp(element_at(parts, 3), lit(PPComplete.dateTimeFormat)).isNull,
+        lit("bad_date"))
+      .otherwise(lit("ok"))
+    val staging = s"$outDir/staging"
+    s.read.text(path)
+      .select(col("value"), reason.as("reason"))
+      .write.mode("overwrite").partitionBy("reason").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def stagedOr(reasons: Seq[String], schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      val dirs = reasons.map(r => s"$staging/reason=$r")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      if (dirs.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+      else s.read.option("basePath", staging).parquet(dirs: _*)
+    }
+    val stagedSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("reason",
+        org.apache.spark.sql.types.StringType)))
+    // clean: §1.5 projection (split again — scan-speed, columnar input)
+    // + §1.6 strict typing; by construction every date here parses, so
+    // the ANSI to_timestamp cannot throw
+    val cleanCols = PPComplete.columns.zipWithIndex.map { case (name, i) =>
+      val f = element_at(split(col("value"), ",", -1), i + 1)
+      when(f === "\\N", lit(null)).otherwise(f).as(name)
+    }
+    val cleanDir = s"$outDir/clean"
+    typed(stagedOr(Seq("ok"), stagedSchema).select(cleanCols: _*))
+      .write.mode("overwrite").parquet(cleanDir)
+    val quarDir = s"$outDir/quarantine"
+    stagedOr(Seq("bad_columns", "bad_date"), stagedSchema)
+      .select(
+        element_at(split(col("value"), ",", -1), 1).as("transaction_unique_id"),
+        col("reason"),
+        col("value").as("raw"))
+      .write.mode("overwrite").parquet(quarDir)
+    (cleanDir, quarDir)
+  }
+
   /** §1.6 fail-on-malformed, single-pass: run `body` (the write job) and
     * translate a scan-side ANSI datetime parse failure into the
     * reference's informative abort. Round 1 ran a separate

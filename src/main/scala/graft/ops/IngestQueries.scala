@@ -99,6 +99,49 @@ object IngestQueries {
     }
   )
 
+  /** Bad-records quarantine fixture (FIXTURES.md §F2c): 60 good rows
+    * (with `''` and `\N` planted in non-date columns), 6 bad-date rows
+    * (impossible date, trailing seconds, slashed format, garbage, empty,
+    * `\N`), 3 bad-column-count rows (15, 17, 3 fields). Unquoted
+    * comma-free dialect — the contract that makes the oracle's
+    * line-split replay exact (see [[graft.ingest.Ingest.quarantineIngest]]).
+    */
+  val quarantineFixturePath = "/root/repo/src/test/resources/pp_complete_quarantine.csv"
+
+  /** E9 (r12) — quarantine ingest, VERDICT r11 #3: run the
+    * classify-and-route pipeline, then read the VERDICTS BACK FROM THE
+    * SINKS — clean-sink rows as `ok`, quarantine-sink rows with their
+    * reason codes — so the oracle hash proves the ROUTING, not just the
+    * classification: a row lost (or duplicated) between staging and
+    * either sink breaks the union. The DuckDB oracle replays the
+    * classification per line (token count, then the strict §1.6 date
+    * parse via try_strptime) over the same file.
+    */
+  val qIngestQuarantine = Q(
+    "q_ingest_quarantine",
+    (s, _) => {
+      val out = java.nio.file.Files.createTempDirectory("quarantine-").toString
+      val (clean, quar) = graft.ingest.Ingest.quarantineIngest(s, quarantineFixturePath, out)
+      s.read.parquet(clean)
+        .select(col("transaction_unique_id"), lit("ok").as("reason"))
+        .unionAll(s.read.parquet(quar).select(col("transaction_unique_id"), col("reason")))
+        .orderBy("transaction_unique_id", "reason")
+    },
+    Some(s"""WITH lines AS (
+               SELECT column0 AS line
+               FROM read_csv('$quarantineFixturePath',
+                             header=false, all_varchar=true, delim=chr(1), quote='')
+             ), parsed AS (
+               SELECT line, string_split(line, ',') AS p FROM lines
+             )
+             SELECT p[1] AS transaction_unique_id,
+                    CASE WHEN len(p) != 16 THEN 'bad_columns'
+                         WHEN try_strptime(p[3], '%Y-%m-%d %H:%M') IS NULL THEN 'bad_date'
+                         ELSE 'ok' END AS reason
+             FROM parsed
+             ORDER BY transaction_unique_id, reason""")
+  )
+
   /** Content-keyed location for the JSONL copy of `documents` (the
     * [[Partitioned]] layout-reuse pattern: written once per sf dir,
     * reused across Bench's three passes). */
@@ -178,6 +221,6 @@ object IngestQueries {
   )
 
   val all: Seq[Q] =
-    Seq(qIngestPp, qIngestAutoDate, qUrlSource, qUrlSourceUnquoted, qJsonlRoundtrip,
-      qOrcRoundtrip)
+    Seq(qIngestPp, qIngestAutoDate, qUrlSource, qUrlSourceUnquoted, qIngestQuarantine,
+      qJsonlRoundtrip, qOrcRoundtrip)
 }

@@ -141,6 +141,68 @@ class IngestSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq) // '' stays '', NULL stays NULL, bytes equal
   }
 
+  test("quarantine ingest: routing is exact — 60 ok / 6 bad_date / 3 bad_columns, by planted id prefix") {
+    val fix = graft.ops.IngestQueries.quarantineFixturePath
+    val out = Files.createTempDirectory("quarantine-spec-").toString
+    val (clean, quar) = Ingest.quarantineIngest(spark, fix, out)
+    val cleanRows = spark.read.parquet(clean).collect()
+    assert(cleanRows.length == 60)
+    assert(cleanRows.forall(_.getString(0).startsWith("{Q")))
+    val quarRows = spark.read.parquet(quar)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(quarRows.length == 9)
+    assert(quarRows.count(_._2 == "bad_date") == 6)
+    assert(quarRows.count(_._2 == "bad_columns") == 3)
+    quarRows.foreach { case (id, reason) =>
+      if (reason == "bad_date") assert(id.startsWith("{R"), s"$id routed as $reason")
+      else assert(id.startsWith("{S"), s"$id routed as $reason")
+    }
+  }
+
+  test("quarantine ingest: clean rows carry §1.5 ('' stays '', \\N the only NULL) + §1.6 typed timestamps") {
+    val fix = graft.ops.IngestQueries.quarantineFixturePath
+    val out = Files.createTempDirectory("quarantine-spec2-").toString
+    val (clean, _) = Ingest.quarantineIngest(spark, fix, out)
+    val df = spark.read.parquet(clean)
+    assert(df.schema("transaction_date").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val r0 = df.where(col("transaction_unique_id") ===
+      "{Q00000000-AAAA-BBBB-CCCC-000000000000}").head()
+    assert(r0.getAs[String]("postcode") == "") // unquoted empty → '' (not NULL)
+    assert(r0.getAs[String]("secondary_address_object_name") == "")
+    assert(r0.getAs[String]("ppd_cat") == null) // bare \N → NULL
+    assert(r0.getAs[java.sql.Timestamp]("transaction_date") ==
+      java.sql.Timestamp.valueOf("2020-01-01 00:00:00")) // session TZ UTC
+  }
+
+  test("quarantine ingest: rejected lines survive byte-exact in the quarantine sink") {
+    val fix = graft.ops.IngestQueries.quarantineFixturePath
+    val out = Files.createTempDirectory("quarantine-spec3-").toString
+    val (_, quar) = Ingest.quarantineIngest(spark, fix, out)
+    val raws = spark.read.parquet(quar)
+      .collect().map(r => r.getAs[String]("raw")).toSet
+    val fileLines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(fix))
+    val expected = fileLines.toArray(Array.empty[String])
+      .filter(l => l.startsWith("{R") || l.startsWith("{S")).toSet
+    assert(raws == expected)
+  }
+
+  test("quarantine ingest: empty input yields empty sinks, not a crash (r12 ADVICE-class edge)") {
+    val empty = Files.createTempFile("quarantine-empty-", ".csv").toString
+    val out = Files.createTempDirectory("quarantine-spec4-").toString
+    val (clean, quar) = Ingest.quarantineIngest(spark, empty, out)
+    assert(spark.read.parquet(clean).count() == 0)
+    assert(spark.read.parquet(quar).count() == 0)
+  }
+
+  test("strict mode contrast: the SAME fixture aborts the reference path (§1.6 fail-on-malformed)") {
+    val fix = graft.ops.IngestQueries.quarantineFixturePath
+    assertThrows[IllegalArgumentException] {
+      Ingest.rethrowMalformed(
+        Ingest.typed(Ingest.readRaw(spark, fix)).collect())
+    }
+  }
+
   test("op-2 retry: unreachable URL exhausts retries then raises") {
     val t0 = System.nanoTime()
     assertThrows[Throwable] {
