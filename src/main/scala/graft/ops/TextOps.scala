@@ -2171,19 +2171,40 @@ object TextOps {
     * (ref_id, n, gram), every corpus-scale side SORT-MERGE (the sf10
     * hash-build OOM rule), per-pair sums map-side combined.
     */
-  val qChrf = Q(
-    "q_chrf",
-    (s, d) => {
+  /** The chrF dataflow, factored over an optional pair SAMPLE so the
+    * production-cost variant ([[qChrfSampled]]) shares the ALGEBRA
+    * verbatim — the two queries differ only in which pair universe they
+    * score. When sampled, the char-gram explosion (the metric's
+    * dominant cost, ∝ Σ chars) is ALSO restricted by a semi-join to the
+    * sampled pairs' documents, so engine work is ∝ sample — the cost
+    * lever the variant exists for; the pairing window itself stays
+    * corpus-wide (ref assignment must see every doc) but moves only
+    * (source, doc_id) pairs, never text.
+    */
+  private def chrfFrame(s: org.apache.spark.sql.SparkSession, d: String,
+      sampled: Boolean): DataFrame = {
       val docs = documents(s, d)
-      val chars = docs.select(col("doc_id"), translate(col("text"), " ", "").as("t"))
-      val lens = chars.select(col("doc_id"),
-        length(col("t")).cast("long").as("n1"),
-        greatest(length(col("t")) - 1, lit(0)).cast("long").as("n2"))
-      val pairs = docs
+      val charsAll = docs.select(col("doc_id"), translate(col("text"), " ", "").as("t"))
+      val pairsAll = docs
         .withColumn("ref_id",
           lead("doc_id", 1).over(Window.partitionBy("source").orderBy("doc_id")))
         .where(col("ref_id").isNotNull)
         .select(col("doc_id").as("cand_id"), col("ref_id"))
+      // exact Knuth-hash membership (the q_sample_hash discipline, own
+      // salt): deterministic, shuffle-free, identical in both dialects
+      val pairs =
+        if (sampled)
+          pairsAll.where(expr(Sampling.bucketSql("cand_id", 313L, 100L)) < 10)
+        else pairsAll
+      val chars =
+        if (sampled) {
+          val ids = pairs.select(col("cand_id").as("doc_id"))
+            .unionAll(pairs.select(col("ref_id").as("doc_id"))).distinct()
+          charsAll.hint("merge").join(ids.hint("merge"), Seq("doc_id"), "left_semi")
+        } else charsAll
+      val lens = chars.select(col("doc_id"),
+        length(col("t")).cast("long").as("n1"),
+        greatest(length(col("t")) - 1, lit(0)).cast("long").as("n2"))
       val g1 = chars.where(length(col("t")) >= 1)
         .select(col("doc_id"), lit(1).as("n"),
           explode(expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"))
@@ -2228,8 +2249,16 @@ object TextOps {
           round((lit(5L) * (col("clip1") * d2 + col("clip2") * d1)).cast("double")
             / nullif(lit(2L) * d1 * d2, lit(0L)).cast("double"), 6).as("chrf2"))
         .orderBy("cand_id")
-    },
-    Some("""WITH ch AS (SELECT doc_id, replace(text, ' ', '') AS t FROM documents),
+  }
+
+  /** The chrF oracle, parameterized by the same sample condition the
+    * engine applies — everything else token-identical between the two
+    * variants' oracles.
+    */
+  private def chrfOracleSql(sampled: Boolean): String = {
+    val cond =
+      if (sampled) s" AND ${Sampling.bucketSql("cand_id", 313L, 100L)} < 10" else ""
+    s"""WITH ch AS (SELECT doc_id, replace(text, ' ', '') AS t FROM documents),
             lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n1,
                             CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n2
                      FROM ch),
@@ -2237,7 +2266,7 @@ object TextOps {
               SELECT doc_id AS cand_id,
                      lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS ref_id
               FROM documents),
-            live AS (SELECT * FROM pairs WHERE ref_id IS NOT NULL),
+            live AS (SELECT * FROM pairs WHERE ref_id IS NOT NULL$cond),
             grams AS (
               SELECT doc_id, 1 AS n, unnest([substr(t, i, 1) for i in range(1, len(t) + 1)]) AS gram
               FROM ch WHERE len(t) >= 1
@@ -2270,7 +2299,32 @@ object TextOps {
             LEFT JOIN clip c ON c.cand_id = p.cand_id AND c.ref_id = p.ref_id
             JOIN lens la ON la.doc_id = p.cand_id
             JOIN lens lb ON lb.doc_id = p.ref_id
-            ORDER BY cand_id""")
+            ORDER BY cand_id"""
+  }
+
+  val qChrf = Q(
+    "q_chrf",
+    (s, d) => chrfFrame(s, d, sampled = false),
+    Some(chrfOracleSql(sampled = false))
+  )
+
+  /** chrF, SAMPLED (r12 — VERDICT r11 #5): the documented cost lever
+    * for the family's largest sf10 wall (81 s, linear-honest but 6× the
+    * word-gram metrics — real eval harnesses score a sample). A
+    * deterministic 10% of candidate pairs by exact Knuth-hash
+    * membership (the q_sample_hash discipline, salt 313 keeping the
+    * stream independent of every other sampling site) scores through
+    * [[chrfFrame]]'s IDENTICAL algebra, and the oracle is
+    * [[chrfOracleSql]] with the same one-line membership condition —
+    * hash-verified on the sampled universe. Engine cost is ∝ sample:
+    * the char-gram explosion and clip joins see only the sampled
+    * pairs' documents (semi-join pushgate), so the sf10 wall drops
+    * ~10× while the full q_chrf stays available as the exact anchor.
+    */
+  val qChrfSampled = Q(
+    "q_chrf_sampled",
+    (s, d) => chrfFrame(s, d, sampled = true),
+    Some(chrfOracleSql(sampled = true))
   )
 
   /** DISTINCT-N corpus diversity (Li et al. 2016, "A Diversity-
@@ -2348,5 +2402,5 @@ object TextOps {
       qChunkOverlap, qTextNormalize, qBm25, qInvertedIndex, qBm25Postings,
       qBm25Segments, qBm25Merge, qBm25Tiered, qHardNegatives, qSpanCorruption,
       qRerank, qRouge, qRougeL, qBleu, qBleuMulti, qRougeMulti, qChrf,
-      qDistinctN)
+      qChrfSampled, qDistinctN)
 }

@@ -139,6 +139,9 @@ object PartitionInvarianceSpec {
     // builds ride a bucket repartition; the probes themselves are
     // exchange-free, so the sweep proves the LAYOUT writes are
     // partitioning-invariant end to end)
-    "q_ann_segments", "q_ann_merge"
+    "q_ann_segments", "q_ann_merge",
+    // round-12: sampled chrF (same tagged-gram agg + clip joins as
+    // q_chrf, plus the sampled-doc semi gate)
+    "q_chrf_sampled"
   )
 }

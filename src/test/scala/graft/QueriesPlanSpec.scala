@@ -1156,6 +1156,19 @@ class QueriesPlanSpec extends SparkSpec {
     assert(p.contains("Union"), "the char-unigram and char-bigram streams must feed ONE tagged count aggregate")
   }
 
+  test("q_chrf_sampled: the q_chrf contract + the semi-join pushgate that makes cost ∝ sample") {
+    val p = plan("q_chrf_sampled")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      "every corpus-scale side must stay sort-merge — nothing may broadcast")
+    assert(!p.contains("ShuffledHashJoin"),
+      "corpus-scale build side in a hash join — the sf10 OOM rule")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert(p.contains("LeftSemi"),
+      "the char-gram explosion must be gated to sampled docs by a semi join")
+    assert(p.contains("partial_count"), "(doc, n, gram) counts lost their map-side combine")
+    assert(p.contains("Union"), "the char-unigram and char-bigram streams must feed ONE tagged count aggregate")
+  }
+
   test("q_distinct_n: two map-side-combined aggregates, no join, no window") {
     val p = plan("q_distinct_n")
     assert(!p.contains("Join"), "diversity stats must not join — two chained aggregates only")
@@ -1240,5 +1253,5 @@ object QueriesPlanSpec {
     "q_lm_backoff", "q_dsir", "q_rouge_l", "q_chrf", "q_distinct_n",
     "q_embedding_shift",
     // round-12 pins
-    "q_ann_segments", "q_ann_merge")
+    "q_ann_segments", "q_ann_merge", "q_chrf_sampled")
 }

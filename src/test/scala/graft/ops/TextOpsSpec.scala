@@ -478,6 +478,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_chrf_sampled ≡ q_chrf restricted to the sampled pairs: the gate changes membership, never a value") {
+    // re-derive the exact Knuth-hash membership in plain Scala (the
+    // SamplingSpec bucket formula) so the subset claim is independent
+    // of both engines' bucketSql parse
+    def bucket(id: Long): Long =
+      (id % 2147483647L + 313L) % 2147483647L * 2654435761L % 4294967296L % 100L
+    val full = TextOps.qChrf.fn(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("cand_id"), r.getAs[Long]("ref_id")) -> r.toSeq).toMap
+    val sampled = TextOps.qChrfSampled.fn(spark, sf0001).collect()
+    assert(sampled.nonEmpty && sampled.length < full.size,
+      s"sample must be a proper nonempty subset: ${sampled.length} of ${full.size}")
+    val expectKeys = full.keySet.filter { case (cand, _) => bucket(cand) < 10 }
+    assert(sampled.map(r => (r.getAs[Long]("cand_id"), r.getAs[Long]("ref_id"))).toSet
+      == expectKeys, "sampled pair universe drifted from the hash membership")
+    sampled.foreach { r =>
+      val key = (r.getAs[Long]("cand_id"), r.getAs[Long]("ref_id"))
+      assert(r.toSeq == full(key), s"$key: sampled row values drifted from the full metric")
+    }
+  }
+
   test("q_distinct_n: per-source totals, distincts and ratios re-derived in plain Scala") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("source", "text").collect()
