@@ -21,6 +21,7 @@ object SparkEntry {
         graft.streaming.Replay.qStreamWindow,
         graft.streaming.Replay.qStreamJoin,
         graft.streaming.Replay.qStreamDedup,
+        graft.streaming.Replay.qStreamDedupQueue,
         graft.streaming.Replay.qSessions,
         graft.streaming.Replay.qStreamSessions,
         graft.streaming.Replay.qStreamQuality,

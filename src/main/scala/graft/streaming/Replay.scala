@@ -549,6 +549,82 @@ object Replay {
             ORDER BY user_id, event_type""")
   )
 
+  /** Drain a stream fed by a rate-limited [[graft.sources.QueueBroker]]
+    * queue to a temp parquet sink. Trigger.AvailableNow cannot drive a
+    * source without SupportsTriggerAvailableNow (Spark wraps one and
+    * processes only the FIRST admitted batch), and a queue genuinely
+    * does not know its end offset up front — so this variant triggers
+    * continuously and returns once `processAllAvailable` proves the
+    * broker has revealed nothing new: the live-deployment drain.
+    */
+  def replayQueueToParquet(stream: DataFrame, outDir: String): DataFrame = {
+    val spark = stream.sparkSession
+    val ckpt = java.nio.file.Files.createTempDirectory("replay-ckpt-")
+    withStatePartitions(spark) {
+      val q = stream.writeStream
+        .format("parquet")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.ProcessingTime(0L))
+        .option("checkpointLocation", ckpt.toString)
+        .option("path", outDir)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    }
+    graft.FsUtil.deleteRecursively(ckpt)
+    spark.read.schema(stream.schema).parquet(outDir)
+  }
+
+  /** [[dedupStream]] — the IDENTICAL operator — fed through the
+    * [[graft.sources.QueueSource]] micro-batch source instead of the
+    * file source: the broker reveals ≤ rowsPerBatch rows per trigger
+    * (count-targeted by default: ⌈n/5⌉ capped at the 500 k
+    * q_stream_join slice target) from a LAZY `toLocalIterator` feed,
+    * and every commit physically drops the acked rows, so the replay
+    * exercises the checkpoint/state machinery against a source that
+    * cannot re-list history. Broker memory ≤ the un-acked window,
+    * never corpus-sized.
+    */
+  def replayDedupQueue(s: SparkSession, d: String, rowsPerBatch: Int = 0): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val evts = graft.ops.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type")
+    val batch =
+      if (rowsPerBatch > 0) rowsPerBatch
+      else {
+        val n = evts.count()
+        math.min(500000L, math.max(1L, (n + 4) / 5)).toInt
+      }
+    val name = "events-" + java.util.UUID.randomUUID()
+    graft.sources.QueueBroker.register(
+      name, evts.schema, batch, evts.toLocalIterator().asScala)
+    try {
+      val stream = s.readStream
+        .format(graft.sources.QueueSource.Name)
+        .option("queue", name)
+        .load()
+      replayQueueToParquet(
+        dedupStream(stream),
+        java.nio.file.Files.createTempDirectory("replay-qdedup-out-").toString)
+    } finally graft.sources.QueueBroker.remove(name)
+  }
+
+  /** Declared query — q_stream_dedup THROUGH THE QUEUE SOURCE, carrying
+    * the same batch-DISTINCT oracle verbatim (the projected key set is
+    * batch-split-invariant, see [[dedupStream]]): the t2 hash proves the
+    * non-file source delivers exactly the file source's semantics.
+    */
+  val qStreamDedupQueue: graft.ops.Q = graft.ops.Q(
+    "q_stream_dedup_queue",
+    (s, d) =>
+      replayDedupQueue(s, d)
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type"),
+    qStreamDedup.oracle
+  )
+
   final case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp, n: Int)
   /** Per-user state: the OPEN session fragments, kept until the

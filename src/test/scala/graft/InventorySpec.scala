@@ -132,7 +132,8 @@ class InventorySpec extends AnyFunSuite {
     "q_multimodal_join" -> "r9: plain equi-join of text and vector modality; join strategy pinned on relational siblings",
     "q_multimodal_meta" -> "r9: per-row sha256 content-address projection; no data-scale shuffle",
     "q_split_leakproof" -> "r10: exact-integer Knuth projection over the CC label output; every data-scale stage IS the sectioned q_dedup_cc_round body it reuses",
-    "q_ingest_quarantine" -> "r12: declared surface is a sinks read-back union; the data-scale stage is a shuffle-free per-line classify projection + one reason-partitioned staging write, and IngestSpec drives the routing end to end")
+    "q_ingest_quarantine" -> "r12: declared surface is a sinks read-back union; the data-scale stage is a shuffle-free per-line classify projection + one reason-partitioned staging write, and IngestSpec drives the routing end to end",
+    "q_stream_dedup_queue" -> "r12: the IDENTICAL dedupStream operator as the sectioned q_stream_dedup, differing only in the DSv2 queue source feeding it; ReplaySpec holds the file-source parity and broker no-relist laws")
 
   test("plan surface: every declared query is pinned, PLANS.md-audited, or exempt") {
     val covered = QueriesPlanSpec.pinned ++ plansMdAudited ++ planExempt.keySet
@@ -237,7 +238,8 @@ class InventorySpec extends AnyFunSuite {
     "q_mm_resize" -> "r9: per-row scale, no shuffle",
     "q_multimodal_join" -> "r9: broadcast-dim equi-join of two modality projections; no data-scale shuffle",
     "q_multimodal_meta" -> "r9: per-row sha256, no shuffle",
-    "q_ingest_quarantine" -> "r12: per-row line classification + reason-partitioned write — no data-scale exchange anywhere; the fixture routing is IngestSpec-asserted")
+    "q_ingest_quarantine" -> "r12: per-row line classification + reason-partitioned write — no data-scale exchange anywhere; the fixture routing is IngestSpec-asserted",
+    "q_stream_dedup_queue" -> "r12: watermarked dedup replay through the queue source; the projected key set is batch-split-invariant (the q_stream_dedup argument) and ReplaySpec holds the parity law")
 
   test("invariance surface: every declared query is swept at 4-vs-32 partitions or exempt") {
     val swept = PartitionInvarianceSpec.shuffleSensitive.toSet

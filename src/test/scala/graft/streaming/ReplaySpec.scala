@@ -350,6 +350,40 @@ class ReplaySpec extends SparkSpec {
     assert(keys.size < nEvents / 2, s"dedup emitted ${keys.size} of $nEvents events")
   }
 
+  test("queue source parity: dedup through the broker == dedup through the file source == batch distinct") {
+    // force several micro-batches (sf0.001 events / 500 rows ≈ 4+
+    // triggers) so the parity claim covers real batch boundaries, not a
+    // one-shot drain
+    val queued = Replay.replayDedupQueue(spark, sf0001, rowsPerBatch = 500)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batchKeys = graft.ops.Tables.events(spark, sf0001)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(queued == batchKeys, "queue-fed dedup key set drifted from batch DISTINCT")
+    assert(queued.nonEmpty)
+  }
+
+  test("queue broker contract: rate-limited admission, ack drops history, replay of acked offsets refused") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("x", LongType)))
+    val rows = (0L until 10L).map(i => org.apache.spark.sql.Row(i))
+    graft.sources.QueueBroker.register("contract-test", schema, 4, rows.iterator)
+    val q = graft.sources.QueueBroker.get("contract-test")
+    assert(q.pullMore() == 4L) // rate limit: ≤ 4 rows revealed per trigger
+    assert(q.pullMore() == 8L)
+    assert(q.slice(0L, 4L).map(_.getLong(0)).toSeq == (0L until 4L))
+    q.ack(4L)
+    assert(q.ackedOffset == 4L)
+    // history is GONE: a source that could serve this would be a file
+    // source in disguise
+    assertThrows[IllegalArgumentException](q.slice(0L, 4L))
+    assert(q.slice(4L, 8L).map(_.getLong(0)).toSeq == (4L until 8L))
+    assert(q.pullMore() == 10L) // drained: reveals the final partial batch
+    assert(q.pullMore() == 10L) // and then stays put — the drain signal
+    graft.sources.QueueBroker.remove("contract-test")
+  }
+
   test("streaming quality gate: expression-form model == batch classifier accepted set") {
     import org.apache.spark.sql.functions.col
     val streamed = graft.SparkEntry.queries("q_stream_quality")(spark, sf0001)
