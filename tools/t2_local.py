@@ -22,6 +22,31 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Oracles INFEASIBLE ON ORACLE INFRASTRUCTURE above a known scale,
+# keyed by the documents row count at which they die (r12, VERDICT r11
+# #4): q_rouge_multi's best-match oracle spills DuckDB past the
+# container disk at sf10's 500k docs (measured r11) while the engine
+# path stays healthy — an infra capacity limit, not an engine defect,
+# so the board must show SKIP-by-rule, never FAIL (a FAIL row must
+# always mean engine wrongness). Engine-independent coverage at that
+# scale is tools/sampled_check.py's plain-Python re-derivation over a
+# deterministic pair sample.
+ORACLE_INFEASIBLE_ABOVE = {
+    "q_rouge_multi": 100_000,  # documents rows; sf10 is 500k
+}
+
+
+def documents_rows(sf_dir) -> int:
+    """Parquet-metadata row count (no scan); 0 when the table is absent
+    (partial scale dirs)."""
+    try:
+        con = duckdb.connect()
+        return con.execute(
+            f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+        ).fetchone()[0]
+    except Exception:
+        return 0
+
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -110,7 +135,14 @@ def main(sf_dir: str, out_dir: str, timeout_sec: float | None = None) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
     skipped = []
+    n_docs = documents_rows(sf_dir)
     for name, sql in sorted(oracle.items()):
+        limit = ORACLE_INFEASIBLE_ABOVE.get(name)
+        if limit is not None and n_docs > limit:
+            skipped.append(name)
+            print(f"SKIP {name}: oracle infeasible on DuckDB above {limit} docs "
+                  f"(corpus has {n_docs}); covered by tools/sampled_check.py")
+            continue
         if timeout_sec is None:
             name_, ok, msg = run_compare(sf_dir, out_dir, name, sql)
         else:
