@@ -23,10 +23,25 @@ object Sessions {
       // aggregation here
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
 
-  /** Standard driver-contract session: local[N], shuffle=N. */
+  /** Standard driver-contract session: local[N], shuffle=N.
+    *
+    * SPARK_GRAFT_CHECKPOINT_DIR (optional): the SCALE-RUN posture —
+    * sets the SparkContext checkpoint dir and flips every
+    * [[graft.ops.Materialize]] site to reliable `checkpoint()`. The
+    * default `localCheckpoint()` is memory-resident with truncated
+    * lineage: under heap pressure a cached block can be EVICTED and the
+    * truncated lineage cannot recompute it ("Block rdd_N does not
+    * exist" — the r12 full-sf10 ledger hit exactly this on the
+    * iterative graph family). On a real cluster the dir is
+    * HDFS/object storage; locally any disk path works.
+    */
   def local(cpus: Int): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").foreach { dir =>
+      s.sparkContext.setCheckpointDir(dir)
+      s.conf.set(graft.ops.Materialize.RELIABLE_CONF, "true")
+    }
     s
   }
 }

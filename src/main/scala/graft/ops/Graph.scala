@@ -222,8 +222,13 @@ object Graph {
   val qPagerank = Q(
     "q_pagerank",
     (s, d) => {
+      // trade-graph base: orders⋈lineitem is corpus×corpus — SORT-MERGE
+      // at every build site in this family (the r12 full-sf10 ledger
+      // OOM'd the earlier shuffle_hash pin building 60M lineitem rows
+      // into per-task hash maps; the per-round STATE joins below keep
+      // shuffle_hash — their build sides are node-scale)
       val base = orders(s, d)
-        .join(lineitem(s, d).hint("shuffle_hash"),
+        .join(lineitem(s, d).hint("merge"),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
         .distinct()
@@ -271,7 +276,7 @@ object Graph {
     */
   private[graft] def pagerankRound(s: SparkSession, d: String): DataFrame = {
     val base = orders(s, d)
-      .join(lineitem(s, d).hint("shuffle_hash"),
+      .join(lineitem(s, d).hint("merge"),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
       .distinct()
@@ -444,7 +449,7 @@ object Graph {
     "q_khop",
     (s, d) => {
       val base = orders(s, d)
-        .join(lineitem(s, d).hint("shuffle_hash"),
+        .join(lineitem(s, d).hint("merge"),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
         .distinct()
@@ -481,7 +486,7 @@ object Graph {
     */
   private[graft] def khopRound(s: SparkSession, d: String): DataFrame = {
     val base = orders(s, d)
-      .join(lineitem(s, d).hint("shuffle_hash"),
+      .join(lineitem(s, d).hint("merge"),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
       .distinct()
@@ -496,14 +501,15 @@ object Graph {
   }
 
   /** Plan-audit hook: ONE random-walk step as a LAZY DataFrame — the
-    * two keyed shuffle_hash equi-joins (degree lookup, then the
-    * single-rank adjacency probe) the declared query repeats behind
-    * per-round Materialize. One row per walk crosses each exchange —
-    * never a node's fan-out.
+    * two keyed shuffle_hash equi-joins with bounded build sides
+    * (node-scale degree lookup; WALK-scale probe side against the
+    * streamed adjacency — see [[qRandomWalk]]'s scale note) the
+    * declared query repeats behind per-round Materialize. One row per
+    * walk crosses each exchange — never a node's fan-out.
     */
   private[graft] def walkRound(s: SparkSession, d: String): DataFrame = {
     val base = orders(s, d)
-      .join(lineitem(s, d).hint("shuffle_hash"),
+      .join(lineitem(s, d).hint("merge"),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
       .distinct()
@@ -518,7 +524,8 @@ object Graph {
       .join(deg.hint("shuffle_hash"), col("cur") === col("src"))
       .select(col("walk_id"), lit(1).as("step"), col("cur"),
         (walkChoice(col("walk_id"), lit(1L), col("cur")) % col("deg")).as("r"))
-      .join(ranked.hint("shuffle_hash"),
+      .hint("shuffle_hash") // build the WALK-scale side; stream the adjacency
+      .join(ranked,
         col("cur") === ranked("src") && col("r") === ranked("rnk"))
       .select(col("walk_id"), col("step"), col("dst").as("cur"))
   }
@@ -657,7 +664,7 @@ object Graph {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val base = orders(s, d)
-        .join(lineitem(s, d).hint("shuffle_hash"),
+        .join(lineitem(s, d).hint("merge"),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
         .distinct()
@@ -727,9 +734,14 @@ object Graph {
     * one src-keyed window over the sorted adjacency (rank 0..deg−1 by
     * dst), the same total order in both engines.
     *
-    * Scale shape: each step is TWO keyed shuffle_hash equi-joins —
-    * walks⋈degree (to compute the target rank) then walks⋈ranked
-    * adjacency on (src, rnk) — each emitting EXACTLY ONE row per walk:
+    * Scale shape: each step is TWO keyed shuffle_hash equi-joins with
+    * BOUNDED build sides — walks⋈degree builds the node-scale degree
+    * table; the walks⋈ranked adjacency probe on (src, rnk) builds the
+    * WALK-scale side and streams the adjacency (the r12 full-sf10
+    * ledger killed both alternatives: building the edge-scale side
+    * OOMs — the r10 q_bleu hash-build class — and sort-merge re-sorts
+    * ~100M adjacency rows per step for a 40k-walk probe) — each
+    * emitting EXACTLY ONE row per walk:
     * a celebrity node's adjacency is probed at one rank, never fanned
     * out and filtered (work ∝ |walks|·steps, independent of degree
     * skew). Rounds Materialize like q_pagerank/q_khop. The oracle is a
@@ -739,7 +751,7 @@ object Graph {
     "q_random_walk",
     (s, d) => {
       val base = orders(s, d)
-        .join(lineitem(s, d).hint("shuffle_hash"),
+        .join(lineitem(s, d).hint("merge"),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
         .distinct()
@@ -759,7 +771,13 @@ object Graph {
             .join(deg.hint("shuffle_hash"), col("cur") === col("src"))
             .select(col("walk_id"), lit(i).as("step"), col("cur"),
               (walkChoice(col("walk_id"), lit(i.toLong), col("cur")) % col("deg")).as("r"))
-            .join(ranked.hint("shuffle_hash"),
+            // build the WALK-scale side and STREAM the adjacency: the
+            // r12 sf10 ledger killed both alternatives — a hash build
+            // of the edge-scale side OOMs (the r10 q_bleu class), and
+            // sort-merge re-sorts ~100M adjacency rows EVERY step for
+            // a 40k-row probe
+            .hint("shuffle_hash")
+            .join(ranked,
               col("cur") === ranked("src") && col("r") === ranked("rnk"))
             .select(col("walk_id"), col("step"), col("dst").as("cur")))
         out = out.union(walks)

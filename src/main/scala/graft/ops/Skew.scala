@@ -56,15 +56,21 @@ object Skew {
     * replicated `salts`×. Use when `left` is large with hot `leftKey`
     * values and `right` is small enough to replicate (dim-scale).
     *
-    * Pinned to `shuffle_hash`: salting only means anything on a SHUFFLE
-    * join — it spreads one hot key's rows across S shuffle partitions.
-    * Left to itself AQE upgrades the replicated right side to a
-    * broadcast build (measured at sf1: a 1.2M-row single-threaded
-    * HashedRelation build, 25 s where the shuffle join takes 3), which
-    * is doubly wrong: the S× replication inflates the broadcast for no
-    * benefit, and a broadcast join never had a skew problem to salt
-    * away in the first place — if the right side fits in a broadcast,
-    * use a plain broadcast join and skip the salt entirely.
+    * Pinned to `merge` (sort-merge): salting only means anything on a
+    * SHUFFLE join — it spreads one hot key's rows across S shuffle
+    * partitions — and left to itself AQE upgrades the replicated right
+    * side to a broadcast build (measured at sf1: a 1.2M-row
+    * single-threaded HashedRelation build, 25 s where the shuffle join
+    * takes 3), which is doubly wrong: the S× replication inflates the
+    * broadcast for no benefit, and a broadcast join never had a skew
+    * problem to salt away in the first place. Among the shuffle
+    * strategies it must be SMJ, not shuffle_hash: the replicated side
+    * is S× a data-scale table, so the per-task hash build grows ∝
+    * S·n/partitions — the r12 full-sf10 ledger caught the earlier
+    * shuffle_hash pin OOMing at 15M orders × 8 salts ("not enough
+    * memory to build hash map"), the same hash-build class the r10
+    * q_bleu finding established; SMJ's per-task memory is flat in
+    * partition size and spills gracefully.
     */
   def saltedJoin(
       left: DataFrame,
@@ -76,7 +82,7 @@ object Skew {
   ): DataFrame = {
     val l = left.withColumn("_salt", saltCol(saltBy, salts))
     val r = right.withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
-    l.join(r.hint("shuffle_hash"), l(leftKey) === r(rightKey) && l("_salt") === r("_salt"))
+    l.join(r.hint("merge"), l(leftKey) === r(rightKey) && l("_salt") === r("_salt"))
       .drop("_salt")
   }
 }

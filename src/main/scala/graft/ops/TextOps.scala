@@ -1988,7 +1988,11 @@ object TextOps {
           explode(graft.functions.TextHash.shingles(col("text"), 3)).as("sh")))
       val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
         .where(col("df") <= 64).select("sh")
-      val sh = sh0.hint("shuffle_hash").join(rare, "sh")
+      // BOTH sides corpus-scale (the explode and the rare-shingle list
+    // both grow ∝ corpus): SORT-MERGE, never a hash build — the r12
+    // full-sf10 ledger caught the earlier shuffle_hash hint building a
+    // 45M-gram hash side and OOMing (the r10 q_bleu class)
+    val sh = sh0.hint("merge").join(rare, "sh")
       val qs = sh.where(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("q_id"), col("source").as("q_src"),
           col("sh"))

@@ -95,12 +95,14 @@ class QueriesPlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"join inputs are shuffling ($exchanges exchanges)")
   }
 
-  test("q_join_salted: stays a shuffle join — broadcasting the replicated side defeats salting") {
+  test("q_join_salted: stays a SORT-MERGE shuffle join — broadcast defeats salting, hash-build OOMs at scale") {
     val p = plan("q_join_salted")
-    assert(p.contains("ShuffledHashJoin"),
-      "salted join must shuffle on (key, salt); that IS the skew spread")
+    assert(p.contains("SortMergeJoin"),
+      "salted join must sort-merge on (key, salt); that IS the skew spread with flat task memory")
     assert(!p.contains("BroadcastHashJoin"),
       "AQE broadcast of the S×-replicated side: 25 s single-threaded build at sf1")
+    assert(!p.contains("ShuffledHashJoin"),
+      "S×-replicated data-scale build side in a hash join — OOM'd at sf10 (r12 ledger)")
   }
 
   test("q_range_join: bucket equi-key join, fact side never broadcast") {
@@ -768,7 +770,15 @@ class QueriesPlanSpec extends SparkSpec {
     val p = graft.ops.Graph.walkRound(spark, sf0001)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
-      "degree lookup and rank probe must both stay keyed shuffle joins")
+      "degree lookup and adjacency probe must both stay keyed shuffle joins")
+    // the adjacency probe must build the WALK-scale side (BuildLeft) and
+    // stream the edge-scale adjacency: the r12 sf10 ledger OOM'd an
+    // edge-scale hash build and crawled on a per-step sort-merge
+    // (the base orders⋈lineitem construction sort-merges — that SMJ is
+    // the corpus×corpus rule, not the probe)
+    assert(p.contains("BuildLeft"),
+      "adjacency probe lost its walk-scale build side — an edge-scale build OOMs at sf10, " +
+        "and a sort-merge re-sorts the whole adjacency every step for a 40k-walk probe")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       "a data-scale join degenerated")
     // the adjacency probe is an EQUI join on (src, rnk): no post-join
@@ -882,8 +892,13 @@ class QueriesPlanSpec extends SparkSpec {
       "shingle relation lost its materialization")
     assert(!p.contains("Scan parquet"),
       "a consumer re-derives the corpus explode instead of scanning the checkpoint")
-    assert("ShuffledHashJoin".r.findAllIn(p).size >= 2,
-      "hot-shingle df-cap join AND the match join must both be keyed shuffle joins")
+    // df-cap join: both sides corpus-scale → SORT-MERGE (the r12 sf10
+    // ledger OOM'd the earlier 45M-gram hash build); match join: the
+    // query side (1/97 of shingles) is a legitimately bounded hash build
+    assert(p.contains("SortMergeJoin"),
+      "hot-shingle df-cap join must sort-merge — both sides corpus-scale")
+    assert(p.contains("ShuffledHashJoin"),
+      "the match join must stay a keyed shuffle join on the bounded query side")
     assert(!p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
       && !p.contains("NestedLoop"),
       "nothing corpus-derived may broadcast, and no pair may form outside the shingle key")
