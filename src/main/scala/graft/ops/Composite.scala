@@ -27,17 +27,25 @@ import org.apache.spark.sql.types.DecimalType
   *  - top-k = `orderBy(...).limit(k)` → TakeOrderedAndProject (per
   *    partition heap + driver merge of k rows), never a global sort.
   *
-  * Money discipline per [[Q]]'s scaladoc: revenue is
-  * `CAST(sum(CAST(extprice*(1-disc) AS DECIMAL(28,6))) AS DOUBLE)` —
+  * Money discipline per [[Q]]'s scaladoc: revenue sums the exact
+  * decimal product of factor-first 2-dp casts (see [[revenue]]) —
   * exact, associative, partial-agg-order independent; ties in the
   * top-k sort are broken by the unique group key.
   */
 object Composite {
   import Tables._
 
+  /** Factor-first decimal casts (the r12 q_agg_hash finding): the
+    * factors are exact 2-dp quantities, so the product is an exact
+    * 4-dp decimal in both dialects — the earlier
+    * double-multiply-then-cast-to-(28,6) rounded each product, and
+    * double→decimal tie rounding diverges across engines at ~10M+
+    * rows.
+    */
   private def revenue =
-    sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-      .cast(DecimalType(28, 6))).cast("double").as("revenue")
+    sum(col("l_extendedprice").cast(DecimalType(18, 2))
+      * (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+      .cast("double").as("revenue")
 
   /** TPC-H Q3 shape — shipping-priority candidates: for one market
     * segment, the 10 highest-revenue orders taken before the cutoff
@@ -59,7 +67,7 @@ object Composite {
         .limit(10)
     },
     Some("""SELECT l_orderkey, o_orderdate,
-                   CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
             FROM customer JOIN orders ON c_custkey = o_custkey
                           JOIN lineitem ON l_orderkey = o_orderkey
             WHERE c_mktsegment = 'BUILDING'
@@ -105,7 +113,7 @@ object Composite {
         .orderBy(col("revenue").desc, col("n_name"))
     },
     Some("""SELECT n_name,
-                   CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
             FROM region JOIN nation   ON n_regionkey = r_regionkey
                         JOIN customer ON c_nationkey = n_nationkey
                         JOIN orders   ON o_custkey   = c_custkey
@@ -143,7 +151,7 @@ object Composite {
         .limit(20)
     },
     Some("""SELECT c_custkey, c_name,
-                   CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
                    c_acctbal, n_name
             FROM customer JOIN orders ON o_custkey = c_custkey
                           JOIN lineitem ON l_orderkey = o_orderkey

@@ -387,7 +387,14 @@ object Relational {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(28, 6)))
+          // factor-FIRST decimal casts: each factor is an exact 2-dp
+          // quantity, so the product is an exact 4-dp decimal in both
+          // dialects. The previous double-multiply-then-cast rounded
+          // each product to 6 dp, and double→decimal TIE rounding
+          // diverges across engines — invisible below ~10M rows, a
+          // 4e-5 hash mismatch at the r12 sf10 t2's 60M lineitem.
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))
+            * (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
             .cast("double")
             .as("sum_disc_price"),
           count(lit(1)).as("cnt")
@@ -397,7 +404,7 @@ object Relational {
     Some("""SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
-                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
                    count(*) AS cnt,
                    CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_qty
             FROM lineitem

@@ -588,8 +588,18 @@ object Replay {
     */
   def replayDedupQueue(s: SparkSession, d: String, rowsPerBatch: Int = 0): DataFrame = {
     import scala.jdk.CollectionConverters._
+    // the broker delivers in EVENT-TIME order — the production queue
+    // assumption (Kafka append order ≈ event order; the watermark
+    // absorbs bounded disorder). Feeding raw file order instead loses
+    // data at scale, caught by the r12 sf10 t2: ScaleUp corpora are
+    // concatenated copies whose ts ranges RESTART per copy, so batch 2+
+    // arrived wholly behind the watermark and the stateful dedup
+    // dropped it as late (got 86 520 of 750 000 keys) — the same
+    // arrival-order physics the q_stream_join staging slices by event
+    // time for. One sort at feed time, ∝ corpus, executor-side.
     val evts = graft.ops.Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type")
+      .orderBy("ts")
     val batch =
       if (rowsPerBatch > 0) rowsPerBatch
       else {

@@ -364,6 +364,27 @@ class ReplaySpec extends SparkSpec {
     assert(queued.nonEmpty)
   }
 
+  test("queue source: a time-restarting corpus (concatenated epochs) loses nothing — event-time feed order is load-bearing") {
+    // the r12 sf10 t2 catch: ScaleUp corpora are concatenated copies
+    // whose ts ranges RESTART per copy; fed in raw file order, batch 2+
+    // arrives wholly behind the watermark and the stateful dedup drops
+    // it as late (86 520 of 750 000 keys survived). The broker feed
+    // sorts by event time — this corpus is the regression trap.
+    import org.apache.spark.sql.functions._
+    val e = graft.ops.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("queue-epochs-").toString
+    e.unionByName(
+        e.withColumn("event_id", col("event_id") + 1000000L)
+          .withColumn("user_id", col("user_id") + 1000000L))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Replay.replayDedupQueue(spark, dir, rowsPerBatch = 700)
+      .select("user_id", "event_type").distinct().count()
+    val want = graft.ops.Tables.events(spark, dir)
+      .select("user_id", "event_type").distinct().count()
+    assert(got == want, s"epoch-2 keys lost behind the watermark: $got of $want")
+  }
+
   test("queue broker contract: rate-limited admission, ack drops history, replay of acked offsets refused") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("x", LongType)))

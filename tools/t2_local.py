@@ -23,26 +23,29 @@ TABLES = [
 ]
 
 # Oracles INFEASIBLE ON ORACLE INFRASTRUCTURE above a known scale,
-# keyed by the documents row count at which they die (r12, VERDICT r11
-# #4): q_rouge_multi's best-match oracle spills DuckDB past the
-# container disk at sf10's 500k docs (measured r11) while the engine
-# path stays healthy — an infra capacity limit, not an engine defect,
-# so the board must show SKIP-by-rule, never FAIL (a FAIL row must
-# always mean engine wrongness). Engine-independent coverage at that
-# scale is tools/sampled_check.py's plain-Python re-derivation over a
-# deterministic pair sample.
+# keyed by (table, row count) at which they die (r12, VERDICT r11 #4):
+# q_rouge_multi's best-match oracle spills DuckDB past the container
+# disk at sf10's 500k docs (measured r11), and q_pagerank's 5-iteration
+# CTE chain over the sf10 trade graph (60M lineitem) fills >70 GB of
+# DuckDB spill before dying (measured r12) — infra capacity limits, not
+# engine defects, so the board must show SKIP-by-rule, never FAIL (a
+# FAIL row must always mean engine wrongness). Engine-independent
+# coverage at that scale is tools/sampled_check.py's plain-Python
+# re-derivation (rouge) and the GraphSpec exact-fixed-point laws +
+# lower-sf hash matches (pagerank).
 ORACLE_INFEASIBLE_ABOVE = {
-    "q_rouge_multi": 100_000,  # documents rows; sf10 is 500k
+    "q_rouge_multi": ("documents", 100_000),  # sf10 is 500k
+    "q_pagerank": ("lineitem", 10_000_000),  # sf10 is 60M
 }
 
 
-def documents_rows(sf_dir) -> int:
+def table_rows(sf_dir, table) -> int:
     """Parquet-metadata row count (no scan); 0 when the table is absent
     (partial scale dirs)."""
     try:
         con = duckdb.connect()
         return con.execute(
-            f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+            f"SELECT count(*) FROM '{sf_dir}/{table}.parquet'"
         ).fetchone()[0]
     except Exception:
         return 0
@@ -135,14 +138,19 @@ def main(sf_dir: str, out_dir: str, timeout_sec: float | None = None) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
     skipped = []
-    n_docs = documents_rows(sf_dir)
+    row_counts = {}
     for name, sql in sorted(oracle.items()):
-        limit = ORACLE_INFEASIBLE_ABOVE.get(name)
-        if limit is not None and n_docs > limit:
-            skipped.append(name)
-            print(f"SKIP {name}: oracle infeasible on DuckDB above {limit} docs "
-                  f"(corpus has {n_docs}); covered by tools/sampled_check.py")
-            continue
+        rule = ORACLE_INFEASIBLE_ABOVE.get(name)
+        if rule is not None:
+            table, limit = rule
+            if table not in row_counts:
+                row_counts[table] = table_rows(sf_dir, table)
+            if row_counts[table] > limit:
+                skipped.append(name)
+                print(f"SKIP {name}: oracle infeasible on DuckDB above {limit} "
+                      f"{table} rows (corpus has {row_counts[table]}); "
+                      f"covered by engine-independent checks")
+                continue
         if timeout_sec is None:
             name_, ok, msg = run_compare(sf_dir, out_dir, name, sql)
         else:
