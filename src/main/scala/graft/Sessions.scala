@@ -60,4 +60,27 @@ object FsUtil {
       paths.reverseIterator.foreach(f => java.nio.file.Files.deleteIfExists(f))
     }
   }
+
+  private val exitDoomed =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val exitHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = exitDoomed.poll()
+      while (p != null) {
+        try deleteRecursively(p) catch { case _: Throwable => () }
+        p = exitDoomed.poll()
+      }
+    }, "graft-fsutil-exit-clean"))
+  }
+
+  /** Register a scratch directory for recursive deletion at JVM exit —
+    * for sinks a caller hands back as a LAZY DataFrame read (deleting
+    * eagerly would break the frame; `File.deleteOnExit` is per-file and
+    * leaks non-empty dirs). One JVM shutdown hook drains the registry.
+    */
+  def deleteOnExit(p: java.nio.file.Path): java.nio.file.Path = {
+    exitHook
+    exitDoomed.add(p)
+    p
+  }
 }

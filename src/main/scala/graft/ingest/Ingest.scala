@@ -136,42 +136,51 @@ object Ingest {
       .when(try_to_timestamp(element_at(parts, 3), lit(PPComplete.dateTimeFormat)).isNull,
         lit("bad_date"))
       .otherwise(lit("ok"))
-    val staging = s"$outDir/staging"
-    s.read.text(path)
-      .select(col("value"), reason.as("reason"))
-      .write.mode("overwrite").partitionBy("reason").parquet(staging)
-    val fs = new org.apache.hadoop.fs.Path(staging)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    def stagedOr(reasons: Seq[String], schema: org.apache.spark.sql.types.StructType): DataFrame = {
-      val dirs = reasons.map(r => s"$staging/reason=$r")
-        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-      if (dirs.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-      else s.read.option("basePath", staging).parquet(dirs: _*)
+    // the three sinks publish ATOMICALLY (r12 ADVICE): all writes land
+    // in a scratch sibling and ONE rename exposes them, so a crash
+    // between the staging write and the sink writes can never leave a
+    // partially-routed outDir that a path-reusing caller reads as
+    // complete. Completeness = all three sinks' _SUCCESS markers.
+    def complete() = Seq("staging", "clean", "quarantine")
+      .forall(p => graft.ops.Partitioned.successExists(s, s"$outDir/$p"))
+    if (!complete()) {
+      graft.ops.Partitioned.buildAtomically(s, outDir, () => complete()) { tmp =>
+        val staging = s"$tmp/staging"
+        s.read.text(path)
+          .select(col("value"), reason.as("reason"))
+          .write.mode("overwrite").partitionBy("reason").parquet(staging)
+        val fs = new org.apache.hadoop.fs.Path(staging)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def stagedOr(reasons: Seq[String], schema: org.apache.spark.sql.types.StructType): DataFrame = {
+          val dirs = reasons.map(r => s"$staging/reason=$r")
+            .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+          if (dirs.isEmpty)
+            s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+          else s.read.option("basePath", staging).parquet(dirs: _*)
+        }
+        val stagedSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("reason",
+            org.apache.spark.sql.types.StringType)))
+        // clean: §1.5 projection (split again — scan-speed, columnar input)
+        // + §1.6 strict typing; by construction every date here parses, so
+        // the ANSI to_timestamp cannot throw
+        val cleanCols = PPComplete.columns.zipWithIndex.map { case (name, i) =>
+          val f = element_at(split(col("value"), ",", -1), i + 1)
+          when(f === "\\N", lit(null)).otherwise(f).as(name)
+        }
+        typed(stagedOr(Seq("ok"), stagedSchema).select(cleanCols: _*))
+          .write.mode("overwrite").parquet(s"$tmp/clean")
+        stagedOr(Seq("bad_columns", "bad_date"), stagedSchema)
+          .select(
+            element_at(split(col("value"), ",", -1), 1).as("transaction_unique_id"),
+            col("reason"),
+            col("value").as("raw"))
+          .write.mode("overwrite").parquet(s"$tmp/quarantine")
+      }
     }
-    val stagedSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("reason",
-        org.apache.spark.sql.types.StringType)))
-    // clean: §1.5 projection (split again — scan-speed, columnar input)
-    // + §1.6 strict typing; by construction every date here parses, so
-    // the ANSI to_timestamp cannot throw
-    val cleanCols = PPComplete.columns.zipWithIndex.map { case (name, i) =>
-      val f = element_at(split(col("value"), ",", -1), i + 1)
-      when(f === "\\N", lit(null)).otherwise(f).as(name)
-    }
-    val cleanDir = s"$outDir/clean"
-    typed(stagedOr(Seq("ok"), stagedSchema).select(cleanCols: _*))
-      .write.mode("overwrite").parquet(cleanDir)
-    val quarDir = s"$outDir/quarantine"
-    stagedOr(Seq("bad_columns", "bad_date"), stagedSchema)
-      .select(
-        element_at(split(col("value"), ",", -1), 1).as("transaction_unique_id"),
-        col("reason"),
-        col("value").as("raw"))
-      .write.mode("overwrite").parquet(quarDir)
-    (cleanDir, quarDir)
+    (s"$outDir/clean", s"$outDir/quarantine")
   }
 
   /** §1.6 fail-on-malformed, single-pass: run `body` (the write job) and

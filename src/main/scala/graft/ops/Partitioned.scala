@@ -72,7 +72,7 @@ object Partitioned {
     * with NO winner throws instead of silently returning a path that
     * doesn't exist.
     */
-  private[ops] def buildAtomically(s: SparkSession, out: String,
+  private[graft] def buildAtomically(s: SparkSession, out: String,
       complete: () => Boolean = null)(
       build: String => Unit): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
@@ -110,7 +110,7 @@ object Partitioned {
     * rewriting the layout on every invocation. Same FS resolution as
     * the writes/listings it guards.
     */
-  private[ops] def successExists(s: SparkSession, dir: String): Boolean = {
+  private[graft] def successExists(s: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }

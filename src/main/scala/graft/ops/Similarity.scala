@@ -828,6 +828,34 @@ object Similarity {
   private def bucketCol(b: Int): Column =
     (bestCidCol * lit(1 << b) + sigCol(b)).cast("int")
 
+  /** The flat/segmented/merged layout's on-disk schema — the single
+    * definition both the write sites and [[prunedBucketScan]]'s
+    * all-buckets-empty fallback share, so the empty-probe frame can
+    * never silently diverge from what a non-empty probe reads (r12
+    * ADVICE). Write sites assert against it via [[assertLayoutSchema]].
+    */
+  private val flatLayoutSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType)))
+
+  /** Fail a layout BUILD loudly if its frame drifts from
+    * [[flatLayoutSchema]] (names + types; nullability is writer's
+    * choice) — drift must die at write time, not as a silent
+    * empty-probe mismatch months later.
+    */
+  private def assertLayoutSchema(df: DataFrame): DataFrame = {
+    val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val want = flatLayoutSchema.fields.map(f => (f.name, f.dataType)).toSeq
+    require(got == want,
+      s"layout frame schema $got drifted from flatLayoutSchema $want")
+    df
+  }
+
   def ivfSubLayout(s: SparkSession, d: String, b: Int): String = {
     // b is part of the cache key: a layout built at one bit width must
     // never serve a probe computed at another (the occupancy formula is
@@ -839,8 +867,8 @@ object Similarity {
         val emb = embeddings(s, d)
           .where(col("vec_id") =!= 0)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        emb
-          .select(col("vec_id"), col("v"), bucketCol(b).as("bucket"))
+        assertLayoutSchema(
+          emb.select(col("vec_id"), col("v"), bucketCol(b).as("bucket")))
           // ONE file per bucket directory: without this, every write
           // task emits a fragment into every partition dir (measured
           // 47 705 files over 4 095 dirs at sf10 — footer reads and
@@ -926,17 +954,14 @@ object Similarity {
       .map(bk => s"$lay/bucket=$bk")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     val scan =
-      if (dirs.isEmpty) {
-        val sch = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("v",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)),
-          org.apache.spark.sql.types.StructField("bucket",
-            org.apache.spark.sql.types.IntegerType)))
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-      } else s.read.option("basePath", lay).parquet(dirs: _*)
+      if (dirs.isEmpty)
+        // the ONE schema definition shared with the write site (r12
+        // ADVICE): ivfSubLayout asserts the frame it writes matches
+        // flatLayoutSchema, so this empty-path frame cannot drift from
+        // what a non-empty probe would read
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], flatLayoutSchema)
+      else s.read.option("basePath", lay).parquet(dirs: _*)
     scan.where(col("bucket").isin(buckets: _*))
   }
 
@@ -1031,7 +1056,8 @@ object Similarity {
             .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           val n = src.count()
           val b = flatLayoutBits(n)
-          src.select(col("vec_id"), col("v"), bucketCol(b).as("bucket"))
+          assertLayoutSchema(
+              src.select(col("vec_id"), col("v"), bucketCol(b).as("bucket")))
             .repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/$seg/data")
           s.range(1).select(lit(n).as("n"), lit(b).as("b"))
@@ -1126,10 +1152,11 @@ object Similarity {
         val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
         val (pass, rebucket) = segMeta(s, segRoot).partition(_._3 == bTot)
         if (rebucket.nonEmpty)
-          rebucket.map { case (dir, _, _) =>
-            s.read.parquet(dir).select(col("vec_id"), col("v")) }
-            .reduce(_ unionAll _)
-            .select(col("vec_id"), col("v"), bucketCol(bTot).as("bucket"))
+          assertLayoutSchema(
+              rebucket.map { case (dir, _, _) =>
+                s.read.parquet(dir).select(col("vec_id"), col("v")) }
+                .reduce(_ unionAll _)
+                .select(col("vec_id"), col("v"), bucketCol(bTot).as("bucket")))
             .repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
         for (((dir, _, _), si) <- pass.zipWithIndex) {

@@ -580,35 +580,44 @@ object Replay {
     * [[graft.sources.QueueSource]] micro-batch source instead of the
     * file source: the broker reveals ≤ rowsPerBatch rows per trigger
     * (count-targeted by default: ⌈n/5⌉ capped at the 500 k
-    * q_stream_join slice target) from a LAZY `toLocalIterator` feed,
-    * and every commit physically drops the acked rows, so the replay
-    * exercises the checkpoint/state machinery against a source that
-    * cannot re-list history. Broker memory ≤ the un-acked window,
-    * never corpus-sized.
+    * q_stream_join slice target) across `nShards` PARTITION-PARALLEL
+    * log shards ([[graft.sources.QueueBroker.stageShards]] — staged and
+    * served executor-side; no row crosses the driver), and every
+    * commit makes the acked range un-servable, so the replay exercises
+    * the checkpoint/state machinery against a source that cannot
+    * re-list history. Broker memory is O(1) per shard: the logs live
+    * on disk, only offsets in memory.
     */
-  def replayDedupQueue(s: SparkSession, d: String, rowsPerBatch: Int = 0): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    // the broker delivers in EVENT-TIME order — the production queue
-    // assumption (Kafka append order ≈ event order; the watermark
-    // absorbs bounded disorder). Feeding raw file order instead loses
-    // data at scale, caught by the r12 sf10 t2: ScaleUp corpora are
-    // concatenated copies whose ts ranges RESTART per copy, so batch 2+
-    // arrived wholly behind the watermark and the stateful dedup
-    // dropped it as late (got 86 520 of 750 000 keys) — the same
-    // arrival-order physics the q_stream_join staging slices by event
-    // time for. One sort at feed time, ∝ corpus, executor-side.
+  def replayDedupQueue(s: SparkSession, d: String, rowsPerBatch: Int = 0,
+      nShards: Int = 8): DataFrame = {
     val evts = graft.ops.Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type")
-      .orderBy("ts")
     val batch =
       if (rowsPerBatch > 0) rowsPerBatch
       else {
         val n = evts.count()
         math.min(500000L, math.max(1L, (n + 4) / 5)).toInt
       }
+    // the broker delivers in PER-SHARD EVENT-TIME order — the
+    // production queue assumption (Kafka per-partition append order ≈
+    // event order; the watermark absorbs bounded disorder). Feeding raw
+    // file order instead loses data at scale, caught by the r12 sf10
+    // t2: ScaleUp corpora are concatenated copies whose ts ranges
+    // RESTART per copy, so batch 2+ arrived wholly behind the watermark
+    // and the stateful dedup dropped it as late (got 86 520 of 750 000
+    // keys). Sharding is Kafka's keyed partitioning on the DEDUP key
+    // (per-key total order within one shard); shards are hash-balanced,
+    // so count-based per-shard admission keeps their event-time
+    // frontiers in lockstep — cross-shard disorder ≪ the 1 h watermark.
+    // The r12 feed was ONE driver-side toLocalIterator (~39 k rows/s,
+    // 257 s at sf10 — the round's scale-killer); stageShards writes and
+    // serves every shard executor-side, the driver handles offsets only.
+    val sharded = evts
+      .repartition(nShards, col("user_id"), col("event_type"))
+      .sortWithinPartitions("ts")
+    val stageDir = java.nio.file.Files.createTempDirectory("queue-log-")
     val name = "events-" + java.util.UUID.randomUUID()
-    graft.sources.QueueBroker.register(
-      name, evts.schema, batch, evts.toLocalIterator().asScala)
+    graft.sources.QueueBroker.stageShards(name, sharded, batch, stageDir)
     try {
       val stream = s.readStream
         .format(graft.sources.QueueSource.Name)
@@ -616,8 +625,16 @@ object Replay {
         .load()
       replayQueueToParquet(
         dedupStream(stream),
-        java.nio.file.Files.createTempDirectory("replay-qdedup-out-").toString)
-    } finally graft.sources.QueueBroker.remove(name)
+        // the returned frame lazily reads this sink, so it cannot be
+        // deleted here — registered for JVM-exit cleanup instead (the
+        // r12 ADVICE leak: 3 Bench passes × scales left one key-set
+        // dir each)
+        graft.FsUtil.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("replay-qdedup-out-")).toString)
+    } finally {
+      graft.sources.QueueBroker.remove(name)
+      graft.FsUtil.deleteRecursively(stageDir)
+    }
   }
 
   /** Declared query — q_stream_dedup THROUGH THE QUEUE SOURCE, carrying

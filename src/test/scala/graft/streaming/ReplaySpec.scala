@@ -391,6 +391,7 @@ class ReplaySpec extends SparkSpec {
     val rows = (0L until 10L).map(i => org.apache.spark.sql.Row(i))
     graft.sources.QueueBroker.register("contract-test", schema, 4, rows.iterator)
     val q = graft.sources.QueueBroker.get("contract-test")
+      .asInstanceOf[graft.sources.QueueBroker.Queue]
     assert(q.pullMore() == 4L) // rate limit: ≤ 4 rows revealed per trigger
     assert(q.pullMore() == 8L)
     assert(q.slice(0L, 4L).map(_.getLong(0)).toSeq == (0L until 4L))
@@ -403,6 +404,73 @@ class ReplaySpec extends SparkSpec {
     assert(q.pullMore() == 10L) // drained: reveals the final partial batch
     assert(q.pullMore() == 10L) // and then stays put — the drain signal
     graft.sources.QueueBroker.remove("contract-test")
+  }
+
+  test("sharded log queue contract: per-shard rate limit, executor-format rows, un-acked re-fetch legal, acked replay refused, full ack deletes the log") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 100)
+      .select(col("id"), (col("id") * 7 % 13).as("k"))
+      .repartition(4, col("k"))
+    val dir = Files.createTempDirectory("queue-log-contract-")
+    graft.sources.QueueBroker.stageShards("log-contract", df, 20, dir)
+    val q = graft.sources.QueueBroker.get("log-contract")
+      .asInstanceOf[graft.sources.QueueBroker.LogQueue]
+    assert(q.nShards == 4)
+    assert(q.perShardBatch == 5) // ceil(20/4): a trigger admits ≈ rowsPerBatch total
+    val shardTotals = (0 until 4).map { i =>
+      var last = 0L
+      var cur = q.shard(i).reveal(q.perShardBatch)
+      var n = 0
+      while (cur != last) { last = cur; cur = q.shard(i).reveal(q.perShardBatch); n += 1 }
+      last
+    }
+    assert(shardTotals.sum == 100, s"shards lost rows: $shardTotals")
+    // rows come back in the engine's own wire format — read a slice and
+    // decode field 0 (id LONG) straight off the UnsafeRow
+    val s0 = q.shard(0)
+    val firstTwo = s0.read(0L, 2L).map(_.getLong(0)).toSeq
+    assert(firstTwo.length == 2)
+    // un-acked re-fetch (a task retry) is LEGAL — Kafka's consumer seek
+    assert(s0.read(0L, 2L).map(_.getLong(0)).toSeq == firstTwo)
+    s0.ack(2L)
+    // acked history is refused: the queue law that distinguishes it
+    // from a file source
+    assertThrows[IllegalArgumentException](s0.read(0L, 2L))
+    // reading past the acked boundary still works
+    assert(s0.read(2L, shardTotals(0)).length == (shardTotals(0) - 2L))
+    // full ack physically drops the shard log
+    s0.ack(shardTotals(0))
+    assert(!Files.exists(dir.resolve("shard-00000.log")), "fully-acked log not deleted")
+    graft.sources.QueueBroker.remove("log-contract")
+    graft.FsUtil.deleteRecursively(dir)
+  }
+
+  test("sharded log queue: every micro-batch plans one InputPartition per shard — the executor-parallel read path") {
+    // drive the real MicroBatchStream surface directly: admission must
+    // be per-shard vectors and plans must fan out one descriptor per
+    // shard carrying offsets only (no rows through the driver)
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 60).select(col("id")).repartition(3, col("id"))
+    val dir = Files.createTempDirectory("queue-log-plan-")
+    graft.sources.QueueBroker.stageShards("log-plan", df, 30, dir)
+    try {
+      val stream = new graft.sources.QueueMicroBatchStream("log-plan", df.schema)
+      val o0 = stream.initialOffset().asInstanceOf[graft.sources.QueueOffset]
+      assert(o0.v == Vector(0L, 0L, 0L))
+      val o1 = stream.latestOffset().asInstanceOf[graft.sources.QueueOffset]
+      assert(o1.v.forall(_ == 10L)) // ceil(30/3) per shard
+      val parts = stream.planInputPartitions(o0, o1)
+      assert(parts.length == 3, "one partition per shard")
+      assert(parts.forall(_.isInstanceOf[graft.sources.QueueLogBatch]))
+      // offset JSON roundtrip (checkpoint format)
+      assert(stream.deserializeOffset(o1.json()) == o1)
+      stream.commit(o1)
+      // committed history refused at plan time
+      assertThrows[IllegalArgumentException](stream.planInputPartitions(o0, o1))
+    } finally {
+      graft.sources.QueueBroker.remove("log-plan")
+      graft.FsUtil.deleteRecursively(dir)
+    }
   }
 
   test("streaming quality gate: expression-form model == batch classifier accepted set") {
