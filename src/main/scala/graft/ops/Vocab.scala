@@ -290,5 +290,230 @@ object Vocab {
          |FROM s0 JOIN s$MERGES ON s0.doc_id = s$MERGES.doc_id
          |ORDER BY s0.doc_id""".stripMargin
 
-  val all: Seq[Q] = Seq(qBpeTrain, qBpeTrainChar, qBpeApply, qBpeVocab)
+  // -------------------------------------------------------------------
+  // UNIGRAM-LM TOKENIZER TRAINING (r13) — the OTHER production
+  // tokenizer family (Kudo 2018, "Subword Regularization": the
+  // SentencePiece unigram model): where BPE grows a vocabulary
+  // bottom-up by merges, unigram LM starts from an over-complete
+  // substring candidate set and fits piece probabilities by EM,
+  // pruning pieces the model stops using.
+  //
+  // Exact-arithmetic form (the Q discipline — no floats in
+  // hash-compared state): this is VITERBI (hard) EM. Piece
+  // probabilities are quantized to powers of two via [[TextOps.flog2]]
+  // integer bits — log2 P(p) = flog2(c_p + 1) − flog2(C + 1) with
+  // plus-one smoothing, C = the round's total piece mass — so a
+  // segmentation's log-probability is an integer sum and the E-step's
+  // argmax segmentation (Viterbi DP over each word) is an exact
+  // integer maximization with a total tiebreak (score DESC, then
+  // split point ASC = longest-last-piece). Soft EM's forward-backward
+  // posteriors are irreducibly float — the same reason q_lm_backoff
+  // quantizes Stupid Backoff — and SentencePiece's ENCODE step is this
+  // very Viterbi; fixed-round hard EM keeps every round's state
+  // (counts, vocab) bit-identical across engines and partitionings.
+  //
+  // Algorithm (fixed rounds, generated-CTE-chain oracled like BPE):
+  //   seed   candidate pieces = every substring of length ≤ ULM_PLEN of
+  //          the distinct-word relation, weighted by word frequency;
+  //          vocab_0 = ALL single chars (coverage guarantee — never
+  //          pruned) ∪ top-ULM_SEED multi-char candidates.
+  //   E-step Viterbi-segment every distinct word under vocab_{r-1}
+  //          (DP unrolled over positions 1..ULM_LMAX, then a backtrack
+  //          walk emits the chosen pieces); expected counts = piece
+  //          occurrences × word frequency.
+  //   M-step re-estimate bits from counts; PRUNE multi-char pieces the
+  //          best segmentations stopped using (count 0) — chars stay.
+  //   output the final vocabulary: top-ULM_TOPK (piece, freq, bits).
+  //
+  // Scale shape: the ONLY corpus-scale stage is the word-count
+  // aggregate (one map-side-combined groupBy — the same shuffle as
+  // BPE's pair counts); everything after runs on the DISTINCT-WORD
+  // relation with frequencies — exactly how SentencePiece/subword-nmt
+  // trainers operate (train on word-and-count tables, not raw text).
+  // That relation is vocabulary-sized but still distributed: the DP
+  // iterations are joins keyed on (word, position), never a driver
+  // collect; per-round state is Materialize-checkpointed so lineage
+  // stays O(1) in the unrolled step count. Words longer than ULM_LMAX
+  // are excluded from training (SentencePiece's
+  // max_sentencepiece_length discipline; the fixture corpus tops out
+  // at 8 chars, so nothing is dropped at any declared scale).
+  // -------------------------------------------------------------------
+
+  /** Trainable word-length cap (DP unroll depth). */
+  private val ULM_LMAX = 8
+  /** Max candidate piece length. */
+  private val ULM_PLEN = 4
+  /** Multi-char seed candidates kept (freq DESC, piece ASC). */
+  private val ULM_SEED = 40
+  /** Fixed EM rounds. */
+  private val ULM_ROUNDS = 2
+  /** Output vocabulary rows. */
+  private val ULM_TOPK = 20
+
+  private def flog2(c: org.apache.spark.sql.Column) = TextOps.flog2(c)
+
+  /** The distinct-word relation with frequencies — the trainer's whole
+    * world after the one corpus-scale aggregate.
+    */
+  private def ulmWords(s: SparkSession, d: String): DataFrame =
+    fanOut(documents(s, d))
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "" && length(col("word")) <= ULM_LMAX)
+      .groupBy("word")
+      .agg(count(lit(1)).as("wfreq"))
+
+  /** Every (start j, end i, piece) substring slot of every distinct
+    * word, piece length ≤ ULM_PLEN — the DP lattice's edge set.
+    */
+  private def ulmSubs(words: DataFrame): DataFrame =
+    words
+      .select(col("word"), explode(expr("sequence(0, length(word) - 1)")).as("j"))
+      .select(col("word"), col("j"),
+        explode(expr(s"sequence(1, least($ULM_PLEN, length(word) - j))")).as("l"))
+      .select(col("word"), col("j"), (col("j") + col("l")).as("i"),
+        expr("substring(word, j + 1, l)").as("piece"))
+
+  val qUnigramLm = Q(
+    "q_unigram_lm",
+    (s, d) => {
+      val words = Materialize(ulmWords(s, d))
+      val subs = Materialize(ulmSubs(words))
+      val sfreq = Materialize(
+        subs.join(words, "word").groupBy("piece").agg(sum("wfreq").as("c")))
+      val chars = Materialize(sfreq.where(length(col("piece")) === 1))
+      val multi = sfreq.where(length(col("piece")) >= 2)
+        .orderBy(col("c").desc, col("piece").asc).limit(ULM_SEED)
+      var vocab = Materialize(chars.unionByName(multi))
+      for (_ <- 1 to ULM_ROUNDS) {
+        // the round's total piece mass → the log2-denominator bits
+        // (1 row, broadcast onto every DP edge)
+        val mass = vocab.agg(flog2(sum(col("c")) + 1).cast("long").as("b"))
+        // Viterbi DP, unrolled over end positions: f(word, i) = best
+        // integer log-prob of segmenting word[1..i]; ptr = the split
+        // the backtrack follows (tiebreak j ASC = longest last piece)
+        var f = words.select(col("word"), lit(0).as("idx"),
+          lit(0L).as("score"), lit(0).as("ptr"))
+        for (i <- 1 to ULM_LMAX) {
+          val byWord = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("word"))
+            .orderBy(col("score").desc, col("j").asc)
+          val fi = subs.where(col("i") === i)
+            .join(vocab, "piece")
+            .join(f.select(col("word"), col("idx").as("j"),
+              col("score").as("prev")), Seq("word", "j"))
+            .crossJoin(broadcast(mass))
+            .select(col("word"), col("j"),
+              (col("prev") + flog2(col("c") + 1) - col("b")).cast("long").as("score"))
+            .withColumn("rn", row_number().over(byWord))
+            .where(col("rn") === 1)
+            .select(col("word"), lit(i).as("idx"), col("score"), col("j").as("ptr"))
+          f = Materialize(f.unionByName(fi))
+        }
+        // backtrack walk: emit each word's chosen pieces (≤ ULM_LMAX
+        // steps; a finished word leaves the frontier at cur = 0)
+        var bk = words.select(col("word"), length(col("word")).as("cur"))
+        val ems = Seq.newBuilder[DataFrame]
+        for (_ <- 1 to ULM_LMAX) {
+          val e = Materialize(bk.where(col("cur") > 0)
+            .join(f.select(col("word"), col("idx").as("cur"), col("ptr")),
+              Seq("word", "cur"))
+            .select(col("word"),
+              expr("substring(word, ptr + 1, cur - ptr)").as("piece"),
+              col("ptr").as("nxt")))
+          ems += e.select("word", "piece")
+          bk = e.select(col("word"), col("nxt").as("cur"))
+        }
+        val counts = Materialize(ems.result().reduce(_ unionByName _)
+          .join(words, "word")
+          .groupBy("piece").agg(sum("wfreq").as("c")))
+        // M-step + prune: chars persist (count 0 allowed — coverage);
+        // multi-char pieces survive only while the Viterbi E-step uses them
+        vocab = Materialize(
+          chars.select(col("piece"))
+            .join(counts, Seq("piece"), "left")
+            .select(col("piece"), coalesce(col("c"), lit(0L)).as("c"))
+            .unionByName(counts.where(length(col("piece")) >= 2)))
+      }
+      vocab.select(col("piece"), col("c").as("freq"),
+          flog2(col("c") + 1).cast("long").as("bits"))
+        .orderBy(col("freq").desc, col("piece").asc)
+        .limit(ULM_TOPK)
+    },
+    Some(ulmOracle)
+  )
+
+  /** One code path emits the unigram-LM CTE chain (the [[bpeCtes]]
+    * discipline): the same Scala loops that drive the Spark rounds
+    * above generate the DuckDB DP/backtrack CTEs, so unroll depth,
+    * tiebreaks, smoothing, and prune rules cannot drift between
+    * engines. All counts CAST to BIGINT (DuckDB sums to HUGEINT).
+    */
+  private def ulmOracle: String = {
+    val rounds = (1 to ULM_ROUNDS).map { r =>
+      val dp = (1 to ULM_LMAX).map { i =>
+        s"""f${r}_$i AS MATERIALIZED (
+           |  SELECT word, idx, score, ptr FROM f${r}_${i - 1}
+           |  UNION ALL
+           |  SELECT word, $i AS idx, score, j AS ptr FROM (
+           |    SELECT s.word AS word, s.j AS j,
+           |           f.score + (length(bin(v.c + 1)) - 1) - m.b AS score,
+           |           row_number() OVER (PARTITION BY s.word
+           |             ORDER BY f.score + (length(bin(v.c + 1)) - 1) - m.b DESC,
+           |                      s.j ASC) AS rn
+           |    FROM sub s
+           |    JOIN v${r - 1} v USING (piece)
+           |    JOIN f${r}_${i - 1} f ON f.word = s.word AND f.idx = s.j
+           |    CROSS JOIN m$r m
+           |    WHERE s.i = $i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val walk = (1 to ULM_LMAX).map { t =>
+        s"""e${r}_$t AS MATERIALIZED (
+           |  SELECT b.word AS word,
+           |         substr(b.word, f.ptr + 1, b.cur - f.ptr) AS piece,
+           |         f.ptr AS nxt
+           |  FROM bk${r}_${t - 1} b
+           |  JOIN f${r}_$ULM_LMAX f ON f.word = b.word AND f.idx = b.cur
+           |  WHERE b.cur > 0),
+           |bk${r}_$t AS MATERIALIZED (SELECT word, nxt AS cur FROM e${r}_$t)""".stripMargin
+      }.mkString(",\n")
+      val emUnion = (1 to ULM_LMAX)
+        .map(t => s"SELECT word, piece FROM e${r}_$t").mkString("\nUNION ALL\n")
+      s"""m$r AS MATERIALIZED (SELECT (length(bin(CAST(sum(c) AS BIGINT) + 1)) - 1) AS b FROM v${r - 1}),
+         |f${r}_0 AS MATERIALIZED (SELECT word, 0 AS idx, CAST(0 AS BIGINT) AS score, 0 AS ptr FROM wd),
+         |$dp,
+         |bk${r}_0 AS MATERIALIZED (SELECT word, length(word) AS cur FROM wd),
+         |$walk,
+         |em$r AS MATERIALIZED ($emUnion),
+         |c$r AS MATERIALIZED (SELECT piece, CAST(sum(wfreq) AS BIGINT) AS c
+         |        FROM em$r JOIN wd USING (word) GROUP BY piece),
+         |v$r AS MATERIALIZED (SELECT ch.piece, coalesce(c.c, 0) AS c
+         |        FROM ch LEFT JOIN c$r c USING (piece)
+         |        UNION ALL
+         |        SELECT piece, c FROM c$r WHERE length(piece) >= 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wd AS MATERIALIZED (
+       |  SELECT t AS word, count(*) AS wfreq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> '' AND length(t) <= $ULM_LMAX
+       |  GROUP BY t),
+       |sub AS MATERIALIZED (
+       |  SELECT word, j, j + l AS i, substr(word, j + 1, l) AS piece
+       |  FROM (SELECT word, j,
+       |               unnest(range(1, least($ULM_PLEN, length(word) - j) + 1)) AS l
+       |        FROM (SELECT word, unnest(range(0, length(word))) AS j FROM wd))),
+       |sf AS MATERIALIZED (SELECT piece, CAST(sum(wfreq) AS BIGINT) AS c
+       |       FROM sub JOIN wd USING (word) GROUP BY piece),
+       |ch AS MATERIALIZED (SELECT piece, c FROM sf WHERE length(piece) = 1),
+       |v0 AS MATERIALIZED (SELECT piece, c FROM ch
+       |       UNION ALL
+       |       SELECT piece, c FROM (SELECT piece, c FROM sf WHERE length(piece) >= 2
+       |                             ORDER BY c DESC, piece ASC LIMIT $ULM_SEED)),
+       |$rounds
+       |SELECT piece, c AS freq, CAST(length(bin(c + 1)) - 1 AS BIGINT) AS bits
+       |FROM v$ULM_ROUNDS
+       |ORDER BY freq DESC, piece ASC
+       |LIMIT $ULM_TOPK""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(qBpeTrain, qBpeTrainChar, qBpeApply, qBpeVocab, qUnigramLm)
 }

@@ -160,4 +160,73 @@ class VocabSpec extends SparkSpec {
         s"case $id: syms=$syms rule=($pa,$pb) engine=${got(id)} brute=$expected")
     }
   }
+
+  /** Driver-side brute-force unigram-LM trainer (Kudo 2018, Viterbi
+    * hard-EM in the engine's exact integer-bits arithmetic) — an
+    * independent formulation: explicit DP arrays over each word, plain
+    * Scala maps for counts, no DataFrames, no generated SQL. Must
+    * reproduce q_unigram_lm's final vocabulary bit-for-bit.
+    */
+  private def ulmBruteForce(words: Map[String, Long]): Seq[(String, Long, Long)] = {
+    val (lmax, plen, seed, rounds, topk) = (8, 4, 40, 2, 20)
+    def flog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val trainable = words.filter { case (w, _) => w.nonEmpty && w.length <= lmax }
+    val sf = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- trainable; j <- 0 until w.length;
+         l <- 1 to math.min(plen, w.length - j))
+      sf.updateWith(w.substring(j, j + l))(c => Some(c.getOrElse(0L) + f))
+    val chars = sf.keySet.filter(_.length == 1).toSet
+    val multiSeed = sf.toSeq.filter(_._1.length >= 2)
+      .sortBy { case (p, c) => (-c, p) }.take(seed)
+    var vocab: Map[String, Long] =
+      chars.map(c => c -> sf(c)).toMap ++ multiSeed
+    for (_ <- 1 to rounds) {
+      val b = flog2(vocab.valuesIterator.sum + 1)
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- trainable) {
+        val n = w.length
+        val score = Array.fill(n + 1)(Long.MinValue)
+        val ptr = Array.fill(n + 1)(-1)
+        score(0) = 0L
+        for (i <- 1 to n; j <- math.max(0, i - plen) until i) {
+          vocab.get(w.substring(j, i)) match {
+            case Some(c) if score(j) != Long.MinValue =>
+              val s2 = score(j) + flog2(c + 1) - b
+              // strict > keeps the FIRST (smallest-j = longest-piece)
+              // argmax — the engine's (score DESC, j ASC) tiebreak
+              if (s2 > score(i)) { score(i) = s2; ptr(i) = j }
+            case _ =>
+          }
+        }
+        var cur = n
+        while (cur > 0) {
+          val j = ptr(cur)
+          counts.updateWith(w.substring(j, cur))(c => Some(c.getOrElse(0L) + f))
+          cur = j
+        }
+      }
+      vocab = chars.map(c => c -> counts.getOrElse(c, 0L)).toMap ++
+        counts.filter(_._1.length >= 2)
+    }
+    vocab.toSeq.map { case (p, c) => (p, c, flog2(c + 1)) }
+      .sortBy { case (p, c, _) => (-c, p) }.take(topk)
+  }
+
+  test("q_unigram_lm equals brute-force Viterbi-EM (Kudo 2018) on sf0.001") {
+    val words = Tables.documents(spark, sf0001)
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = ulmBruteForce(words)
+    val got = graft.SparkEntry.queries("q_unigram_lm")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == expected, s"engine vocab $got vs brute force $expected")
+    // structural sanity: the trainer actually kept multi-char pieces
+    // (an all-chars vocabulary would mean the E-step never used the
+    // seeded candidates) and counts are positive mass
+    assert(got.exists(_._1.length >= 2), "no multi-char piece survived EM")
+    assert(got.forall(_._2 >= 0))
+  }
 }
