@@ -886,8 +886,207 @@ object Partitioned {
     qDeletionVectors.oracle
   )
 
+  // -------------------------------------------------------------------
+  // CONCURRENT-WRITER COMMIT PROTOCOL (r13) — the optimistic-concurrency
+  // loop under every multi-writer lake format (Delta's
+  // put-if-absent of _delta_log/N.json; Iceberg's atomic
+  // swap-table-pointer): the r12 lifecycle (time travel, vacuum, merge,
+  // change feed) assumed ONE committer; this closes the gap. A commit
+  // is: read the head version, stage your data files anywhere (appends
+  // never rewrite — data files are immutable and uniquely named), then
+  // PUT-IF-ABSENT the next version's manifest. The loser of a race gets
+  // a CAS failure (the version file already exists), re-reads the new
+  // head — which now includes the winner's files — and retries on top
+  // of it. History is therefore LINEAR: every version = its
+  // predecessor + exactly one batch, no commit is ever lost or applied
+  // twice, writers never coordinate beyond the one atomic primitive.
+  // -------------------------------------------------------------------
+
+  /** Atomic PUT-IF-ABSENT of a small metadata file — THE commit
+    * primitive. On HDFS `create(path, overwrite = false)` is atomic;
+    * on an object store this is the conditional PUT every lake format
+    * rides (S3 If-None-Match, GCS x-goog-if-generation-match:0). On
+    * LOCAL paths Hadoop's RawLocalFileSystem emulates the create with
+    * a non-atomic exists() check, so we publish by HARD LINK instead:
+    * write the body to a unique temp, then `link(temp, target)` — one
+    * POSIX syscall that both fails-if-exists and exposes only complete
+    * content (a reader can never observe a half-written manifest).
+    * Returns false on the CAS failure the optimistic loop retries on.
+    */
+  private[ops] def casCreate(s: SparkSession, target: String, body: Array[Byte]): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(target)
+    p.toUri.getScheme match {
+      case null | "file" =>
+        val nio = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(nio.getParent)
+        val tmp = java.nio.file.Files.createTempFile(nio.getParent, ".cas-", ".tmp")
+        try {
+          java.nio.file.Files.write(tmp, body)
+          try { java.nio.file.Files.createLink(nio, tmp); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } finally java.nio.file.Files.deleteIfExists(tmp)
+      case _ =>
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        try {
+          val out = fs.create(p, false)
+          try out.write(body) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  private def commitLogDir(root: String): String = s"$root/_graft_log"
+  private def versionFile(logDir: String, v: Int): String =
+    f"$logDir/v$v%05d.txt"
+
+  /** Head version of a commit log (0 = empty table) — one directory
+    * listing, file-count-sized driver metadata like every manifest read
+    * in this family.
+    */
+  private[ops] def headVersion(s: SparkSession, logDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(logDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toInt }
+      .maxOption.getOrElse(0)
+  }
+
+  /** The file list visible at `v` — the full-snapshot manifest shape
+    * ([[buildVersioned]]'s Iceberg idiom: rewrites retire files without
+    * tombstone algebra).
+    */
+  private[ops] def manifestFiles(s: SparkSession, logDir: String, v: Int): Seq[String] = {
+    if (v == 0) return Seq.empty
+    val p = new org.apache.hadoop.fs.Path(versionFile(logDir, v))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val body = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, body) finally in.close()
+    new String(body, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  /** One commit ATTEMPT at exactly version `v`: manifest = the previous
+    * head's list + this batch. False = CAS failure (someone else owns
+    * `v` now) — the law the race test pins.
+    */
+  private[ops] def tryCommit(s: SparkSession, logDir: String, v: Int,
+      prev: Seq[String], batch: Seq[String]): Boolean =
+    casCreate(s, versionFile(logDir, v),
+      (prev ++ batch).sorted.mkString("\n").getBytes("UTF-8"))
+
+  /** The optimistic-concurrency COMMIT LOOP: re-read head, attempt
+    * head+1, retry on CAS failure — each retry rebases onto a head that
+    * now contains the winner's batch, so no commit is lost and none
+    * applies twice. The attempt cap turns livelock into a loud error
+    * (Delta's maxCommitAttempts); returns the committed version.
+    */
+  private[ops] def commitAppend(s: SparkSession, logDir: String,
+      batch: Seq[String], maxAttempts: Int = 50): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = headVersion(s, logDir)
+      val prev = manifestFiles(s, logDir, head)
+      if (tryCommit(s, logDir, head + 1, prev, batch)) return head + 1
+    }
+    throw new java.io.IOException(
+      s"commit of ${batch.size} files lost $maxAttempts CAS races in $logDir")
+  }
+
+  private def ccCommitDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_events_cc_commit_${sourceKey(Seq(s"$d/events.parquet"))}"
+
+  /** The declared layout: base load committed as v1, then TWO WRITERS
+    * on real threads race to append the held-out rows (split by parity)
+    * through [[commitAppend]] — whichever loses the v2 CAS rebases and
+    * lands v3. Each writer stages its batch in its OWN directory (a
+    * manifest lists absolute paths, so data files never share a
+    * directory with a concurrent writer — no _temporary collisions,
+    * the Iceberg anywhere-files shape). The final head is identical
+    * regardless of who wins: base ∪ batch_a ∪ batch_b, which is what
+    * makes the query deterministic and its full-table oracle a proof
+    * of exactly-once: a lost commit drops rows, a double-applied one
+    * doubles them, and either breaks the hash.
+    */
+  private[ops] def concurrentCommitLayout(s: SparkSession, d: String): String = {
+    val root = ccCommitDir(d)
+    // completeness = the v3 manifest exists (base + two racing appends);
+    // version files publish atomically LAST per commit, so this is the
+    // layout's _SUCCESS analogue
+    def complete() = {
+      val p = new org.apache.hadoop.fs.Path(versionFile(commitLogDir(root), 3))
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (!complete()) {
+      buildAtomically(s, root, () => complete()) { tmp =>
+        val log = commitLogDir(tmp)
+        val ev = Tables.events(s, d)
+        // manifests record TABLE-RELATIVE paths (Delta's convention):
+        // the layout publishes by directory rename, so absolute paths
+        // staged under the build dir would go stale at publish
+        def rel(sub: String): Seq[String] =
+          listParquet(s, s"$tmp/$sub")
+            .map(f => sub + "/" + f.substring(f.lastIndexOf('/') + 1))
+        ev.where(col("event_id") % 10 < 8)
+          .repartitionByRange(8, col("event_id"))
+          .write.mode("overwrite").parquet(s"$tmp/base")
+        require(commitAppend(s, log, rel("base")) == 1)
+        val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val writers = Seq(("a", 0), ("b", 1)).map { case (nm, par) =>
+          new Thread(() => {
+            try {
+              ev.where(col("event_id") % 10 >= 8 && col("event_id") % 2 === par)
+                .repartition(2) // batch-sized shuffle: a commit costs the batch
+                .write.mode("overwrite").parquet(s"$tmp/batch_$nm")
+              commitAppend(s, log, rel(s"batch_$nm"))
+            } catch { case t: Throwable => failures.add(t) }
+          }, s"graft-cc-writer-$nm")
+        }
+        writers.foreach(_.start())
+        writers.foreach(_.join())
+        if (!failures.isEmpty) throw failures.peek()
+        require(headVersion(s, log) == 3,
+          s"two racing appends over v1 must land v2 and v3, got head ${headVersion(s, log)}")
+      }
+    }
+    root
+  }
+
+  /** Head-snapshot read through the commit log — the same
+    * metadata-then-pruned-scan shape as [[snapshotRead]].
+    */
+  private[ops] def commitHeadRead(s: SparkSession, root: String): DataFrame = {
+    val log = commitLogDir(root)
+    val files = manifestFiles(s, log, headVersion(s, log))
+    require(files.nonEmpty, s"empty commit log under $root")
+    Tables.normalizeTs(s.read.parquet(files.map(f => s"$root/$f"): _*))
+  }
+
+  val qConcurrentCommit = Q(
+    "q_concurrent_commit",
+    (s, d) => {
+      val root = concurrentCommitLayout(s, d)
+      commitHeadRead(s, root)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+            .cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    // the FULL table: both racing writers' rows exactly once on top of
+    // the base commit — the exactly-once law as a hash
+    Some("""SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type""")
+  )
+
   val all: Seq[Q] =
     Seq(qPartitionPrune, qJoinBucketed, qCompact, qManifestSkip, qTimeTravel,
       qVacuum, qSchemaEvolution, qMergeUpsert, qChangeFeed, qDeletionVectors,
-      qDvCompact)
+      qDvCompact, qConcurrentCommit)
 }

@@ -277,4 +277,74 @@ class PartitionedSpec extends SparkSpec {
     assert(!new java.io.File(out).listFiles().exists(_.getName.contains(".build-")),
       "loser's build nested inside the published layout")
   }
+
+  test("commit CAS: put-if-absent — first writer wins, loser sees false, content is the winner's") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_cas_")
+    val target = s"$root/v00001.txt"
+    assert(Partitioned.casCreate(spark, target, "winner".getBytes("UTF-8")))
+    assert(!Partitioned.casCreate(spark, target, "loser".getBytes("UTF-8")),
+      "second put-if-absent of the same version must fail")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(target)), "UTF-8") == "winner")
+    graft.FsUtil.deleteRecursively(root)
+  }
+
+  test("commit loop: a CAS loss rebases onto the new head — the loser's retry lands winner+batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_retry_")
+    val log = s"$root/_graft_log"
+    assert(Partitioned.commitAppend(spark, log, Seq("base.parquet")) == 1)
+    // deterministic race window: the "winner" takes v2 directly, so the
+    // protocol-level attempt at v2 must CAS-fail...
+    assert(Partitioned.tryCommit(spark, log, 2,
+      Partitioned.manifestFiles(spark, log, 1), Seq("winner.parquet")))
+    assert(!Partitioned.tryCommit(spark, log, 2,
+      Partitioned.manifestFiles(spark, log, 1), Seq("loser.parquet")),
+      "v2 is taken; the loser's attempt must fail, never overwrite")
+    // ...and the loop retries to v3 REBASED on v2: the winner's file is
+    // in the loser's manifest
+    assert(Partitioned.commitAppend(spark, log, Seq("loser.parquet")) == 3)
+    val head = Partitioned.manifestFiles(spark, log, 3)
+    assert(head.toSet == Set("base.parquet", "winner.parquet", "loser.parquet"))
+    graft.FsUtil.deleteRecursively(root)
+  }
+
+  test("commit protocol under a real 8-writer race: dense linear history, every batch exactly once") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_race_")
+    val log = s"$root/_graft_log"
+    val n = 8
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        try { start.await(); Partitioned.commitAppend(spark, log, Seq(s"batch_$i.parquet")) }
+        catch { case t: Throwable => failures.add(t) }
+      }, s"cc-race-$i")
+    }
+    threads.foreach(_.start())
+    start.countDown() // all writers fire at once — maximal contention
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"writer failed: ${Option(failures.peek())}")
+    // dense versions 1..n: no gaps (a gap = a lost commit), no extras
+    assert(Partitioned.headVersion(spark, log) == n)
+    val lists = (1 to n).map(v => Partitioned.manifestFiles(spark, log, v).toSet)
+    // linear history: each version adds EXACTLY ONE batch to its parent
+    (1 until n).foreach { v =>
+      assert(lists(v - 1).subsetOf(lists(v)), s"v${v + 1} dropped files of v$v")
+      assert((lists(v) -- lists(v - 1)).size == 1,
+        s"v${v + 1} added ${(lists(v) -- lists(v - 1)).size} batches, not 1")
+    }
+    // exactly-once: the head is all n batches, none duplicated (sets
+    // can't show dups — re-check via the raw manifest line count)
+    assert(lists(n - 1) == (0 until n).map(i => s"batch_$i.parquet").toSet)
+    assert(Partitioned.manifestFiles(spark, log, n).size == n)
+    graft.FsUtil.deleteRecursively(root)
+  }
+
+  test("q_concurrent_commit layout: two racing writers land v2 and v3; head == base + both batches exactly once") {
+    val root = Partitioned.concurrentCommitLayout(spark, sf0001)
+    val head = Partitioned.commitHeadRead(spark, root)
+    val full = graft.ops.Tables.events(spark, sf0001)
+    assert(head.count() == full.count(), "head must hold every row exactly once")
+    assert(head.select("event_id").distinct().count() == full.count())
+  }
 }
