@@ -583,5 +583,261 @@ object Multimodal {
     None // codec semantics — dedup property proven in MultimodalSpec
   )
 
-  val all: Seq[Q] = Seq(qMmDecode, qMmFrames, qMmResize, qMmDecodePpm, qMmAudio, qMmPhash)
+  // -------------------------------------------------------------------
+  // PNG (r13) — the codec seam against a genuinely ENTROPY-CODED
+  // format: PPM and WAV are real but uncompressed (the raster/samples
+  // sit at fixed offsets once the header is parsed); PNG exercises the
+  // full decode pipeline a production image column needs — chunk
+  // walking with CRC-32 verification, multi-IDAT reassembly, zlib
+  // INFLATE (java.util.zip, library-free and public), and per-scanline
+  // DEFILTERING across all five PNG filter types (None/Sub/Up/Average/
+  // Paeth). The encoder cycles the filter type by row, so every
+  // defilter path decodes real entropy-coded input on every payload.
+  // -------------------------------------------------------------------
+
+  private def pngPaeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = (p - a).abs; val pb = (p - b).abs; val pc = (p - c).abs
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngBe32(v: Int): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def pngReadBe32(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) << 24 | (p(o + 1) & 0xff) << 16 | (p(o + 2) & 0xff) << 8 | (p(o + 3) & 0xff)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Encode an 8-bit GRAYSCALE raster as a real PNG: filter each
+    * scanline (type cycles r % 5 — every defilter path gets exercised),
+    * DEFLATE the filtered stream, and emit signature + IHDR + TWO IDAT
+    * chunks (compressed bytes split mid-stream: decoders must
+    * concatenate IDAT data before inflating — a real-world shape) +
+    * IEND, each chunk CRC-32'd over type+data.
+    */
+  private[ops] def encodePng(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val raw = Array.tabulate(h, w)((r, c) => pixel(r, c) & 0xff)
+    val filtered = new Array[Byte](h * (w + 1))
+    for (r <- 0 until h) {
+      val ft = r % 5
+      filtered(r * (w + 1)) = ft.toByte
+      for (c <- 0 until w) {
+        val x = raw(r)(c)
+        val left = if (c > 0) raw(r)(c - 1) else 0
+        val up = if (r > 0) raw(r - 1)(c) else 0
+        val ul = if (r > 0 && c > 0) raw(r - 1)(c - 1) else 0
+        val f = ft match {
+          case 0 => x
+          case 1 => x - left
+          case 2 => x - up
+          case 3 => x - (left + up) / 2
+          case 4 => x - pngPaeth(left, up, ul)
+        }
+        filtered(r * (w + 1) + 1 + c) = (f & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val compBytes = comp.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val tb = typ.getBytes("US-ASCII")
+      out.write(pngBe32(data.length)); out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(pngBe32(crc.getValue.toInt))
+    }
+    chunk("IHDR",
+      pngBe32(w) ++ pngBe32(h) ++ Array[Byte](8 /*depth*/ , 0 /*grayscale*/ ,
+        0 /*deflate*/ , 0 /*adaptive filters*/ , 0 /*no interlace*/ ))
+    val cut = compBytes.length / 2
+    chunk("IDAT", compBytes.take(cut))
+    chunk("IDAT", compBytes.drop(cut))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** A real PNG decoder (8-bit grayscale, non-interlaced): chunk walk
+    * with per-chunk CRC-32 verification, IDAT concatenation, INFLATE,
+    * per-scanline defilter. Malformed input — bad signature, CRC
+    * mismatch, truncated IDAT, missing IEND, unsupported color mode —
+    * fails loudly (a real codec never guesses).
+    */
+  object PngCodec extends MediaCodec {
+
+    /** Decode to the raw grayscale raster (row-major) — the shared body
+      * of decode/resize.
+      */
+    private[ops] def decodeRaw(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+      require(payload.length >= 8 && PngSig.indices.forall(i => payload(i) == PngSig(i)),
+        "not a PNG: bad signature")
+      var off = 8
+      var w = -1; var h = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var ended = false
+      while (off < payload.length && !ended) {
+        require(off + 12 <= payload.length, "truncated PNG: chunk header cut")
+        val len = pngReadBe32(payload, off)
+        val typ = new String(payload, off + 4, 4, "US-ASCII")
+        require(off + 12 + len <= payload.length, s"truncated PNG: $typ body cut")
+        val crc = new java.util.zip.CRC32()
+        crc.update(payload, off + 4, 4 + len)
+        require(crc.getValue.toInt == pngReadBe32(payload, off + 8 + len),
+          s"PNG CRC mismatch in $typ chunk")
+        typ match {
+          case "IHDR" =>
+            w = pngReadBe32(payload, off + 8)
+            h = pngReadBe32(payload, off + 12)
+            require(payload(off + 16) == 8 && payload(off + 17) == 0,
+              "only 8-bit grayscale PNG supported")
+            require(payload(off + 20) == 0, "interlaced PNG not supported")
+          case "IDAT" => idat.write(payload, off + 8, len)
+          case "IEND" => ended = true
+          case _      => () // ancillary chunks skipped, CRC still verified
+        }
+        off += 12 + len
+      }
+      require(ended, "truncated PNG: no IEND")
+      require(w > 0 && h > 0, "PNG missing IHDR")
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val filtered = new Array[Byte](h * (w + 1))
+      var got = 0
+      while (got < filtered.length) {
+        val k = inf.inflate(filtered, got, filtered.length - got)
+        require(k > 0, "truncated PNG: IDAT stream ends mid-raster")
+        got += k
+      }
+      inf.end()
+      val raw = new Array[Int](h * w)
+      for (r <- 0 until h; c <- 0 until w) {
+        val ft = filtered(r * (w + 1)) & 0xff
+        val f = filtered(r * (w + 1) + 1 + c) & 0xff
+        val left = if (c > 0) raw(r * w + c - 1) else 0
+        val up = if (r > 0) raw((r - 1) * w + c) else 0
+        val ul = if (r > 0 && c > 0) raw((r - 1) * w + c - 1) else 0
+        raw(r * w + c) = (ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + pngPaeth(left, up, ul)
+          case t => throw new IllegalArgumentException(s"unknown PNG filter type $t")
+        }) & 0xff
+      }
+      (w, h, raw)
+    }
+
+    def decode(payload: Array[Byte]): Decoded = {
+      val (w, h, raw) = decodeRaw(payload)
+      var sum = 0L
+      var i = 0
+      while (i < raw.length) { sum += raw(i); i += 1 }
+      Decoded(w, h, 1, if (raw.isEmpty) 0.0 else sum.toDouble / raw.length)
+    }
+
+    /** Nearest-neighbor scale, re-encoded as PNG — decode/transform/
+      * encode, the full round trip a real thumbnailer pays.
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val (w0, h0, raw) = decodeRaw(payload)
+      encodePng(w, h, (r, c) => raw((r * h0 / h) * w0 + (c * w0 / w)))
+    }
+
+    /** Concatenated PNG stills demuxed by chunk-walking each image to
+      * its IEND (the rawvideo-container idiom of [[PpmCodec]]);
+      * `frameBytes` ignored — PNG frames are self-describing.
+      */
+    def frameSample(payload: Array[Byte], frameBytes: Int, everyK: Int): Seq[(Int, Array[Byte])] = {
+      val out = Seq.newBuilder[(Int, Array[Byte])]
+      var off = 0
+      var idx = 0
+      while (off < payload.length) {
+        require(off + 8 <= payload.length &&
+          PngSig.indices.forall(i => payload(off + i) == PngSig(i)),
+          "concatenated payload: not a PNG at frame boundary")
+        var end = off + 8
+        var ended = false
+        while (!ended) {
+          require(end + 12 <= payload.length, "truncated PNG frame")
+          val len = pngReadBe32(payload, end)
+          if (new String(payload, end + 4, 4, "US-ASCII") == "IEND") ended = true
+          end += 12 + len
+        }
+        if (idx % everyK == 0)
+          out += ((idx, java.util.Arrays.copyOfRange(payload, off, end)))
+        off = end
+        idx += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Deterministic PNG payload per document — the [[toPpm]] discipline:
+    * same w/h derivation, GRAYSCALE pixels cycling the document's ASCII
+    * bytes row-major, so the decoded raster mean is the same exact
+    * cycle arithmetic (n = w·h — one channel) and the REAL compressed
+    * codec is HASH-ORACLED end to end.
+    */
+  private[ops] def toPng(docId: Long, text: Array[Byte]): Array[Byte] = {
+    val w = 8 + (docId % 8).toInt
+    val h = 8 + ((docId * 3) % 8).toInt
+    encodePng(w, h,
+      (r, c) => if (text.isEmpty) 0 else text((r * w + c) % text.length) & 0xff)
+  }
+
+  /** The ENTROPY-CODED real-codec declared query: encode each document
+    * as a genuine PNG (adaptive filters, zlib, split IDAT), decode it
+    * with [[PngCodec]] through the SAME `extractFeatures` operator as
+    * every other codec. `n_bytes` is projected OUT: DEFLATE's output
+    * size is not SQL semantics — the remaining columns (dims, channels,
+    * cycle-arithmetic raster mean) hash-oracle the whole
+    * CRC→inflate→defilter pipeline.
+    */
+  val qMmPng = Q(
+    "q_mm_png",
+    (s, d) => {
+      import s.implicits._
+      val media = Tables
+        .documents(s, d)
+        .select(col("doc_id").cast("long"), col("text").cast("binary"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(it => it.map { case (id, t) => (id, toPng(id, t)) })
+        .toDF("doc_id", "payload")
+      extractFeatures(s, media, PngCodec)
+        .select("doc_id", "width", "height", "channels", "mean_byte")
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+                              CAST(8 + doc_id % 8 AS INTEGER) AS width,
+                              CAST(8 + (doc_id * 3) % 8 AS INTEGER) AS height,
+                              text,
+                              octet_length(CAST(text AS BLOB)) AS len
+                       FROM documents),
+                 q AS (SELECT doc_id, width, height, len, text,
+                              width * height AS n,
+                              list_sum([ord(c) for c in string_split(text, '')]) AS s_all
+                       FROM p)
+            SELECT doc_id,
+                   width,
+                   height,
+                   CAST(1 AS INTEGER) AS channels,
+                   CAST((n // len) * s_all
+                        + coalesce(list_sum([ord(c) for c in
+                            string_split(substr(text, 1, CAST(n % len AS INTEGER)), '')
+                            if c <> '']), 0)
+                     AS DOUBLE) / n AS mean_byte
+            FROM q ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(qMmDecode, qMmFrames, qMmResize, qMmDecodePpm, qMmAudio,
+    qMmPhash, qMmPng)
 }

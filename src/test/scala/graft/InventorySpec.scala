@@ -135,7 +135,8 @@ class InventorySpec extends AnyFunSuite {
     "q_ingest_quarantine" -> "r12: declared surface is a sinks read-back union; the data-scale stage is a shuffle-free per-line classify projection + one reason-partitioned staging write, and IngestSpec drives the routing end to end",
     "q_stream_dedup_queue" -> "r12: the IDENTICAL dedupStream operator as the sectioned q_stream_dedup, differing only in the DSv2 queue source feeding it; ReplaySpec holds the file-source parity and broker no-relist laws",
     "q_unigram_lm" -> "r13: vocab-relation DP rounds behind Materialize (the q_bpe_round class); the only corpus-scale stage is one map-side-combined word count locked by the q_agg_hash pin, and VocabSpec's brute-force Viterbi-EM re-derivation fixes every round",
-    "q_concurrent_commit" -> "r13: the declared surface is a head-manifest pruned read + the q_agg_hash aggregate shape; the protocol itself is driver-side file-count metadata (CAS + retry), raced and law-tested in PartitionedSpec, not a data-scale plan")
+    "q_concurrent_commit" -> "r13: the declared surface is a head-manifest pruned read + the q_agg_hash aggregate shape; the protocol itself is driver-side file-count metadata (CAS + retry), raced and law-tested in PartitionedSpec, not a data-scale plan",
+    "q_mm_png" -> "r13: per-row encode/decode on the same MapPartitions seam as the sectioned q_mm_audio (q_mm_decode_ppm class); MultimodalSpec drives the CRC/inflate/defilter pipeline")
 
   test("plan surface: every declared query is pinned, PLANS.md-audited, or exempt") {
     val covered = QueriesPlanSpec.pinned ++ plansMdAudited ++ planExempt.keySet
@@ -243,7 +244,8 @@ class InventorySpec extends AnyFunSuite {
     "q_ingest_quarantine" -> "r12: per-row line classification + reason-partitioned write — no data-scale exchange anywhere; the fixture routing is IngestSpec-asserted",
     "q_stream_dedup_queue" -> "r12: watermarked dedup replay through the queue source; the projected key set is batch-split-invariant (the q_stream_dedup argument) and ReplaySpec holds the parity law",
     "q_unigram_lm" -> "r13: exact integer DP with total tiebreaks behind per-round Materialize (the q_bpe_train class); VocabSpec re-derives the full vocabulary driver-side — partitioning cannot move a bit",
-    "q_concurrent_commit" -> "r13: commit-log state is FS-level (the q_time_travel class) — the racing writers' final head is order-invariant by construction and PartitionedSpec's latch race proves linear history; the read side is one order-free decimal aggregate")
+    "q_concurrent_commit" -> "r13: commit-log state is FS-level (the q_time_travel class) — the racing writers' final head is order-invariant by construction and PartitionedSpec's latch race proves linear history; the read side is one order-free decimal aggregate",
+    "q_mm_png" -> "r13: per-row batch decode, no shuffle (the q_mm_decode_ppm class)")
 
   test("invariance surface: every declared query is swept at 4-vs-32 partitions or exempt") {
     val swept = PartitionInvarianceSpec.shuffleSensitive.toSet

@@ -188,4 +188,90 @@ class MultimodalSpec extends SparkSpec {
         r.getLong(4) == ((h >>> 32) & 0xffffL) && r.getLong(5) == ((h >>> 48) & 0xffffL))
     }
   }
+
+  test("PngCodec round trip: CRC walk + inflate + all-five-filter defilter recover the exact raster") {
+    // every encoded image has h >= 8 rows, so filter types 0..4 all
+    // occur; decode must invert each against real DEFLATE output
+    for (id <- Seq(0L, 3L, 7L, 12L, 41L)) {
+      val text = s"the quick brown fox $id jumps".getBytes("US-ASCII")
+      val png = Multimodal.toPng(id, text)
+      // structural: two IDAT chunks (decoders must concatenate)
+      def countChunks(p: Array[Byte], typ: String): Int = {
+        var off = 8; var n = 0
+        while (off < p.length) {
+          val len = (p(off) & 0xff) << 24 | (p(off + 1) & 0xff) << 16 |
+            (p(off + 2) & 0xff) << 8 | (p(off + 3) & 0xff)
+          if (new String(p, off + 4, 4, "US-ASCII") == typ) n += 1
+          off += 12 + len
+        }
+        n
+      }
+      assert(countChunks(png, "IDAT") == 2, "encoder must split IDAT")
+      val w = 8 + (id % 8).toInt
+      val h = 8 + ((id * 3) % 8).toInt
+      val dec = Multimodal.PngCodec.decode(png)
+      assert((dec.width, dec.height, dec.channels) == ((w, h, 1)))
+      val expected = (0 until w * h).map(i => text(i % text.length) & 0xff)
+      val (_, _, raw) = Multimodal.PngCodec.decodeRaw(png)
+      assert(raw.toSeq == expected, s"doc $id raster mismatch")
+      assert(dec.meanByte == expected.map(_.toLong).sum.toDouble / (w * h))
+    }
+  }
+
+  test("PngCodec fails loudly on tampering: flipped byte (CRC), truncated IDAT, missing IEND") {
+    val png = Multimodal.toPng(5L, "some pixels here".getBytes("US-ASCII"))
+    // flip one raster-affecting byte inside the first IDAT body
+    val tampered = png.clone()
+    val idatOff = {
+      var off = 8
+      while (new String(tampered, off + 4, 4, "US-ASCII") != "IDAT")
+        off += 12 + ((tampered(off) & 0xff) << 24 | (tampered(off + 1) & 0xff) << 16 |
+          (tampered(off + 2) & 0xff) << 8 | (tampered(off + 3) & 0xff))
+      off
+    }
+    tampered(idatOff + 8) = (tampered(idatOff + 8) ^ 0x55).toByte
+    assertThrows[IllegalArgumentException](Multimodal.PngCodec.decode(tampered))
+    // truncation mid-chunk
+    assertThrows[IllegalArgumentException](
+      Multimodal.PngCodec.decode(png.take(png.length - 20)))
+    // signature corruption
+    val sig = png.clone(); sig(0) = 0
+    assertThrows[IllegalArgumentException](Multimodal.PngCodec.decode(sig))
+  }
+
+  test("PngCodec resize is exact nearest-neighbor through a full decode/re-encode round trip") {
+    val text = "resize me please".getBytes("US-ASCII")
+    val png = Multimodal.toPng(9L, text)
+    val (w0, h0, raw) = Multimodal.PngCodec.decodeRaw(png)
+    val thumb = Multimodal.PngCodec.resize(png, 4, 4)
+    val (w1, h1, small) = Multimodal.PngCodec.decodeRaw(thumb)
+    assert((w1, h1) == ((4, 4)))
+    for (r <- 0 until 4; c <- 0 until 4)
+      assert(small(r * 4 + c) == raw((r * h0 / 4) * w0 + (c * w0 / 4)))
+  }
+
+  test("PngCodec demuxes concatenated stills and the declared q_mm_png matches a driver recompute") {
+    val a = Multimodal.toPng(1L, "aaa".getBytes)
+    val b = Multimodal.toPng(2L, "bbbb".getBytes)
+    val c = Multimodal.toPng(3L, "ccccc".getBytes)
+    val frames = Multimodal.PngCodec.frameSample(a ++ b ++ c, 0, 2)
+    assert(frames.map(_._1) == Seq(0, 2))
+    assert(frames(0)._2.toSeq == a.toSeq && frames(1)._2.toSeq == c.toSeq)
+
+    val got = Multimodal.qMmPng.fn(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val text = docs(id).getBytes("US-ASCII")
+      val w = 8 + (id % 8).toInt
+      val h = 8 + ((id * 3) % 8).toInt
+      val mean = (0 until w * h).map(i => (text(i % text.length) & 0xff).toLong)
+        .sum.toDouble / (w * h)
+      assert((r.getInt(1), r.getInt(2), r.getInt(3)) == ((w, h, 1)), s"doc $id dims")
+      assert(r.getDouble(4) == mean, s"doc $id mean")
+    }
+  }
 }
