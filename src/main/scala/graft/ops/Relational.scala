@@ -113,6 +113,58 @@ object Relational {
             GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
+  /** The crafted-skew join body shared by [[qJoinSkewAqe]] and the
+    * SkewSpec executed-plan audit: ~75% of lineitem collapses onto ONE
+    * key (the null-ish-key shape manual salting exists for), joined SMJ
+    * to the unmodified orders key space.
+    */
+  private[ops] def skewAqeJoin(s: SparkSession, d: String): DataFrame = {
+    val hot = when(col("l_orderkey") % 4 =!= 0, lit(1L)).otherwise(col("l_orderkey"))
+    // fanOut matters here beyond parallelism: OptimizeSkewedJoin splits
+    // a skewed reduce partition at MAPPER-range boundaries, and a
+    // single-file unit-scale scan is ONE mapper — no split points at
+    // all. The round-robin gives the join shuffle map-output
+    // granularity at unit scale; at corpus scale the scan already has
+    // thousands of mappers and fanOut is a no-op.
+    Tables.fanOut(lineitem(s, d).select(hot.as("k"), col("l_extendedprice")))
+      .join(
+        orders(s, d).select(col("o_orderkey"), col("o_orderpriority")).hint("merge"),
+        col("k") === col("o_orderkey"))
+      .select("o_orderpriority", "l_extendedprice")
+  }
+
+  /** AQE SKEW-JOIN (r13) — the AUTOMATIC complement to
+    * [[qJoinSalted]]'s manual salting: the same hot-key problem handed
+    * to `OptimizeSkewedJoin`, which splits the oversized shuffle
+    * partition into advisory-sized mapper-range chunks at RUNTIME and
+    * replicates the matching right partition per chunk. The join
+    * executes eagerly inside [[Skew.withSkewAqe]]'s scoped confs
+    * (thresholds data-derived so the split fires at every declared
+    * scale without a task explosion — see the Skew scaladoc, incl.
+    * when salting still beats AQE) behind a [[Materialize]] point; the
+    * oracle is the UNSALTED, UNSPLIT join verbatim, so the hash proves
+    * the runtime re-plan changes the schedule and never the rows.
+    * SkewSpec pins `skew=true` on the executed SMJ of this exact body.
+    */
+  val qJoinSkewAqe = Q(
+    "q_join_skew_aqe",
+    (s, d) => {
+      val joined = Skew.withSkewAqe(s, Skew.dirBytes(s, s"$d/lineitem.parquet")) {
+        Materialize(skewAqeJoin(s, d))
+      }
+      joined
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS cnt,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+            FROM (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 1 ELSE l_orderkey END AS k,
+                         l_extendedprice FROM lineitem) l
+            JOIN orders ON l.k = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
   /** Multi-way dimension join: customer⋈nation⋈region — both dims
     * broadcast; zero shuffles on the customer side until the final agg.
     */
@@ -1115,7 +1167,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     qFilter,
-    qJoinBroadcast, qJoinSmj, qJoinSalted, qJoinMulti, qSemi, qAnti, qRangeJoin,
+    qJoinBroadcast, qJoinSmj, qJoinSalted, qJoinSkewAqe, qJoinMulti, qSemi, qAnti, qRangeJoin,
     qAsofJoin, qJoinOuter, qCogroup,
     qAggHash, qAggDistinct, qCorr, qRollup, qCube, qGroupingSets, qQuantiles, qQuantilesExact,
     qApproxDistinct,

@@ -72,6 +72,56 @@ object Skew {
     * q_bleu finding established; SMJ's per-task memory is flat in
     * partition size and spills gracefully.
     */
+  /** Input bytes of a table directory — one driver-side
+    * getContentSummary, the metadata AQE itself plans from.
+    */
+  def dirBytes(s: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+  }
+
+  /** Scoped confs under which AQE's OptimizeSkewedJoin fires on the
+    * engine's fixtures at EVERY declared scale — the automatic
+    * complement to [[saltedJoin]] (r13). Production keeps the defaults
+    * (256 MB threshold / 64 MB advisory); a unit-scale hot partition is
+    * kilobytes, so the thresholds here derive from the actual input
+    * size (threshold = max(16 KB, input/64), advisory = threshold/2):
+    * at sf0.001 the hot partition (~70 KB) splits, and at sf10 the same
+    * formula yields ~32 MB/16 MB — production-shaped chunks, never a
+    * task explosion. Broadcast is disabled in scope because a broadcast
+    * join never had a skew problem (the [[saltedJoin]] argument);
+    * coalescing is off so the split's sub-partitions stay visible.
+    *
+    * When SALTING still beats AQE: (1) skewed AGGREGATIONS — AQE splits
+    * join partitions only, a hot groupBy key needs the two-stage salted
+    * aggregate; (2) join types OptimizeSkewedJoin cannot split (both
+    * sides of a full outer); (3) when the salted layout's partitioning
+    * is REUSED by later stages — AQE's split is per-join and breaks
+    * co-partitioning downstream; (4) skew known AT WRITE time, where
+    * salting the layout avoids ever materializing the hot partition.
+    * AQE wins when skew is discovered at runtime — which at 100 TB is
+    * most of the time.
+    */
+  def withSkewAqe[T](s: org.apache.spark.sql.SparkSession, inputBytes: Long)(body: => T): T = {
+    val threshold = math.max(4L << 10, inputBytes / 64)
+    val advisory = math.max(2L << 10, threshold / 2)
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> threshold.toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisory.toString,
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,

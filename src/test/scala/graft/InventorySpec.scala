@@ -136,7 +136,8 @@ class InventorySpec extends AnyFunSuite {
     "q_stream_dedup_queue" -> "r12: the IDENTICAL dedupStream operator as the sectioned q_stream_dedup, differing only in the DSv2 queue source feeding it; ReplaySpec holds the file-source parity and broker no-relist laws",
     "q_unigram_lm" -> "r13: vocab-relation DP rounds behind Materialize (the q_bpe_round class); the only corpus-scale stage is one map-side-combined word count locked by the q_agg_hash pin, and VocabSpec's brute-force Viterbi-EM re-derivation fixes every round",
     "q_concurrent_commit" -> "r13: the declared surface is a head-manifest pruned read + the q_agg_hash aggregate shape; the protocol itself is driver-side file-count metadata (CAS + retry), raced and law-tested in PartitionedSpec, not a data-scale plan",
-    "q_mm_png" -> "r13: per-row encode/decode on the same MapPartitions seam as the sectioned q_mm_audio (q_mm_decode_ppm class); MultimodalSpec drives the CRC/inflate/defilter pipeline")
+    "q_mm_png" -> "r13: per-row encode/decode on the same MapPartitions seam as the sectioned q_mm_audio (q_mm_decode_ppm class); MultimodalSpec drives the CRC/inflate/defilter pipeline",
+    "q_join_skew_aqe" -> "r13: the skew split exists only in the EXECUTED adaptive plan (isFinalPlan), which the lazy-plan pin surfaces cannot see; SkewSpec executes the declared join body under the scoped confs and asserts skew=true on the SMJ")
 
   test("plan surface: every declared query is pinned, PLANS.md-audited, or exempt") {
     val covered = QueriesPlanSpec.pinned ++ plansMdAudited ++ planExempt.keySet

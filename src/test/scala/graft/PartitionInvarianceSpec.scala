@@ -142,6 +142,10 @@ object PartitionInvarianceSpec {
     "q_ann_segments", "q_ann_merge",
     // round-12: sampled chrF (same tagged-gram agg + clip joins as
     // q_chrf, plus the sampled-doc semi gate)
-    "q_chrf_sampled"
+    "q_chrf_sampled",
+    // round-13: the AQE skew-split join — the sweep proves the runtime
+    // re-plan (whose split count depends on partitioning!) never moves
+    // a row
+    "q_join_skew_aqe"
   )
 }

@@ -57,6 +57,28 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("q_join_skew_aqe: the declared body's executed SMJ carries skew=true, and the result equals the plain join") {
+    // the EXECUTED adaptive plan of the exact join body the declared
+    // query materializes — the lazy-plan pins in QueriesPlanSpec cannot
+    // see an AQE decision, so this is the query's plan audit
+    val joined = Skew.withSkewAqe(spark, Skew.dirBytes(spark, s"$sf0001/lineitem.parquet")) {
+      val j = Relational.skewAqeJoin(spark, sf0001)
+      assert(j.collect().nonEmpty)
+      j
+    }
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"OptimizeSkewedJoin did not split the crafted hot partition:\n$finalPlan")
+    // end-to-end: the declared query equals the unsplit join's result
+    val got = Relational.qJoinSkewAqe.fn(spark, sf0001).collect().toSeq
+    val plain = Relational.skewAqeJoin(spark, sf0001)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_extendedprice").cast("decimal(28,2)")).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(got == plain, "AQE split changed rows, not just the schedule")
+  }
+
   test("saltCol is deterministic and in range") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("x")
