@@ -373,67 +373,85 @@ object Vocab {
       .select(col("word"), col("j"), (col("j") + col("l")).as("i"),
         expr("substring(word, j + 1, l)").as("piece"))
 
+  /** One Viterbi E-STEP under `vocab`: the position-unrolled DP plus
+    * the backtrack walk, returning every word's chosen pieces
+    * (word, piece — one row per piece occurrence). Shared verbatim by
+    * the training rounds and [[qUnigramApply]]'s final encode.
+    */
+  private def ulmEStep(words: DataFrame, subs: DataFrame, vocab: DataFrame): DataFrame = {
+    // the round's total piece mass → the log2-denominator bits
+    // (1 row, broadcast onto every DP edge)
+    val mass = vocab.agg(flog2(sum(col("c")) + 1).cast("long").as("b"))
+    // Viterbi DP, unrolled over end positions: f(word, i) = best
+    // integer log-prob of segmenting word[1..i]; ptr = the split
+    // the backtrack follows (tiebreak j ASC = longest last piece)
+    var f = words.select(col("word"), lit(0).as("idx"),
+      lit(0L).as("score"), lit(0).as("ptr"))
+    for (i <- 1 to ULM_LMAX) {
+      val byWord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("word"))
+        .orderBy(col("score").desc, col("j").asc)
+      val fi = subs.where(col("i") === i)
+        .join(vocab, "piece")
+        .join(f.select(col("word"), col("idx").as("j"),
+          col("score").as("prev")), Seq("word", "j"))
+        .crossJoin(broadcast(mass))
+        .select(col("word"), col("j"),
+          (col("prev") + flog2(col("c") + 1) - col("b")).cast("long").as("score"))
+        .withColumn("rn", row_number().over(byWord))
+        .where(col("rn") === 1)
+        .select(col("word"), lit(i).as("idx"), col("score"), col("j").as("ptr"))
+      f = Materialize(f.unionByName(fi))
+    }
+    // backtrack walk: emit each word's chosen pieces (≤ ULM_LMAX
+    // steps; a finished word leaves the frontier at cur = 0)
+    var bk = words.select(col("word"), length(col("word")).as("cur"))
+    val ems = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to ULM_LMAX) {
+      val e = Materialize(bk.where(col("cur") > 0)
+        .join(f.select(col("word"), col("idx").as("cur"), col("ptr")),
+          Seq("word", "cur"))
+        .select(col("word"),
+          expr("substring(word, ptr + 1, cur - ptr)").as("piece"),
+          col("ptr").as("nxt")))
+      ems += e.select("word", "piece")
+      bk = e.select(col("word"), col("nxt").as("cur"))
+    }
+    ems.result().reduce(_ unionByName _)
+  }
+
+  /** The full training loop: seed → [[ULM_ROUNDS]] × (E-step, M-step +
+    * prune). Returns (words, subs, final vocab) so the train and apply
+    * queries share one code path.
+    */
+  private def ulmTrainedVocab(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val words = Materialize(ulmWords(s, d))
+    val subs = Materialize(ulmSubs(words))
+    val sfreq = Materialize(
+      subs.join(words, "word").groupBy("piece").agg(sum("wfreq").as("c")))
+    val chars = Materialize(sfreq.where(length(col("piece")) === 1))
+    val multi = sfreq.where(length(col("piece")) >= 2)
+      .orderBy(col("c").desc, col("piece").asc).limit(ULM_SEED)
+    var vocab = Materialize(chars.unionByName(multi))
+    for (_ <- 1 to ULM_ROUNDS) {
+      val counts = Materialize(ulmEStep(words, subs, vocab)
+        .join(words, "word")
+        .groupBy("piece").agg(sum("wfreq").as("c")))
+      // M-step + prune: chars persist (count 0 allowed — coverage);
+      // multi-char pieces survive only while the Viterbi E-step uses them
+      vocab = Materialize(
+        chars.select(col("piece"))
+          .join(counts, Seq("piece"), "left")
+          .select(col("piece"), coalesce(col("c"), lit(0L)).as("c"))
+          .unionByName(counts.where(length(col("piece")) >= 2)))
+    }
+    (words, subs, vocab)
+  }
+
   val qUnigramLm = Q(
     "q_unigram_lm",
     (s, d) => {
-      val words = Materialize(ulmWords(s, d))
-      val subs = Materialize(ulmSubs(words))
-      val sfreq = Materialize(
-        subs.join(words, "word").groupBy("piece").agg(sum("wfreq").as("c")))
-      val chars = Materialize(sfreq.where(length(col("piece")) === 1))
-      val multi = sfreq.where(length(col("piece")) >= 2)
-        .orderBy(col("c").desc, col("piece").asc).limit(ULM_SEED)
-      var vocab = Materialize(chars.unionByName(multi))
-      for (_ <- 1 to ULM_ROUNDS) {
-        // the round's total piece mass → the log2-denominator bits
-        // (1 row, broadcast onto every DP edge)
-        val mass = vocab.agg(flog2(sum(col("c")) + 1).cast("long").as("b"))
-        // Viterbi DP, unrolled over end positions: f(word, i) = best
-        // integer log-prob of segmenting word[1..i]; ptr = the split
-        // the backtrack follows (tiebreak j ASC = longest last piece)
-        var f = words.select(col("word"), lit(0).as("idx"),
-          lit(0L).as("score"), lit(0).as("ptr"))
-        for (i <- 1 to ULM_LMAX) {
-          val byWord = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("word"))
-            .orderBy(col("score").desc, col("j").asc)
-          val fi = subs.where(col("i") === i)
-            .join(vocab, "piece")
-            .join(f.select(col("word"), col("idx").as("j"),
-              col("score").as("prev")), Seq("word", "j"))
-            .crossJoin(broadcast(mass))
-            .select(col("word"), col("j"),
-              (col("prev") + flog2(col("c") + 1) - col("b")).cast("long").as("score"))
-            .withColumn("rn", row_number().over(byWord))
-            .where(col("rn") === 1)
-            .select(col("word"), lit(i).as("idx"), col("score"), col("j").as("ptr"))
-          f = Materialize(f.unionByName(fi))
-        }
-        // backtrack walk: emit each word's chosen pieces (≤ ULM_LMAX
-        // steps; a finished word leaves the frontier at cur = 0)
-        var bk = words.select(col("word"), length(col("word")).as("cur"))
-        val ems = Seq.newBuilder[DataFrame]
-        for (_ <- 1 to ULM_LMAX) {
-          val e = Materialize(bk.where(col("cur") > 0)
-            .join(f.select(col("word"), col("idx").as("cur"), col("ptr")),
-              Seq("word", "cur"))
-            .select(col("word"),
-              expr("substring(word, ptr + 1, cur - ptr)").as("piece"),
-              col("ptr").as("nxt")))
-          ems += e.select("word", "piece")
-          bk = e.select(col("word"), col("nxt").as("cur"))
-        }
-        val counts = Materialize(ems.result().reduce(_ unionByName _)
-          .join(words, "word")
-          .groupBy("piece").agg(sum("wfreq").as("c")))
-        // M-step + prune: chars persist (count 0 allowed — coverage);
-        // multi-char pieces survive only while the Viterbi E-step uses them
-        vocab = Materialize(
-          chars.select(col("piece"))
-            .join(counts, Seq("piece"), "left")
-            .select(col("piece"), coalesce(col("c"), lit(0L)).as("c"))
-            .unionByName(counts.where(length(col("piece")) >= 2)))
-      }
+      val (_, _, vocab) = ulmTrainedVocab(s, d)
       vocab.select(col("piece"), col("c").as("freq"),
           flog2(col("c") + 1).cast("long").as("bits"))
         .orderBy(col("freq").desc, col("piece").asc)
@@ -442,55 +460,112 @@ object Vocab {
     Some(ulmOracle)
   )
 
+  /** The trained unigram model APPLIED — the tokenize stage with a
+    * frozen vocabulary, closing the lifecycle exactly as [[qBpeApply]]
+    * does for merges.txt: ONE more Viterbi E-step under the FINAL
+    * vocabulary (SentencePiece's encode IS this DP) yields each
+    * distinct word's piece count; the corpus tokenization is then a
+    * vocabulary-sized join — explode the documents to words, look up
+    * n_pieces per word, sum per doc. Words longer than [[ULM_LMAX]]
+    * fall back to per-CHARACTER pieces (the coverage guarantee;
+    * expressed identically in the oracle — the fixture corpus has
+    * none, so the rule is load-bearing only at the contract level).
+    * The oracle EXTENDS the training CTE chain with the encode round
+    * (no M-step) and replays the same explode/lookup/sum, so the hash
+    * verifies the applied tokenization corpus-wide.
+    */
+  val qUnigramApply = Q(
+    "q_unigram_apply",
+    (s, d) => {
+      val (words, subs, vocab) = ulmTrainedVocab(s, d)
+      val perWord = Materialize(ulmEStep(words, subs, vocab)
+        .groupBy("word").agg(count(lit(1)).as("n_pieces")))
+      val dw = fanOut(documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+      val perDoc = dw
+        .join(perWord.hint("shuffle_hash"), Seq("word"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(coalesce(col("n_pieces"), length(col("word")).cast("long")))
+            .as("n_tokens"))
+      documents(s, d)
+        .select(col("doc_id"))
+        .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(ulmApplyOracle)
+  )
+
   /** One code path emits the unigram-LM CTE chain (the [[bpeCtes]]
     * discipline): the same Scala loops that drive the Spark rounds
     * above generate the DuckDB DP/backtrack CTEs, so unroll depth,
     * tiebreaks, smoothing, and prune rules cannot drift between
     * engines. All counts CAST to BIGINT (DuckDB sums to HUGEINT).
     */
-  private def ulmOracle: String = {
-    val rounds = (1 to ULM_ROUNDS).map { r =>
-      val dp = (1 to ULM_LMAX).map { i =>
-        s"""f${r}_$i AS MATERIALIZED (
-           |  SELECT word, idx, score, ptr FROM f${r}_${i - 1}
-           |  UNION ALL
-           |  SELECT word, $i AS idx, score, j AS ptr FROM (
-           |    SELECT s.word AS word, s.j AS j,
-           |           f.score + (length(bin(v.c + 1)) - 1) - m.b AS score,
-           |           row_number() OVER (PARTITION BY s.word
-           |             ORDER BY f.score + (length(bin(v.c + 1)) - 1) - m.b DESC,
-           |                      s.j ASC) AS rn
-           |    FROM sub s
-           |    JOIN v${r - 1} v USING (piece)
-           |    JOIN f${r}_${i - 1} f ON f.word = s.word AND f.idx = s.j
-           |    CROSS JOIN m$r m
-           |    WHERE s.i = $i) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val walk = (1 to ULM_LMAX).map { t =>
-        s"""e${r}_$t AS MATERIALIZED (
-           |  SELECT b.word AS word,
-           |         substr(b.word, f.ptr + 1, b.cur - f.ptr) AS piece,
-           |         f.ptr AS nxt
-           |  FROM bk${r}_${t - 1} b
-           |  JOIN f${r}_$ULM_LMAX f ON f.word = b.word AND f.idx = b.cur
-           |  WHERE b.cur > 0),
-           |bk${r}_$t AS MATERIALIZED (SELECT word, nxt AS cur FROM e${r}_$t)""".stripMargin
-      }.mkString(",\n")
-      val emUnion = (1 to ULM_LMAX)
-        .map(t => s"SELECT word, piece FROM e${r}_$t").mkString("\nUNION ALL\n")
-      s"""m$r AS MATERIALIZED (SELECT (length(bin(CAST(sum(c) AS BIGINT) + 1)) - 1) AS b FROM v${r - 1}),
-         |f${r}_0 AS MATERIALIZED (SELECT word, 0 AS idx, CAST(0 AS BIGINT) AS score, 0 AS ptr FROM wd),
-         |$dp,
-         |bk${r}_0 AS MATERIALIZED (SELECT word, length(word) AS cur FROM wd),
-         |$walk,
-         |em$r AS MATERIALIZED ($emUnion),
-         |c$r AS MATERIALIZED (SELECT piece, CAST(sum(wfreq) AS BIGINT) AS c
-         |        FROM em$r JOIN wd USING (word) GROUP BY piece),
-         |v$r AS MATERIALIZED (SELECT ch.piece, coalesce(c.c, 0) AS c
-         |        FROM ch LEFT JOIN c$r c USING (piece)
-         |        UNION ALL
-         |        SELECT piece, c FROM c$r WHERE length(piece) >= 2)""".stripMargin
+  /** One round's CTEs — E-step DP + backtrack + emissions, and (for
+    * training rounds) the M-step counts/vocab. `withMStep = false` is
+    * the APPLY round: encode under the frozen vocabulary, no
+    * re-estimation — the same distinction the Spark loop draws by
+    * calling [[ulmEStep]] without the counts/vocab update.
+    */
+  private def ulmRoundCtes(r: Int, withMStep: Boolean): String = {
+    val dp = (1 to ULM_LMAX).map { i =>
+      s"""f${r}_$i AS MATERIALIZED (
+         |  SELECT word, idx, score, ptr FROM f${r}_${i - 1}
+         |  UNION ALL
+         |  SELECT word, $i AS idx, score, j AS ptr FROM (
+         |    SELECT s.word AS word, s.j AS j,
+         |           f.score + (length(bin(v.c + 1)) - 1) - m.b AS score,
+         |           row_number() OVER (PARTITION BY s.word
+         |             ORDER BY f.score + (length(bin(v.c + 1)) - 1) - m.b DESC,
+         |                      s.j ASC) AS rn
+         |    FROM sub s
+         |    JOIN v${r - 1} v USING (piece)
+         |    JOIN f${r}_${i - 1} f ON f.word = s.word AND f.idx = s.j
+         |    CROSS JOIN m$r m
+         |    WHERE s.i = $i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+    val walk = (1 to ULM_LMAX).map { t =>
+      s"""e${r}_$t AS MATERIALIZED (
+         |  SELECT b.word AS word,
+         |         substr(b.word, f.ptr + 1, b.cur - f.ptr) AS piece,
+         |         f.ptr AS nxt
+         |  FROM bk${r}_${t - 1} b
+         |  JOIN f${r}_$ULM_LMAX f ON f.word = b.word AND f.idx = b.cur
+         |  WHERE b.cur > 0),
+         |bk${r}_$t AS MATERIALIZED (SELECT word, nxt AS cur FROM e${r}_$t)""".stripMargin
+    }.mkString(",\n")
+    val emUnion = (1 to ULM_LMAX)
+      .map(t => s"SELECT word, piece FROM e${r}_$t").mkString("\nUNION ALL\n")
+    val mStep =
+      if (!withMStep) ""
+      else s""",
+        |c$r AS MATERIALIZED (SELECT piece, CAST(sum(wfreq) AS BIGINT) AS c
+        |        FROM em$r JOIN wd USING (word) GROUP BY piece),
+        |v$r AS MATERIALIZED (SELECT ch.piece, coalesce(c.c, 0) AS c
+        |        FROM ch LEFT JOIN c$r c USING (piece)
+        |        UNION ALL
+        |        SELECT piece, c FROM c$r WHERE length(piece) >= 2)""".stripMargin
+    s"""m$r AS MATERIALIZED (SELECT (length(bin(CAST(sum(c) AS BIGINT) + 1)) - 1) AS b FROM v${r - 1}),
+       |f${r}_0 AS MATERIALIZED (SELECT word, 0 AS idx, CAST(0 AS BIGINT) AS score, 0 AS ptr FROM wd),
+       |$dp,
+       |bk${r}_0 AS MATERIALIZED (SELECT word, length(word) AS cur FROM wd),
+       |$walk,
+       |em$r AS MATERIALIZED ($emUnion)""".stripMargin + mStep
+  }
+
+  /** Seed CTEs + training rounds 1..[[ULM_ROUNDS]] — shared by both
+    * unigram oracles (the [[bpeCtes]] concatenation discipline: never
+    * re-interpolated into another stripMargin template).
+    */
+  private def ulmCtes: String = {
+    val rounds = (1 to ULM_ROUNDS).map(r => ulmRoundCtes(r, withMStep = true))
+      .mkString(",\n")
     s"""WITH wd AS MATERIALIZED (
        |  SELECT t AS word, count(*) AS wfreq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
@@ -508,12 +583,36 @@ object Vocab {
        |       UNION ALL
        |       SELECT piece, c FROM (SELECT piece, c FROM sf WHERE length(piece) >= 2
        |                             ORDER BY c DESC, piece ASC LIMIT $ULM_SEED)),
-       |$rounds
-       |SELECT piece, c AS freq, CAST(length(bin(c + 1)) - 1 AS BIGINT) AS bits
-       |FROM v$ULM_ROUNDS
-       |ORDER BY freq DESC, piece ASC
-       |LIMIT $ULM_TOPK""".stripMargin
+       |""".stripMargin + rounds
   }
 
-  val all: Seq[Q] = Seq(qBpeTrain, qBpeTrainChar, qBpeApply, qBpeVocab, qUnigramLm)
+  private def ulmOracle: String =
+    ulmCtes + s"""
+      |SELECT piece, c AS freq, CAST(length(bin(c + 1)) - 1 AS BIGINT) AS bits
+      |FROM v$ULM_ROUNDS
+      |ORDER BY freq DESC, piece ASC
+      |LIMIT $ULM_TOPK""".stripMargin
+
+  private def ulmApplyOracle: String = {
+    val enc = ULM_ROUNDS + 1
+    ulmCtes + ",\n" + ulmRoundCtes(enc, withMStep = false) + s""",
+      |wp AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n_pieces
+      |      FROM em$enc GROUP BY word),
+      |dw AS MATERIALIZED (SELECT doc_id, t AS word
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |      WHERE t <> ''),
+      |pd AS MATERIALIZED (SELECT dw.doc_id,
+      |             CAST(count(*) AS BIGINT) AS n_words,
+      |             CAST(sum(coalesce(wp.n_pieces, length(dw.word))) AS BIGINT) AS n_tokens
+      |      FROM dw LEFT JOIN wp USING (word)
+      |      GROUP BY dw.doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(pd.n_words, 0) AS n_words,
+      |       coalesce(pd.n_tokens, 0) AS n_tokens
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(qBpeTrain, qBpeTrainChar, qBpeApply, qBpeVocab, qUnigramLm,
+    qUnigramApply)
 }

@@ -167,7 +167,8 @@ class VocabSpec extends SparkSpec {
     * Scala maps for counts, no DataFrames, no generated SQL. Must
     * reproduce q_unigram_lm's final vocabulary bit-for-bit.
     */
-  private def ulmBruteForce(words: Map[String, Long]): Seq[(String, Long, Long)] = {
+  private def ulmBruteForce(words: Map[String, Long])
+      : (Seq[(String, Long, Long)], Map[String, Long]) = {
     val (lmax, plen, seed, rounds, topk) = (8, 4, 40, 2, 20)
     def flog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
     val trainable = words.filter { case (w, _) => w.nonEmpty && w.length <= lmax }
@@ -180,36 +181,43 @@ class VocabSpec extends SparkSpec {
       .sortBy { case (p, c) => (-c, p) }.take(seed)
     var vocab: Map[String, Long] =
       chars.map(c => c -> sf(c)).toMap ++ multiSeed
+    /** Viterbi-segment `w` under `vocab` (denominator bits `b`):
+      * strict > keeps the FIRST (smallest-j = longest-piece) argmax —
+      * the engine's (score DESC, j ASC) tiebreak.
+      */
+    def segment(w: String, voc: Map[String, Long], b: Long): Seq[String] = {
+      val n = w.length
+      val score = Array.fill(n + 1)(Long.MinValue)
+      val ptr = Array.fill(n + 1)(-1)
+      score(0) = 0L
+      for (i <- 1 to n; j <- math.max(0, i - plen) until i) {
+        voc.get(w.substring(j, i)) match {
+          case Some(c) if score(j) != Long.MinValue =>
+            val s2 = score(j) + flog2(c + 1) - b
+            if (s2 > score(i)) { score(i) = s2; ptr(i) = j }
+          case _ =>
+        }
+      }
+      val out = List.newBuilder[String]
+      var cur = n
+      while (cur > 0) { val j = ptr(cur); out += w.substring(j, cur); cur = j }
+      out.result()
+    }
     for (_ <- 1 to rounds) {
       val b = flog2(vocab.valuesIterator.sum + 1)
       val counts = scala.collection.mutable.Map.empty[String, Long]
-      for ((w, f) <- trainable) {
-        val n = w.length
-        val score = Array.fill(n + 1)(Long.MinValue)
-        val ptr = Array.fill(n + 1)(-1)
-        score(0) = 0L
-        for (i <- 1 to n; j <- math.max(0, i - plen) until i) {
-          vocab.get(w.substring(j, i)) match {
-            case Some(c) if score(j) != Long.MinValue =>
-              val s2 = score(j) + flog2(c + 1) - b
-              // strict > keeps the FIRST (smallest-j = longest-piece)
-              // argmax — the engine's (score DESC, j ASC) tiebreak
-              if (s2 > score(i)) { score(i) = s2; ptr(i) = j }
-            case _ =>
-          }
-        }
-        var cur = n
-        while (cur > 0) {
-          val j = ptr(cur)
-          counts.updateWith(w.substring(j, cur))(c => Some(c.getOrElse(0L) + f))
-          cur = j
-        }
-      }
+      for ((w, f) <- trainable; p <- segment(w, vocab, b))
+        counts.updateWith(p)(c => Some(c.getOrElse(0L) + f))
       vocab = chars.map(c => c -> counts.getOrElse(c, 0L)).toMap ++
         counts.filter(_._1.length >= 2)
     }
-    vocab.toSeq.map { case (p, c) => (p, c, flog2(c + 1)) }
+    val top = vocab.toSeq.map { case (p, c) => (p, c, flog2(c + 1)) }
       .sortBy { case (p, c, _) => (-c, p) }.take(topk)
+    // the ENCODE pass: one more E-step under the frozen final vocab
+    val bFinal = flog2(vocab.valuesIterator.sum + 1)
+    val perWord = trainable.keysIterator
+      .map(w => w -> segment(w, vocab, bFinal).length.toLong).toMap
+    (top, perWord)
   }
 
   test("q_unigram_lm equals brute-force Viterbi-EM (Kudo 2018) on sf0.001") {
@@ -217,7 +225,7 @@ class VocabSpec extends SparkSpec {
       .select("text").collect()
       .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
-    val expected = ulmBruteForce(words)
+    val (expected, _) = ulmBruteForce(words)
     val got = graft.SparkEntry.queries("q_unigram_lm")(spark, sf0001)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -228,5 +236,33 @@ class VocabSpec extends SparkSpec {
     // seeded candidates) and counts are positive mass
     assert(got.exists(_._1.length >= 2), "no multi-char piece survived EM")
     assert(got.forall(_._2 >= 0))
+  }
+
+  test("q_unigram_apply equals the brute-force encode pass doc by doc on sf0.001") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val words = docs.valuesIterator
+      .flatMap(_.split(" ").filter(_.nonEmpty)).toSeq
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (_, perWord) = ulmBruteForce(words)
+    val got = graft.SparkEntry.queries("q_unigram_apply")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == docs.size)
+    got.foreach { case (id, nWords, nTokens) =>
+      val ws = docs(id).split(" ").filter(_.nonEmpty)
+      assert(nWords == ws.length, s"doc $id word count")
+      val want = ws.map(w => perWord.getOrElse(w, w.length.toLong)).sum
+      assert(nTokens == want, s"doc $id token count: engine $nTokens vs brute $want")
+    }
+    // the tokenizer actually compresses: fewer pieces than characters,
+    // more than words (multi-char pieces exist but not every word is
+    // one piece)
+    val totTokens = got.map(_._3).sum
+    val totWords = got.map(_._2).sum
+    val totChars = docs.valuesIterator
+      .map(_.split(" ").filter(_.nonEmpty).map(_.length).sum.toLong).sum
+    assert(totTokens >= totWords && totTokens <= totChars)
   }
 }
