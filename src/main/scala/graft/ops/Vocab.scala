@@ -373,20 +373,27 @@ object Vocab {
       .select(col("word"), col("j"), (col("j") + col("l")).as("i"),
         expr("substring(word, j + 1, l)").as("piece"))
 
-  /** One Viterbi E-STEP under `vocab`: the position-unrolled DP plus
-    * the backtrack walk, returning every word's chosen pieces
-    * (word, piece — one row per piece occurrence). Shared verbatim by
-    * the training rounds and [[qUnigramApply]]'s final encode.
+  /** One Viterbi E-STEP under `vocab`: the position-unrolled DP,
+    * returning every word's chosen pieces (word, piece — one row per
+    * piece occurrence). Shared verbatim by the training rounds and
+    * [[qUnigramApply]]'s final encode.
+    *
+    * Each DP state CARRIES ITS PATH as an array column (words are ≤
+    * [[ULM_LMAX]] chars, so the array is tiny) instead of a
+    * back-pointer: the best segmentation falls out of the final state
+    * directly, halving the per-round checkpoint count the r13 original
+    * paid for a separate backtrack walk (8 DP steps + 8 walk steps →
+    * 8 total; measured 13.3 → ~7 s at sf0.1).
     */
   private def ulmEStep(words: DataFrame, subs: DataFrame, vocab: DataFrame): DataFrame = {
     // the round's total piece mass → the log2-denominator bits
     // (1 row, broadcast onto every DP edge)
     val mass = vocab.agg(flog2(sum(col("c")) + 1).cast("long").as("b"))
     // Viterbi DP, unrolled over end positions: f(word, i) = best
-    // integer log-prob of segmenting word[1..i]; ptr = the split
-    // the backtrack follows (tiebreak j ASC = longest last piece)
+    // integer log-prob of segmenting word[1..i], with its piece path
+    // (tiebreak j ASC = longest last piece)
     var f = words.select(col("word"), lit(0).as("idx"),
-      lit(0L).as("score"), lit(0).as("ptr"))
+      lit(0L).as("score"), array().cast("array<string>").as("pieces"))
     for (i <- 1 to ULM_LMAX) {
       val byWord = org.apache.spark.sql.expressions.Window
         .partitionBy(col("word"))
@@ -394,30 +401,19 @@ object Vocab {
       val fi = subs.where(col("i") === i)
         .join(vocab, "piece")
         .join(f.select(col("word"), col("idx").as("j"),
-          col("score").as("prev")), Seq("word", "j"))
+          col("score").as("prev"), col("pieces").as("prefix")), Seq("word", "j"))
         .crossJoin(broadcast(mass))
         .select(col("word"), col("j"),
-          (col("prev") + flog2(col("c") + 1) - col("b")).cast("long").as("score"))
+          (col("prev") + flog2(col("c") + 1) - col("b")).cast("long").as("score"),
+          concat(col("prefix"), array(col("piece"))).as("pieces"))
         .withColumn("rn", row_number().over(byWord))
         .where(col("rn") === 1)
-        .select(col("word"), lit(i).as("idx"), col("score"), col("j").as("ptr"))
+        .select(col("word"), lit(i).as("idx"), col("score"), col("pieces"))
       f = Materialize(f.unionByName(fi))
     }
-    // backtrack walk: emit each word's chosen pieces (≤ ULM_LMAX
-    // steps; a finished word leaves the frontier at cur = 0)
-    var bk = words.select(col("word"), length(col("word")).as("cur"))
-    val ems = Seq.newBuilder[DataFrame]
-    for (_ <- 1 to ULM_LMAX) {
-      val e = Materialize(bk.where(col("cur") > 0)
-        .join(f.select(col("word"), col("idx").as("cur"), col("ptr")),
-          Seq("word", "cur"))
-        .select(col("word"),
-          expr("substring(word, ptr + 1, cur - ptr)").as("piece"),
-          col("ptr").as("nxt")))
-      ems += e.select("word", "piece")
-      bk = e.select(col("word"), col("nxt").as("cur"))
-    }
-    ems.result().reduce(_ unionByName _)
+    // the best segmentation is the full-word state's path
+    f.where(col("idx") === length(col("word")))
+      .select(col("word"), explode(col("pieces")).as("piece"))
   }
 
   /** The full training loop: seed → [[ULM_ROUNDS]] × (E-step, M-step +
@@ -516,11 +512,12 @@ object Vocab {
   private def ulmRoundCtes(r: Int, withMStep: Boolean): String = {
     val dp = (1 to ULM_LMAX).map { i =>
       s"""f${r}_$i AS MATERIALIZED (
-         |  SELECT word, idx, score, ptr FROM f${r}_${i - 1}
+         |  SELECT word, idx, score, pieces FROM f${r}_${i - 1}
          |  UNION ALL
-         |  SELECT word, $i AS idx, score, j AS ptr FROM (
+         |  SELECT word, $i AS idx, score, pieces FROM (
          |    SELECT s.word AS word, s.j AS j,
          |           f.score + (length(bin(v.c + 1)) - 1) - m.b AS score,
+         |           list_append(f.pieces, s.piece) AS pieces,
          |           row_number() OVER (PARTITION BY s.word
          |             ORDER BY f.score + (length(bin(v.c + 1)) - 1) - m.b DESC,
          |                      s.j ASC) AS rn
@@ -530,18 +527,6 @@ object Vocab {
          |    CROSS JOIN m$r m
          |    WHERE s.i = $i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val walk = (1 to ULM_LMAX).map { t =>
-      s"""e${r}_$t AS MATERIALIZED (
-         |  SELECT b.word AS word,
-         |         substr(b.word, f.ptr + 1, b.cur - f.ptr) AS piece,
-         |         f.ptr AS nxt
-         |  FROM bk${r}_${t - 1} b
-         |  JOIN f${r}_$ULM_LMAX f ON f.word = b.word AND f.idx = b.cur
-         |  WHERE b.cur > 0),
-         |bk${r}_$t AS MATERIALIZED (SELECT word, nxt AS cur FROM e${r}_$t)""".stripMargin
-    }.mkString(",\n")
-    val emUnion = (1 to ULM_LMAX)
-      .map(t => s"SELECT word, piece FROM e${r}_$t").mkString("\nUNION ALL\n")
     val mStep =
       if (!withMStep) ""
       else s""",
@@ -552,11 +537,11 @@ object Vocab {
         |        UNION ALL
         |        SELECT piece, c FROM c$r WHERE length(piece) >= 2)""".stripMargin
     s"""m$r AS MATERIALIZED (SELECT (length(bin(CAST(sum(c) AS BIGINT) + 1)) - 1) AS b FROM v${r - 1}),
-       |f${r}_0 AS MATERIALIZED (SELECT word, 0 AS idx, CAST(0 AS BIGINT) AS score, 0 AS ptr FROM wd),
+       |f${r}_0 AS MATERIALIZED (SELECT word, 0 AS idx, CAST(0 AS BIGINT) AS score,
+       |        CAST([] AS VARCHAR[]) AS pieces FROM wd),
        |$dp,
-       |bk${r}_0 AS MATERIALIZED (SELECT word, length(word) AS cur FROM wd),
-       |$walk,
-       |em$r AS MATERIALIZED ($emUnion)""".stripMargin + mStep
+       |em$r AS MATERIALIZED (SELECT word, unnest(pieces) AS piece
+       |        FROM f${r}_$ULM_LMAX WHERE idx = length(word))""".stripMargin + mStep
   }
 
   /** Seed CTEs + training rounds 1..[[ULM_ROUNDS]] — shared by both

@@ -340,6 +340,37 @@ class PartitionedSpec extends SparkSpec {
     graft.FsUtil.deleteRecursively(root)
   }
 
+  test("snapshot isolation under the race: a reader pinned at v1 sees the identical file list while 8 writers commit") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_iso_")
+    val log = s"$root/_graft_log"
+    assert(Partitioned.commitAppend(spark, log, Seq("base.parquet")) == 1)
+    val pinned = Partitioned.manifestFiles(spark, log, 1)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val reads = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (0 until 8).map { i =>
+      new Thread(() => {
+        try { start.await(); Partitioned.commitAppend(spark, log, Seq(s"w$i.parquet")) }
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    val reader = new Thread(() => {
+      try { start.await(); (0 until 32).foreach { _ =>
+        reads.add(Partitioned.manifestFiles(spark, log, 1)) } }
+      catch { case t: Throwable => failures.add(t) }
+    })
+    (writers :+ reader).foreach(_.start())
+    start.countDown()
+    (writers :+ reader).foreach(_.join())
+    assert(failures.isEmpty, s"thread failed: ${Option(failures.peek())}")
+    // a committed version is immutable: every concurrent read of v1 is
+    // byte-identical to the pre-race read, regardless of 8 commits
+    // landing around it (manifests are never rewritten, only appended)
+    reads.forEach(r => assert(r == pinned, "pinned-version read changed during the race"))
+    assert(Partitioned.headVersion(spark, log) == 9)
+    graft.FsUtil.deleteRecursively(root)
+  }
+
   test("q_concurrent_commit layout: two racing writers land v2 and v3; head == base + both batches exactly once") {
     val root = Partitioned.concurrentCommitLayout(spark, sf0001)
     val head = Partitioned.commitHeadRead(spark, root)
