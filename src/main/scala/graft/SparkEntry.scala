@@ -22,6 +22,7 @@ object SparkEntry {
         graft.streaming.Replay.qStreamJoin,
         graft.streaming.Replay.qStreamDedup,
         graft.streaming.Replay.qStreamDedupQueue,
+        graft.streaming.Replay.qStreamWindowQueue,
         graft.streaming.Replay.qSessions,
         graft.streaming.Replay.qStreamSessions,
         graft.streaming.Replay.qStreamQuality,

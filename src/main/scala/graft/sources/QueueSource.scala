@@ -131,8 +131,14 @@ object QueueBroker {
     private var in: java.io.DataInputStream = null
     private var deleted = false
 
-    def reveal(k: Int): Long = synchronized {
-      revealed = math.min(total, revealed + k)
+    def reveal(k: Int): Long = reveal(k, total)
+
+    /** Reveal ≤ k more rows, never beyond `cap` (the drain-barrier
+      * hook: a queue holding back terminal control records caps at
+      * total − 1 until every shard's real rows are out).
+      */
+    def reveal(k: Int, cap: Long): Long = synchronized {
+      revealed = math.min(math.max(cap, revealed), revealed + k)
       revealed
     }
     def revealedOffset: Long = synchronized(revealed)
@@ -208,12 +214,29 @@ object QueueBroker {
     * ceil(rowsPerBatch / nShards) rows on EACH shard (so a trigger
     * admits ≈ rowsPerBatch total, the `maxOffsetsPerTrigger` shape),
     * and each shard serves its slices executor-side from its own log.
+    *
+    * `holdLastUntilDrained` is the DRAIN BARRIER for terminal control
+    * records (per-shard far-future sentinel rows that close a drained
+    * watermarked aggregation): Spark's watermark is the GLOBAL MAX
+    * event time minus delay — not Flink's min-across-partitions — so a
+    * shard that exhausts early and reveals its sentinel would slam the
+    * watermark past every other shard's in-flight rows (measured: the
+    * second half of the corpus dropped as late). Under the barrier,
+    * every shard's LAST row is withheld until all shards have revealed
+    * total − 1; then the sentinels release together, after every real
+    * row is already admitted.
     */
   final class LogQueue(val schema: StructType, shards: IndexedSeq[LogShard],
-      val perShardBatch: Int) extends BrokerQueue {
+      val perShardBatch: Int, holdLastUntilDrained: Boolean = false) extends BrokerQueue {
     override def nShards: Int = shards.length
     override def pullMoreVec(): Vector[Long] =
-      shards.map(_.reveal(perShardBatch)).toVector
+      if (!holdLastUntilDrained) shards.map(_.reveal(perShardBatch)).toVector
+      else {
+        val allRealOut =
+          shards.forall(s => s.revealedOffset >= math.max(0L, s.total - 1))
+        shards.map(s => s.reveal(perShardBatch,
+          if (allRealOut) s.total else math.max(0L, s.total - 1))).toVector
+      }
     override def ackVec(end: Vector[Long]): Unit =
       shards.indices.foreach(i => shards(i).ack(end(i)))
     override def close(): Unit = shards.foreach(_.drop())
@@ -237,7 +260,7 @@ object QueueBroker {
     * driver; registration reads N sidecars, never data.
     */
   def stageShards(name: String, df: DataFrame, rowsPerBatch: Int,
-      dir: java.nio.file.Path): Unit = {
+      dir: java.nio.file.Path, holdLastUntilDrained: Boolean = false): Unit = {
     val schema = df.schema
     val nFields = schema.length
     val dirStr = dir.toString
@@ -271,7 +294,7 @@ object QueueBroker {
       new LogShard(log, cnt, nFields)
     }
     val perShard = math.max(1, (rowsPerBatch + nShards - 1) / nShards)
-    queues.put(name, new LogQueue(schema, shards, perShard))
+    queues.put(name, new LogQueue(schema, shards, perShard, holdLastUntilDrained))
   }
 
   def get(name: String): BrokerQueue = {

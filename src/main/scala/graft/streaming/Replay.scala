@@ -652,6 +652,125 @@ object Replay {
     qStreamDedup.oracle
   )
 
+  /** [[windowedCountsDrained]] — the watermark-CLOSURE operator — fed
+    * through the sharded queue source (r13): where the dedup twin only
+    * needed bounded disorder, a drained APPEND aggregation needs the
+    * watermark to pass every real window at END of stream, and a queue
+    * has no file listing to prove exhaustion — so the DRAIN SENTINEL
+    * rides the data path PER SHARD (one far-future row staged LAST in
+    * every shard's log, the per-shard analogue of
+    * [[sentinelReplayDir]]'s final file), released under the broker's
+    * DRAIN BARRIER: Spark's watermark is the global MAX event time
+    * minus delay, so a shard that exhausts early and surfaced its
+    * sentinel would drop every other shard's in-flight tail as late —
+    * the barrier withholds each shard's terminal row until all real
+    * rows are admitted (the coordination any Kafka drain protocol pays
+    * under max-semantics watermarks). Sharding is hash-balanced on
+    * user_id; each shard is event-time sorted with its sentinel last
+    * by construction (2100 sorts after every real ts).
+    */
+  def replayWindowedCountsQueue(s: SparkSession, d: String, rowsPerBatch: Int = 0,
+      nShards: Int = 8): DataFrame = {
+    val evts = graft.ops.Tables.events(s, d)
+      .select("ts", "event_type", "value", "user_id")
+    val batch =
+      if (rowsPerBatch > 0) rowsPerBatch
+      else {
+        val n = evts.count()
+        math.min(500000L, math.max(1L, (n + 4) / 5)).toInt
+      }
+    // TS-ROUND-ROBIN sharding — the window feed's load-bearing
+    // difference from the dedup twin's key sharding: the broker's
+    // admission is count-based, so each shard's EVENT-TIME frontier
+    // advances ∝ its share of the data, and any shard imbalance under
+    // a watermark-dropping aggregate turns into late-row loss once
+    // triggers span more time than the watermark delay (measured here:
+    // hash-of-user sharding lost the corpus's second half; the dedup
+    // twin survives the same skew only because its contract is the key
+    // SET). Round-robin over the global ts order makes every shard a
+    // ts-INTERLEAVED exact 1/n sample — frontiers stay within one row
+    // of each other at any imbalance-free trigger size. The global
+    // numbering is the q_global_rownum two-pass closed form (range
+    // partition + broadcast offsets — never a one-partition window).
+    val ranked = evts
+      .select(col("ts"), col("event_type"), col("value"))
+      .repartitionByRange(8 * nShards, col("ts"))
+      .sortWithinPartitions("ts")
+      .select(col("ts"), col("event_type"), col("value"),
+        monotonically_increasing_id().as("mid"))
+      .select(col("ts"), col("event_type"), col("value"),
+        expr("mid div 8589934592").as("pid"),
+        (col("mid") % lit(8589934592L)).as("idx"))
+    val offsets = ranked.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.orderBy("pid")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "offset")
+    // invert the hash partitioner so shard value v lands EXACTLY in
+    // partition v (one shard per log file — a colliding
+    // hash-of-shard-value would fold two round-robin samples into one
+    // log and halve its frontier speed, re-creating the skew): pick,
+    // per target partition, the smallest long key that
+    // pmod(murmur3, n) maps there — the same Murmur3Hash(seed 42)
+    // hashpartitioning itself evaluates
+    val keyFor: Map[Int, Long] = s.range(0, 64L * nShards)
+      .select(col("id"), pmod(hash(col("id")), lit(nShards)).cast("int").as("p"))
+      .collect().map(r => (r.getInt(1), r.getLong(0)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).min }
+    require(keyFor.size == nShards, s"hash-partitioner inversion incomplete: $keyFor")
+    val sentinels = s.range(nShards).select(
+      col("id").cast("int").as("rr"),
+      to_timestamp(lit("2100-01-01 00:00:00")).as("ts"),
+      lit("sentinel").as("event_type"),
+      lit(0.0).as("value"))
+    val sharded = ranked
+      .join(broadcast(offsets), "pid")
+      .select(col("ts"), col("event_type"), col("value"),
+        pmod(col("offset") + col("idx"), lit(nShards.toLong)).cast("int").as("rr"))
+      .unionByName(sentinels.select("ts", "event_type", "value", "rr"))
+      .withColumn("skey", element_at(typedLit(keyFor), col("rr")))
+      .repartition(nShards, col("skey"))
+      .sortWithinPartitions("ts")
+      .drop("rr", "skey")
+    val stageDir = java.nio.file.Files.createTempDirectory("queue-log-w-")
+    val name = "events-w-" + java.util.UUID.randomUUID()
+    // holdLastUntilDrained: each shard's sentinel is its LAST row, and
+    // the broker's drain barrier keeps every sentinel back until all
+    // shards' real rows are admitted — Spark's watermark is the global
+    // MAX event time, so one early sentinel would drop every other
+    // shard's tail as late (see the LogQueue scaladoc; measured)
+    graft.sources.QueueBroker.stageShards(name, sharded, batch, stageDir,
+      holdLastUntilDrained = true)
+    try {
+      val stream = s.readStream
+        .format(graft.sources.QueueSource.Name)
+        .option("queue", name)
+        .load()
+      replayQueueToParquet(
+        windowedCountsDrained(stream),
+        graft.FsUtil.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("replay-qwindow-out-")).toString)
+    } finally {
+      graft.sources.QueueBroker.remove(name)
+      graft.FsUtil.deleteRecursively(stageDir)
+    }
+  }
+
+  /** Declared query — q_stream_window THROUGH THE QUEUE SOURCE with the
+    * per-shard drain sentinel, carrying the same batch oracle verbatim
+    * (a drained append replay is trigger- and source-invariant): the
+    * hash proves the sharded broker drives watermark-closed
+    * aggregations, not just the dedup state machine.
+    */
+  val qStreamWindowQueue: graft.ops.Q = graft.ops.Q(
+    "q_stream_window_queue",
+    (s, d) =>
+      replayWindowedCountsQueue(s, d)
+        .orderBy("window_start", "event_type"),
+    qStreamWindow.oracle
+  )
+
   final case class Evt(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp, n: Int)
   /** Per-user state: the OPEN session fragments, kept until the

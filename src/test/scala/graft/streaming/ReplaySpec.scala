@@ -385,6 +385,29 @@ class ReplaySpec extends SparkSpec {
     assert(got == want, s"epoch-2 keys lost behind the watermark: $got of $want")
   }
 
+  test("queue-fed windowed counts: per-shard drain sentinels close every real window — result == batch aggregation") {
+    // small batches force many triggers, so window closure genuinely
+    // rides the watermark advancing across micro-batches, per shard
+    val got = Replay.replayWindowedCountsQueue(spark, sf0001, rowsPerBatch = 700)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val want = graft.ops.Tables.events(spark, sf0001)
+      .groupBy(
+        org.apache.spark.sql.functions.date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum(col("value").cast("decimal(28,6)"))
+          .cast("double").as("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want, "queue-fed drained window set drifted from batch aggregation")
+    assert(got.nonEmpty && !got.exists(_._2 == "sentinel"),
+      "the drain sentinel must advance the watermark, never appear in output")
+  }
+
   test("queue broker contract: rate-limited admission, ack drops history, replay of acked offsets refused") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("x", LongType)))
