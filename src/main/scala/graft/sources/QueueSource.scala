@@ -293,7 +293,17 @@ object QueueBroker {
         java.nio.file.Paths.get(dirStr, f"shard-$i%05d.count")), "UTF-8").trim.toLong
       new LogShard(log, cnt, nFields)
     }
-    val perShard = math.max(1, (rowsPerBatch + nShards - 1) / nShards)
+    // rowsPerBatch ≤ 0 = derive the rate limit from the staged totals
+    // (⌈n/5⌉ capped at the 500 k q_stream_join slice target) — the
+    // sidecars already carry n, so callers never pay a separate
+    // corpus-scale count() just to size the trigger
+    val effBatch =
+      if (rowsPerBatch > 0) rowsPerBatch.toLong
+      else {
+        val n = shards.map(_.total).sum
+        math.min(500000L, math.max(1L, (n + 4) / 5))
+      }
+    val perShard = math.max(1L, (effBatch + nShards - 1) / nShards).toInt
     queues.put(name, new LogQueue(schema, shards, perShard, holdLastUntilDrained))
   }
 

@@ -592,12 +592,6 @@ object Replay {
       nShards: Int = 8): DataFrame = {
     val evts = graft.ops.Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type")
-    val batch =
-      if (rowsPerBatch > 0) rowsPerBatch
-      else {
-        val n = evts.count()
-        math.min(500000L, math.max(1L, (n + 4) / 5)).toInt
-      }
     // the broker delivers in PER-SHARD EVENT-TIME order — the
     // production queue assumption (Kafka per-partition append order ≈
     // event order; the watermark absorbs bounded disorder). Feeding raw
@@ -617,7 +611,9 @@ object Replay {
       .sortWithinPartitions("ts")
     val stageDir = java.nio.file.Files.createTempDirectory("queue-log-")
     val name = "events-" + java.util.UUID.randomUUID()
-    graft.sources.QueueBroker.stageShards(name, sharded, batch, stageDir)
+    // rowsPerBatch ≤ 0: the broker derives the rate limit from its own
+    // staged totals — no separate corpus count() (r13 late fix)
+    graft.sources.QueueBroker.stageShards(name, sharded, rowsPerBatch, stageDir)
     try {
       val stream = s.readStream
         .format(graft.sources.QueueSource.Name)
@@ -673,12 +669,6 @@ object Replay {
       nShards: Int = 8): DataFrame = {
     val evts = graft.ops.Tables.events(s, d)
       .select("ts", "event_type", "value", "user_id")
-    val batch =
-      if (rowsPerBatch > 0) rowsPerBatch
-      else {
-        val n = evts.count()
-        math.min(500000L, math.max(1L, (n + 4) / 5)).toInt
-      }
     // TS-ROUND-ROBIN sharding — the window feed's load-bearing
     // difference from the dedup twin's key sharding: the broker's
     // admission is count-based, so each shard's EVENT-TIME frontier
@@ -740,7 +730,7 @@ object Replay {
     // shards' real rows are admitted — Spark's watermark is the global
     // MAX event time, so one early sentinel would drop every other
     // shard's tail as late (see the LogQueue scaladoc; measured)
-    graft.sources.QueueBroker.stageShards(name, sharded, batch, stageDir,
+    graft.sources.QueueBroker.stageShards(name, sharded, rowsPerBatch, stageDir,
       holdLastUntilDrained = true)
     try {
       val stream = s.readStream
