@@ -576,6 +576,59 @@ object Replay {
     spark.read.schema(stream.schema).parquet(outDir)
   }
 
+  /** Shard a ts-carrying frame ROUND-ROBIN over its GLOBAL event-time
+    * order — the queue feeds' frontier-alignment stage: the broker's
+    * admission is count-based, so each shard's event-time frontier
+    * advances ∝ its share of the data, and ANY shard imbalance under a
+    * watermark-dropping stateful operator turns into late-row loss
+    * once triggers span more time than the watermark delay (measured:
+    * hash-of-user sharding lost the corpus's second half under the
+    * windowed aggregate). Round-robin over the ts order makes every
+    * shard a ts-INTERLEAVED exact 1/n sample — frontiers stay within
+    * one row of each other at any trigger size. The global numbering
+    * is the q_global_rownum two-pass closed form (range partition +
+    * broadcast offsets — never a one-partition window), and the hash
+    * partitioner is INVERTED so shard value v lands exactly in
+    * partition v (a colliding hash-of-shard-value would fold two
+    * samples into one log and halve its frontier speed): per target
+    * partition, the smallest long key whose pmod(murmur3(seed 42), n)
+    * maps there — the same expression hashpartitioning evaluates.
+    * `sentinel` (one row per shard, carrying `rr` = the shard index)
+    * appends terminal control records that sort last per shard
+    * (far-future ts).
+    */
+  private def tsRoundRobinShards(s: SparkSession, df: DataFrame, nShards: Int,
+      sentinel: Option[DataFrame] = None): DataFrame = {
+    val cols = df.columns.toSeq.map(col)
+    val ranked = df
+      .repartitionByRange(8 * nShards, col("ts"))
+      .sortWithinPartitions("ts")
+      .select(cols :+ monotonically_increasing_id().as("mid"): _*)
+      .select(cols ++ Seq(
+        expr("mid div 8589934592").as("pid"),
+        (col("mid") % lit(8589934592L)).as("idx")): _*)
+    val offsets = ranked.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.orderBy("pid")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "offset")
+    val keyFor: Map[Int, Long] = s.range(0, 64L * nShards)
+      .select(col("id"), pmod(hash(col("id")), lit(nShards)).cast("int").as("p"))
+      .collect().map(r => (r.getInt(1), r.getLong(0)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).min }
+    require(keyFor.size == nShards, s"hash-partitioner inversion incomplete: $keyFor")
+    val base = ranked
+      .join(broadcast(offsets), "pid")
+      .select(cols :+
+        pmod(col("offset") + col("idx"), lit(nShards.toLong)).cast("int").as("rr"): _*)
+    sentinel.fold(base)(sen => base.unionByName(sen.select(base.columns.map(col): _*)))
+      .withColumn("skey", element_at(typedLit(keyFor), col("rr")))
+      .repartition(nShards, col("skey"))
+      .sortWithinPartitions("ts")
+      .drop("rr", "skey")
+  }
+
   /** [[dedupStream]] — the IDENTICAL operator — fed through the
     * [[graft.sources.QueueSource]] micro-batch source instead of the
     * file source: the broker reveals ≤ rowsPerBatch rows per trigger
@@ -599,16 +652,16 @@ object Replay {
     // t2: ScaleUp corpora are concatenated copies whose ts ranges
     // RESTART per copy, so batch 2+ arrived wholly behind the watermark
     // and the stateful dedup dropped it as late (got 86 520 of 750 000
-    // keys). Sharding is Kafka's keyed partitioning on the DEDUP key
-    // (per-key total order within one shard); shards are hash-balanced,
-    // so count-based per-shard admission keeps their event-time
-    // frontiers in lockstep — cross-shard disorder ≪ the 1 h watermark.
-    // The r12 feed was ONE driver-side toLocalIterator (~39 k rows/s,
-    // 257 s at sf10 — the round's scale-killer); stageShards writes and
-    // serves every shard executor-side, the driver handles offsets only.
-    val sharded = evts
-      .repartition(nShards, col("user_id"), col("event_type"))
-      .sortWithinPartitions("ts")
+    // keys). Shards are ts-round-robin ([[tsRoundRobinShards]]): the
+    // dedup key-SET contract happens to tolerate keyed sharding's
+    // frontier skew (a late-dropped duplicate's key already emitted),
+    // but frontier alignment removes the latent late-drop class
+    // entirely, and key locality buys nothing here — the dedup state
+    // shuffles by key downstream regardless. The r12 feed was ONE
+    // driver-side toLocalIterator (~39 k rows/s, 257 s at sf10 — the
+    // round's scale-killer); stageShards writes and serves every shard
+    // executor-side, the driver handles offsets only.
+    val sharded = tsRoundRobinShards(s, evts, nShards)
     val stageDir = java.nio.file.Files.createTempDirectory("queue-log-")
     val name = "events-" + java.util.UUID.randomUUID()
     // rowsPerBatch ≤ 0: the broker derives the rate limit from its own
@@ -668,61 +721,17 @@ object Replay {
   def replayWindowedCountsQueue(s: SparkSession, d: String, rowsPerBatch: Int = 0,
       nShards: Int = 8): DataFrame = {
     val evts = graft.ops.Tables.events(s, d)
-      .select("ts", "event_type", "value", "user_id")
-    // TS-ROUND-ROBIN sharding — the window feed's load-bearing
-    // difference from the dedup twin's key sharding: the broker's
-    // admission is count-based, so each shard's EVENT-TIME frontier
-    // advances ∝ its share of the data, and any shard imbalance under
-    // a watermark-dropping aggregate turns into late-row loss once
-    // triggers span more time than the watermark delay (measured here:
-    // hash-of-user sharding lost the corpus's second half; the dedup
-    // twin survives the same skew only because its contract is the key
-    // SET). Round-robin over the global ts order makes every shard a
-    // ts-INTERLEAVED exact 1/n sample — frontiers stay within one row
-    // of each other at any imbalance-free trigger size. The global
-    // numbering is the q_global_rownum two-pass closed form (range
-    // partition + broadcast offsets — never a one-partition window).
-    val ranked = evts
-      .select(col("ts"), col("event_type"), col("value"))
-      .repartitionByRange(8 * nShards, col("ts"))
-      .sortWithinPartitions("ts")
-      .select(col("ts"), col("event_type"), col("value"),
-        monotonically_increasing_id().as("mid"))
-      .select(col("ts"), col("event_type"), col("value"),
-        expr("mid div 8589934592").as("pid"),
-        (col("mid") % lit(8589934592L)).as("idx"))
-    val offsets = ranked.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      .withColumn("offset", coalesce(sum("cnt").over(
-        org.apache.spark.sql.expressions.Window.orderBy("pid")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("pid", "offset")
-    // invert the hash partitioner so shard value v lands EXACTLY in
-    // partition v (one shard per log file — a colliding
-    // hash-of-shard-value would fold two round-robin samples into one
-    // log and halve its frontier speed, re-creating the skew): pick,
-    // per target partition, the smallest long key that
-    // pmod(murmur3, n) maps there — the same Murmur3Hash(seed 42)
-    // hashpartitioning itself evaluates
-    val keyFor: Map[Int, Long] = s.range(0, 64L * nShards)
-      .select(col("id"), pmod(hash(col("id")), lit(nShards)).cast("int").as("p"))
-      .collect().map(r => (r.getInt(1), r.getLong(0)))
-      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).min }
-    require(keyFor.size == nShards, s"hash-partitioner inversion incomplete: $keyFor")
+      .select("ts", "event_type", "value")
+    // ts-round-robin sharding ([[tsRoundRobinShards]]) — load-bearing
+    // here: a watermark-dropping AGGREGATE pays any frontier skew as
+    // late-row loss (measured: hash-of-user sharding lost the corpus's
+    // second half), and the per-shard sentinels must sort last
     val sentinels = s.range(nShards).select(
       col("id").cast("int").as("rr"),
       to_timestamp(lit("2100-01-01 00:00:00")).as("ts"),
       lit("sentinel").as("event_type"),
       lit(0.0).as("value"))
-    val sharded = ranked
-      .join(broadcast(offsets), "pid")
-      .select(col("ts"), col("event_type"), col("value"),
-        pmod(col("offset") + col("idx"), lit(nShards.toLong)).cast("int").as("rr"))
-      .unionByName(sentinels.select("ts", "event_type", "value", "rr"))
-      .withColumn("skey", element_at(typedLit(keyFor), col("rr")))
-      .repartition(nShards, col("skey"))
-      .sortWithinPartitions("ts")
-      .drop("rr", "skey")
+    val sharded = tsRoundRobinShards(s, evts, nShards, Some(sentinels))
     val stageDir = java.nio.file.Files.createTempDirectory("queue-log-w-")
     val name = "events-w-" + java.util.UUID.randomUUID()
     // holdLastUntilDrained: each shard's sentinel is its LAST row, and
