@@ -943,6 +943,68 @@ object Replay {
     qSessions.oracle
   )
 
+  /** [[sessionize]] — the CUSTOM-STATE operator
+    * (flatMapGroupsWithState, EventTimeTimeout) — fed through the
+    * sharded queue source: with dedup state and windowed-aggregation
+    * state already queue-proven, this closes the third stateful class.
+    * Same feed discipline as the window twin (ts-round-robin shards,
+    * per-shard far-future sentinels under the drain barrier): the
+    * sentinel advances the watermark past every open session's
+    * event-time timeout, flushing all fragments; its own user (−1) is
+    * filtered in the declared query exactly as [[qStreamSessions]]
+    * filters the file-staged sentinel. A user's events interleave
+    * ACROSS shards here (round-robin is not keyed) — legal because the
+    * group state shuffles by user anyway and sessionize's fragment
+    * merge absorbs any within-watermark disorder, the ReplaySpec
+    * arrival-order law.
+    */
+  def replaySessionsQueue(s: SparkSession, d: String, rowsPerBatch: Int = 0,
+      nShards: Int = 8): DataFrame = {
+    import s.implicits._
+    val evts = graft.ops.Tables.events(s, d)
+      .select("event_id", "ts", "user_id")
+    val sentinels = s.range(nShards).select(
+      col("id").cast("int").as("rr"),
+      lit(-1L).as("event_id"),
+      to_timestamp(lit("2100-01-01 00:00:00")).as("ts"),
+      lit(-1L).as("user_id"))
+    val sharded = tsRoundRobinShards(s, evts, nShards, Some(sentinels))
+    val stageDir = java.nio.file.Files.createTempDirectory("queue-log-s-")
+    val name = "events-s-" + java.util.UUID.randomUUID()
+    graft.sources.QueueBroker.stageShards(name, sharded, rowsPerBatch, stageDir,
+      holdLastUntilDrained = true)
+    try {
+      val stream = s.readStream
+        .format(graft.sources.QueueSource.Name)
+        .option("queue", name)
+        .load()
+        .as[Evt]
+      replayQueueToParquet(
+        sessionize(stream).toDF(),
+        graft.FsUtil.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("replay-qsess-out-")).toString)
+    } finally {
+      graft.sources.QueueBroker.remove(name)
+      graft.FsUtil.deleteRecursively(stageDir)
+    }
+  }
+
+  /** Declared query — q_stream_sessions THROUGH THE QUEUE SOURCE,
+    * carrying the batch lag-gap oracle verbatim (sessionization is a
+    * pure function of event times once the drain flushes every
+    * fragment): the hash proves custom flatMapGroupsWithState state
+    * survives the non-file source's batch boundaries.
+    */
+  val qStreamSessionsQueue: graft.ops.Q = graft.ops.Q(
+    "q_stream_sessions_queue",
+    (s, d) =>
+      replaySessionsQueue(s, d)
+        .where(col("user_id") =!= -1L)
+        .orderBy("user_id", "session_start"),
+    qSessions.oracle
+  )
+
+
   /** Physical schema of documents.parquet (declared up front — a
     * streaming source cannot infer). */
   val docSchema: StructType = StructType(Seq(

@@ -408,6 +408,21 @@ class ReplaySpec extends SparkSpec {
       "the drain sentinel must advance the watermark, never appear in output")
   }
 
+  test("queue-fed sessionization: custom flatMapGroupsWithState state survives queue batch boundaries — result == batch lag-gap sessions") {
+    val got = Replay.replaySessionsQueue(spark, sf0001, rowsPerBatch = 700)
+      .where(col("user_id") =!= -1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getInt(3)))
+      .toSet
+    val want = Replay.sessionizeBatch(
+        graft.ops.Tables.events(spark, sf0001).select("event_id", "ts", "user_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getInt(3)))
+      .toSet
+    assert(got == want, "queue-fed sessionization drifted from the batch lag-gap sessions")
+    assert(got.nonEmpty && !got.exists(_._1 == -1L))
+  }
+
   test("queue broker contract: rate-limited admission, ack drops history, replay of acked offsets refused") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("x", LongType)))
