@@ -140,9 +140,26 @@ object Ingest {
     // in a scratch sibling and ONE rename exposes them, so a crash
     // between the staging write and the sink writes can never leave a
     // partially-routed outDir that a path-reusing caller reads as
-    // complete. Completeness = all three sinks' _SUCCESS markers.
+    // complete. Completeness = all three sinks' _SUCCESS markers AND a
+    // content key of the INPUT (path + size + mtime, the sourceKey
+    // idiom) published with the layout — without it, a caller reusing
+    // an outDir with a different source file silently got the previous
+    // run's routing (r13 ADVICE).
+    val inputKey = graft.ops.Partitioned.sourceKey(Seq(path))
+    val keyFile = "_graft_input_key"
+    def publishedKey(): Option[String] = {
+      val kp = new org.apache.hadoop.fs.Path(s"$outDir/$keyFile")
+      val kfs = kp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!kfs.exists(kp)) None
+      else {
+        val in = kfs.open(kp)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    }
     def complete() = Seq("staging", "clean", "quarantine")
-      .forall(p => graft.ops.Partitioned.successExists(s, s"$outDir/$p"))
+      .forall(p => graft.ops.Partitioned.successExists(s, s"$outDir/$p")) &&
+      publishedKey().contains(inputKey)
     if (!complete()) {
       graft.ops.Partitioned.buildAtomically(s, outDir, () => complete()) { tmp =>
         val staging = s"$tmp/staging"
@@ -178,6 +195,11 @@ object Ingest {
             col("reason"),
             col("value").as("raw"))
           .write.mode("overwrite").parquet(s"$tmp/quarantine")
+        // the input's content key rides the atomic publish: a reused
+        // outDir over a CHANGED input reads as incomplete and rebuilds
+        val kp = new org.apache.hadoop.fs.Path(s"$tmp/$keyFile")
+        val kout = kp.getFileSystem(s.sparkContext.hadoopConfiguration).create(kp, true)
+        try kout.write(inputKey.getBytes("UTF-8")) finally kout.close()
       }
     }
     (s"$outDir/clean", s"$outDir/quarantine")

@@ -28,7 +28,7 @@ object Partitioned {
     * real hazard for a shared tmpdir, and a collision here silently
     * serves the WRONG index.
     */
-  private[ops] def sourceKey(paths: Seq[String]): String = {
+  private[graft] def sourceKey(paths: Seq[String]): String = {
     val sig = paths.map { p =>
       val f = java.nio.file.Paths.get(p)
       val (sz, mt) =
@@ -926,12 +926,34 @@ object Partitioned {
           catch { case _: java.nio.file.FileAlreadyExistsException => false }
         } finally java.nio.file.Files.deleteIfExists(tmp)
       case _ =>
+        // Distinguish CREATE-REFUSED (a real CAS loss) from a failure
+        // AFTER create succeeded (r13 ADVICE): a write/close error
+        // leaves the version file existing with partial content, and a
+        // partial manifest as the head silently drops every prior file
+        // from reads while poisoning this version's CAS forever. So a
+        // post-create failure must remove the partial file before
+        // surfacing — and if even the delete fails, throw rather than
+        // report a clean CAS loss over a corrupt head.
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val out =
+          try fs.create(p, false)
+          catch { case _: java.io.IOException => return false } // CAS refused
         try {
-          val out = fs.create(p, false)
-          try out.write(body) finally out.close()
+          out.write(body)
+          out.close()
           true
-        } catch { case _: java.io.IOException => false }
+        } catch {
+          case e: java.io.IOException =>
+            try out.close() catch { case _: java.io.IOException => () }
+            val gone =
+              try fs.delete(p, false)
+              catch { case _: java.io.IOException => false }
+            if (!gone && fs.exists(p))
+              throw new java.io.IOException(
+                s"commit write to $target failed AND the partial version file could not be removed — " +
+                  "manual cleanup required before any further commit at this version", e)
+            false
+        }
     }
   }
 

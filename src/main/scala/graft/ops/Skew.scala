@@ -85,10 +85,10 @@ object Skew {
     * complement to [[saltedJoin]] (r13). Production keeps the defaults
     * (256 MB threshold / 64 MB advisory); a unit-scale hot partition is
     * kilobytes, so the thresholds here derive from the actual input
-    * size (threshold = max(16 KB, input/64), advisory = threshold/2):
-    * at sf0.001 the hot partition (~70 KB) splits, and at sf10 the same
-    * formula yields ~32 MB/16 MB — production-shaped chunks, never a
-    * task explosion. Broadcast is disabled in scope because a broadcast
+    * size (threshold = max(4 KB, input/64), advisory = max(2 KB,
+    * threshold/2)): at sf0.001 the hot partition (~70 KB) clears the
+    * 4 KB floor and splits, and at sf10 the same formula yields
+    * ~32 MB/16 MB — production-shaped chunks, never a task explosion. Broadcast is disabled in scope because a broadcast
     * join never had a skew problem (the [[saltedJoin]] argument);
     * coalescing is off so the split's sub-partitions stay visible.
     *

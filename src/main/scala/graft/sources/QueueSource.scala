@@ -164,7 +164,16 @@ object QueueBroker {
       while (readPos < target) {
         val len = in.readInt()
         var left = len.toLong
-        while (left > 0) left -= in.skip(left)
+        while (left > 0) {
+          val k = in.skip(left)
+          // skip() returns 0 at EOF rather than throwing — a truncated
+          // or corrupt shard log must fail loudly (the fail-loud
+          // contract above), never spin (r13 ADVICE)
+          if (k <= 0)
+            throw new java.io.EOFException(
+              s"truncated shard log $path: $left bytes of row $readPos missing")
+          left -= k
+        }
         readPos += 1
       }
     }
