@@ -46,6 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_intersect_count", 2)(cs => SortedLongIntersectCount(cs(0), cs(1)))
     register("graft_lcs", 2)(cs => LcsLength(cs(0), cs(1)))
     register("graft_gram_stats", 2)(cs => WordGramStats(cs(0), intLit(cs(1), "gram width")))
+    register("graft_ulm_segment", 2)(cs => UlmSegment(cs(0), cs(1)))
     // the UDTF surface: a native Generator usable in LATERAL VIEW
     register("graft_explode_shingles", 2)(cs =>
       ExplodeWordShingles(cs(0), intLit(cs(1), "shingle width")))

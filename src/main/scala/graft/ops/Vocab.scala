@@ -373,10 +373,14 @@ object Vocab {
       .select(col("word"), col("j"), (col("j") + col("l")).as("i"),
         expr("substring(word, j + 1, l)").as("piece"))
 
-  /** One Viterbi E-STEP under `vocab`: the position-unrolled DP,
-    * returning every word's chosen pieces (word, piece — one row per
-    * piece occurrence). Shared verbatim by the training rounds and
-    * [[qUnigramApply]]'s final encode.
+  /** One Viterbi E-STEP under `vocab` as the POSITION-UNROLLED
+    * DataFrame DP — r13's implementation, kept as the
+    * cross-implementation REFERENCE: the declared queries now run the
+    * same DP as ONE native codegen projection
+    * ([[graft.functions.UlmSegment]], see [[ulmTrainedVocabFast]]),
+    * and VocabSpec pins the two paths bit-equal round for round. The
+    * unroll returns every word's chosen pieces (word, piece — one row
+    * per piece occurrence).
     *
     * Each DP state CARRIES ITS PATH as an array column (words are ≤
     * [[ULM_LMAX]] chars, so the array is tiny) instead of a
@@ -385,7 +389,7 @@ object Vocab {
     * paid for a separate backtrack walk (8 DP steps + 8 walk steps →
     * 8 total; measured 13.3 → ~7 s at sf0.1).
     */
-  private def ulmEStep(words: DataFrame, subs: DataFrame, vocab: DataFrame): DataFrame = {
+  private[graft] def ulmEStep(words: DataFrame, subs: DataFrame, vocab: DataFrame): DataFrame = {
     // the round's total piece mass → the log2-denominator bits
     // (1 row, broadcast onto every DP edge)
     val mass = vocab.agg(flog2(sum(col("c")) + 1).cast("long").as("b"))
@@ -416,11 +420,12 @@ object Vocab {
       .select(col("word"), explode(col("pieces")).as("piece"))
   }
 
-  /** The full training loop: seed → [[ULM_ROUNDS]] × (E-step, M-step +
-    * prune). Returns (words, subs, final vocab) so the train and apply
-    * queries share one code path.
+  /** The UNROLLED full training loop (r13 reference path — see
+    * [[ulmEStep]]): seed → [[ULM_ROUNDS]] × (E-step, M-step + prune).
+    * Returns (words, subs, final vocab); feeds the spec-only
+    * [[unigramLmUnrolled]]/[[unigramApplyUnrolled]] twins.
     */
-  private def ulmTrainedVocab(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def ulmTrainedVocab(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val words = Materialize(ulmWords(s, d))
     val subs = Materialize(ulmSubs(words))
     val sfreq = Materialize(
@@ -444,11 +449,100 @@ object Vocab {
     (words, subs, vocab)
   }
 
+  // -------------------------------------------------------------------
+  // r14 FAST PATH — the E-step as ONE native codegen projection.
+  // The r13 unroll paid ~16-24 checkpointed join/window micro-jobs per
+  // query whose FIXED overhead dominated at every measured scale
+  // (sf0.1 11.5 s + 7.3 s; 38.5 s at sf10) for a DP that is row-local
+  // over ≤ ULM_LMAX-char words — exactly the LcsLength/graft_lcs shape.
+  // graft.functions.UlmSegment runs the identical DP (same integer
+  // bits, same smallest-j tiebreak) per word inside whole-stage
+  // codegen; the vocabulary rides the plan as a foldable map literal
+  // (broadcast-sized BY CONSTRUCTION: alphabet + ≤ ULM_SEED pieces).
+  // Driver traffic is vocab-sized only — the K×dim centroid-sync
+  // precedent — and each round is one map-side-combined aggregate over
+  // the materialized distinct-word relation. The unrolled pipeline
+  // above survives as the spec's reference: VocabSpec pins both query
+  // outputs bit-equal to it, and the DuckDB CTE-chain oracle
+  // re-verifies the DP corpus-wide on every t2 run.
+  // -------------------------------------------------------------------
+
+  /** floor(log2(x)) for x ≥ 1, driver-side — the exact integer the
+    * column-side [[flog2]] (`length(bin(x)) - 1`) computes.
+    */
+  private def flog2L(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** One round's piece→weight table: flog2(c+1) − flog2(Σc+1), the
+    * per-edge bits the unrolled DP's join computed — precomputed once
+    * over the vocab-sized relation so the DP's hot path is a pure
+    * hash-map lookup.
+    */
+  private def ulmWeightMap(vocab: Seq[(String, Long)]): Map[String, Long] = {
+    val b = flog2L(vocab.iterator.map(_._2).sum + 1)
+    vocab.iterator.map { case (p, c) => p -> (flog2L(c + 1) - b) }.toMap
+  }
+
+  /** The E-step column: Viterbi-segment `word` under the frozen
+    * weights ([[graft.functions.UlmSegment]] through the SQL registry,
+    * so the pure-SQL surface gets the same primitive). NULL = no
+    * segmentation (explode drops it, mirroring the unrolled DP's
+    * absent final state).
+    */
+  private def ulmSegCol(word: org.apache.spark.sql.Column,
+      weights: Map[String, Long]): org.apache.spark.sql.Column =
+    call_function("graft_ulm_segment", word, typedLit(weights))
+
+  private def utf32Len(p: String): Int = p.codePointCount(0, p.length)
+
+  /** The r14 training loop: same seed relation, same M-step algebra as
+    * [[ulmTrainedVocab]], but each E-step is ONE projection. Returns
+    * (materialized words, final vocab as driver rows — vocab-sized by
+    * construction).
+    */
+  private def ulmTrainedVocabFast(s: SparkSession, d: String): (DataFrame, Array[(String, Long)]) = {
+    val words = Materialize(ulmWords(s, d))
+    val sfreq = ulmSubs(words).join(words, "word")
+      .groupBy("piece").agg(sum("wfreq").as("c"))
+    // alphabet + top-seed collects — vocab-sized driver metadata, never
+    // corpus rows (the aggregation itself is distributed)
+    val chars = sfreq.where(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val multi = sfreq.where(length(col("piece")) >= 2)
+      .orderBy(col("c").desc, col("piece").asc).limit(ULM_SEED)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(String, Long)] = chars ++ multi
+    for (_ <- 1 to ULM_ROUNDS) {
+      val counts = words
+        .select(col("wfreq"),
+          explode(ulmSegCol(col("word"), ulmWeightMap(vocab.toSeq))).as("piece"))
+        .groupBy("piece").agg(sum("wfreq").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // M-step + prune: chars persist (count 0 allowed — coverage);
+      // multi-char pieces survive only while the E-step uses them
+      vocab = chars.map { case (p, _) => (p, counts.getOrElse(p, 0L)) } ++
+        counts.iterator.filter { case (p, _) => utf32Len(p) >= 2 }.toArray.sortBy(_._1)
+    }
+    (words, vocab)
+  }
+
+  /** Spec-only twin of q_unigram_lm over the UNROLLED reference DP. */
+  private[graft] def unigramLmUnrolled(s: SparkSession, d: String): DataFrame = {
+    val (_, _, vocab) = ulmTrainedVocab(s, d)
+    vocab.select(col("piece"), col("c").as("freq"),
+        flog2(col("c") + 1).cast("long").as("bits"))
+      .orderBy(col("freq").desc, col("piece").asc)
+      .limit(ULM_TOPK)
+  }
+
   val qUnigramLm = Q(
     "q_unigram_lm",
     (s, d) => {
-      val (_, _, vocab) = ulmTrainedVocab(s, d)
-      vocab.select(col("piece"), col("c").as("freq"),
+      val (_, vocab) = ulmTrainedVocabFast(s, d)
+      import s.implicits._
+      // the final sort/limit stays IN Spark so string ordering is the
+      // same UTF8String binary order the unrolled twin used
+      vocab.toSeq.toDF("piece", "c")
+        .select(col("piece"), col("c").as("freq"),
           flog2(col("c") + 1).cast("long").as("bits"))
         .orderBy(col("freq").desc, col("piece").asc)
         .limit(ULM_TOPK)
@@ -470,29 +564,51 @@ object Vocab {
     * (no M-step) and replays the same explode/lookup/sum, so the hash
     * verifies the applied tokenization corpus-wide.
     */
+  /** Spec-only twin of q_unigram_apply over the UNROLLED reference DP. */
+  private[graft] def unigramApplyUnrolled(s: SparkSession, d: String): DataFrame = {
+    val (words, subs, vocab) = ulmTrainedVocab(s, d)
+    val perWord = Materialize(ulmEStep(words, subs, vocab)
+      .groupBy("word").agg(count(lit(1)).as("n_pieces")))
+    ulmApplyTail(s, d, perWord)
+  }
+
+  /** The shared corpus-tokenization tail: explode documents to words,
+    * look up n_pieces per word (vocab-sized lookup join), sum per doc;
+    * words longer than [[ULM_LMAX]] (or unsegmentable) fall back to
+    * per-CHARACTER pieces via the coalesce (the coverage guarantee).
+    */
+  private def ulmApplyTail(s: SparkSession, d: String, perWord: DataFrame): DataFrame = {
+    val dw = fanOut(documents(s, d))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+    val perDoc = dw
+      .join(perWord.hint("shuffle_hash"), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_pieces"), length(col("word")).cast("long")))
+          .as("n_tokens"))
+    documents(s, d)
+      .select(col("doc_id"))
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val qUnigramApply = Q(
     "q_unigram_apply",
     (s, d) => {
-      val (words, subs, vocab) = ulmTrainedVocab(s, d)
-      val perWord = Materialize(ulmEStep(words, subs, vocab)
-        .groupBy("word").agg(count(lit(1)).as("n_pieces")))
-      val dw = fanOut(documents(s, d))
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .where(col("word") =!= "")
-      val perDoc = dw
-        .join(perWord.hint("shuffle_hash"), Seq("word"), "left")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_words"),
-          sum(coalesce(col("n_pieces"), length(col("word")).cast("long")))
-            .as("n_tokens"))
-      documents(s, d)
-        .select(col("doc_id"))
-        .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_words"), lit(0L)).as("n_words"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-        .orderBy("doc_id")
+      val (words, vocab) = ulmTrainedVocabFast(s, d)
+      // one more E-step under the FROZEN vocabulary (SentencePiece's
+      // encode IS this DP) — a single projection; size() of the path
+      // replaces the explode+count the unrolled twin paid
+      val seg = ulmSegCol(col("word"), ulmWeightMap(vocab.toSeq))
+      val perWord = words.select(col("word"), seg.as("seg"))
+        .where(col("seg").isNotNull)
+        .select(col("word"), size(col("seg")).cast("long").as("n_pieces"))
+      ulmApplyTail(s, d, perWord)
     },
     Some(ulmApplyOracle)
   )

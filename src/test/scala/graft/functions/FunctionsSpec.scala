@@ -228,6 +228,83 @@ class VectorExprsSparkSpec extends SparkSpec {
     }
   }
 
+  test("UlmSegmentUtil matches a spec-local reference DP (edges + seeded random)") {
+    // independent re-derivation of the Viterbi recurrence over plain
+    // Strings: f(0)=0, f(i) = max over j of f(j) + w(word[j..i)), ties
+    // toward the SMALLEST j; None when position n is unreachable
+    def ref(word: String, w: Map[String, Long]): Option[List[String]] = {
+      val n = word.length
+      val score = new Array[Long](n + 1)
+      val from = Array.fill(n + 1)(-1); from(0) = 0
+      for (i <- 1 to n) {
+        var best = Long.MinValue; var bj = -1
+        for (j <- 0 until i if from(j) >= 0)
+          w.get(word.substring(j, i)).foreach { wt =>
+            val sc = score(j) + wt
+            if (sc > best) { best = sc; bj = j }
+          }
+        score(i) = best; from(i) = bj
+      }
+      if (from(n) < 0) None
+      else {
+        var p = n; var acc = List.empty[String]
+        while (p > 0) { acc = word.substring(from(p), p) :: acc; p = from(p) }
+        Some(acc)
+      }
+    }
+    def model(w: Map[String, Long]): UlmModel = {
+      val h = new java.util.HashMap[UTF8String, java.lang.Long]()
+      w.foreach { case (k, v) => h.put(UTF8String.fromString(k), v) }
+      new UlmModel(h, if (w.isEmpty) 1 else w.keys.map(_.length).max)
+    }
+    def got(word: String, w: Map[String, Long]): Option[List[String]] =
+      Option(UlmSegmentUtil.segment(UTF8String.fromString(word), model(w)))
+        .map(_.toArray[UTF8String](org.apache.spark.sql.types.StringType)
+          .map(_.toString).toList)
+
+    // edges: tie → smallest j (longest LAST piece); empty word; no path
+    val w0 = Map("a" -> 0L, "b" -> 0L, "ab" -> 0L)
+    assert(got("ab", w0) == Some(List("ab")), "equal scores must prefer smallest j")
+    assert(got("ab", Map("a" -> 5L, "b" -> 5L, "ab" -> 3L)) == Some(List("a", "b")))
+    assert(got("", w0) == Some(Nil))
+    assert(got("abc", Map("a" -> 0L)) == None)
+    assert(got("zzz", Map.empty) == None)
+
+    val rnd = new scala.util.Random(421)
+    for (_ <- 1 to 400) {
+      val word = (1 to (1 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val pieces = (1 to (2 + rnd.nextInt(10))).map { _ =>
+        (1 to (1 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }.distinct
+      // chars sometimes included so most words segment; weights can tie
+      val w = (pieces ++ (if (rnd.nextBoolean()) Seq("a", "b", "c") else Nil))
+        .distinct.map(p => p -> (rnd.nextInt(21) - 15).toLong).toMap
+      assert(got(word, w) == ref(word, w), s"mismatch for '$word' under $w")
+    }
+  }
+
+  test("graft_ulm_segment through Spark (codegen + map literal + registry) == direct eval") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, typedLit}
+    val w = Map("a" -> -1L, "b" -> -2L, "ab" -> -2L, "ba" -> -4L, "abc" -> -1L)
+    val words = Seq("ab", "ba", "abc", "abab", "zz", "", "aabba")
+    val df = words.toDF("word")
+      .select(col("word"), call_function("graft_ulm_segment", col("word"), typedLit(w)).as("seg"))
+    val got = df.as[(String, Option[Seq[String]])].collect().toMap
+    def m(): UlmModel = {
+      val h = new java.util.HashMap[UTF8String, java.lang.Long]()
+      w.foreach { case (k, v) => h.put(UTF8String.fromString(k), v) }
+      new UlmModel(h, 3)
+    }
+    for (word <- words) {
+      val direct = Option(UlmSegmentUtil.segment(UTF8String.fromString(word), m()))
+        .map(_.toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString).toSeq)
+      assert(got(word) == direct, s"Spark/eval divergence for '$word'")
+    }
+    assert(got("zz").isEmpty, "unsegmentable word must be NULL")
+    assert(got("abc") == Some(Seq("abc")))
+  }
+
   test("hamming == manual bit count") {
     import spark.implicits._
     val pairs = Seq((0L, 0L), (-1L, 0L), (0x5555555555555555L, 0L), (123456789L, 987654321L))

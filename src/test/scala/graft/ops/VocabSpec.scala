@@ -265,4 +265,18 @@ class VocabSpec extends SparkSpec {
       .map(_.split(" ").filter(_.nonEmpty).map(_.length).sum.toLong).sum
     assert(totTokens >= totWords && totTokens <= totChars)
   }
+
+  test("codegen E-step queries are bit-equal to the r13 unrolled DataFrame DP (sf0.001)") {
+    // the declared queries run the Viterbi E-step as ONE native
+    // projection (graft_ulm_segment); this pins them row-for-row to the
+    // retained position-unrolled join/window pipeline — same integer
+    // bits, same smallest-j tiebreak, same prune algebra, round for
+    // round (the r14 VERDICT's required equivalence)
+    val fastLm = graft.SparkEntry.queries("q_unigram_lm")(spark, sf0001).collect().toSeq
+    val slowLm = Vocab.unigramLmUnrolled(spark, sf0001).collect().toSeq
+    assert(fastLm == slowLm, s"lm diverged:\nfast $fastLm\nslow $slowLm")
+    val fastAp = graft.SparkEntry.queries("q_unigram_apply")(spark, sf0001).collect().toSeq
+    val slowAp = Vocab.unigramApplyUnrolled(spark, sf0001).collect().toSeq
+    assert(fastAp == slowAp, s"apply diverged on ${fastAp.zip(slowAp).count(p => p._1 != p._2)} rows")
+  }
 }
