@@ -975,12 +975,16 @@ object Partitioned {
       .maxOption.getOrElse(0)
   }
 
-  /** The file list visible at `v` — the full-snapshot manifest shape
-    * ([[buildVersioned]]'s Iceberg idiom: rewrites retire files without
-    * tombstone algebra).
+  /** Version-file header recording the commit's OPERATION TYPE —
+    * `append` (blind add of fresh uniquely-named files) or `rewrite`
+    * (compaction/vacuum/DV rewrite: retires existing files). The type
+    * is what makes optimistic rebase SOUND to decide (r13 VERDICT):
+    * appends commute with everything, rewrites only with commits that
+    * leave their inputs alone — Delta's logical conflict matrix.
     */
-  private[ops] def manifestFiles(s: SparkSession, logDir: String, v: Int): Seq[String] = {
-    if (v == 0) return Seq.empty
+  private val OpHeader = "#op="
+
+  private def versionBody(s: SparkSession, logDir: String, v: Int): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(versionFile(logDir, v))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val body = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
@@ -989,19 +993,50 @@ object Partitioned {
     new String(body, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
   }
 
-  /** One commit ATTEMPT at exactly version `v`: manifest = the previous
-    * head's list + this batch. False = CAS failure (someone else owns
-    * `v` now) — the law the race test pins.
+  /** The file list visible at `v` — the full-snapshot manifest shape
+    * ([[buildVersioned]]'s Iceberg idiom: rewrites retire files without
+    * tombstone algebra). Header lines (`#...`) carry commit metadata,
+    * not files.
+    */
+  private[ops] def manifestFiles(s: SparkSession, logDir: String, v: Int): Seq[String] =
+    if (v == 0) Seq.empty
+    else versionBody(s, logDir, v).filterNot(_.startsWith("#"))
+
+  /** The operation type committed at `v` (headerless pre-r14 logs read
+    * as `append` — the only op they could record).
+    */
+  private[ops] def versionOp(s: SparkSession, logDir: String, v: Int): String =
+    if (v == 0) "append"
+    else versionBody(s, logDir, v)
+      .collectFirst { case l if l.startsWith(OpHeader) => l.stripPrefix(OpHeader) }
+      .getOrElse("append")
+
+  /** One commit ATTEMPT at exactly version `v` with the full manifest
+    * `files` and its operation header. False = CAS failure (someone
+    * else owns `v` now) — the law the race test pins.
+    */
+  private[ops] def tryCommitOp(s: SparkSession, logDir: String, v: Int,
+      files: Seq[String], op: String): Boolean =
+    casCreate(s, versionFile(logDir, v),
+      (s"$OpHeader$op" +: files.sorted).mkString("\n").getBytes("UTF-8"))
+
+  /** One APPEND attempt: manifest = the previous head's list + this
+    * batch (kept as the narrow surface the existing specs drive).
     */
   private[ops] def tryCommit(s: SparkSession, logDir: String, v: Int,
       prev: Seq[String], batch: Seq[String]): Boolean =
-    casCreate(s, versionFile(logDir, v),
-      (prev ++ batch).sorted.mkString("\n").getBytes("UTF-8"))
+    tryCommitOp(s, logDir, v, prev ++ batch, "append")
 
-  /** The optimistic-concurrency COMMIT LOOP: re-read head, attempt
+  /** The optimistic-concurrency APPEND LOOP: re-read head, attempt
     * head+1, retry on CAS failure — each retry rebases onto a head that
     * now contains the winner's batch, so no commit is lost and none
-    * applies twice. The attempt cap turns livelock into a loud error
+    * applies twice. The BLIND rebase is sound precisely because an
+    * append's batch is fresh uniquely-named files and its manifest is
+    * recomputed as `current head ∪ batch` on every attempt: losing to
+    * another append adds both batches, and losing to a REWRITE picks up
+    * the rewritten list (retired files are already gone from `prev`, so
+    * an append can never resurrect them — Delta: blind INSERTs conflict
+    * with nothing). The attempt cap turns livelock into a loud error
     * (Delta's maxCommitAttempts); returns the committed version.
     */
   private[ops] def commitAppend(s: SparkSession, logDir: String,
@@ -1015,6 +1050,41 @@ object Partitioned {
     }
     throw new java.io.IOException(
       s"commit of ${batch.size} files lost $maxAttempts CAS races in $logDir")
+  }
+
+  /** The REWRITE commit loop (compaction / vacuum / DV rewrite):
+    * retire `retired`, produce `produced`. Rewrites do NOT commute the
+    * way appends do (r13 VERDICT): a rewrite that blindly rebased after
+    * losing a race could re-add files another rewrite just retired —
+    * resurrecting deleted data — or silently drop a concurrent
+    * append's rows from its own recompaction. So each attempt performs
+    * LOGICAL CONFLICT DETECTION against the live head (Delta's
+    * conflict matrix, ConcurrentDeleteDeleteException branch): every
+    * retired input must still be present in the head manifest. If an
+    * interleaving commit was a pure append, the inputs survive and the
+    * rebase is `head − retired ∪ produced` — the append's batch rides
+    * through untouched. If any input is gone, a concurrent rewrite
+    * owned it: abort loudly (the caller re-plans its rewrite from the
+    * new head; its staged output references inputs that no longer
+    * exist, so committing it can never be made safe by retrying).
+    */
+  private[ops] def commitRewrite(s: SparkSession, logDir: String,
+      retired: Seq[String], produced: Seq[String], maxAttempts: Int = 50): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = headVersion(s, logDir)
+      val prev = manifestFiles(s, logDir, head)
+      val missing = retired.filterNot(prev.toSet)
+      if (missing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"rewrite conflict in $logDir at v$head: inputs ${missing.mkString(", ")} " +
+            "were retired by a concurrent rewrite; re-plan from the new head")
+      val next = prev.filterNot(retired.toSet) ++ produced
+      if (tryCommitOp(s, logDir, head + 1, next, "rewrite")) return head + 1
+    }
+    throw new java.io.IOException(
+      s"rewrite of ${retired.size}→${produced.size} files lost $maxAttempts CAS races in $logDir")
   }
 
   private def ccCommitDir(d: String): String =

@@ -378,4 +378,83 @@ class PartitionedSpec extends SparkSpec {
     assert(head.count() == full.count(), "head must hold every row exactly once")
     assert(head.select("event_id").distinct().count() == full.count())
   }
+
+  test("rewrite commit: both interleavings of append vs compaction converge, head never resurrects a retired file") {
+    // order 1 — REWRITE WINS: the append's blind rebase must pick up the
+    // compacted list, not re-add retired inputs
+    val r1 = java.nio.file.Files.createTempDirectory("graft_cc_rw1_")
+    val log1 = s"$r1/_graft_log"
+    assert(Partitioned.commitAppend(spark, log1, Seq("f1.parquet", "f2.parquet")) == 1)
+    assert(Partitioned.commitRewrite(spark, log1,
+      retired = Seq("f1.parquet", "f2.parquet"), produced = Seq("compact.parquet")) == 2)
+    assert(Partitioned.versionOp(spark, log1, 2) == "rewrite")
+    assert(Partitioned.commitAppend(spark, log1, Seq("batch.parquet")) == 3)
+    assert(Partitioned.manifestFiles(spark, log1, 3).toSet ==
+      Set("compact.parquet", "batch.parquet"),
+      "append over a rewrite head must not resurrect retired files")
+    graft.FsUtil.deleteRecursively(r1)
+
+    // order 2 — APPEND WINS: the rewrite's conflict check finds its
+    // inputs intact (appends commute) and its rebase carries the
+    // append's batch through
+    val r2 = java.nio.file.Files.createTempDirectory("graft_cc_rw2_")
+    val log2 = s"$r2/_graft_log"
+    assert(Partitioned.commitAppend(spark, log2, Seq("f1.parquet", "f2.parquet")) == 1)
+    assert(Partitioned.commitAppend(spark, log2, Seq("batch.parquet")) == 2)
+    assert(Partitioned.commitRewrite(spark, log2,
+      retired = Seq("f1.parquet", "f2.parquet"), produced = Seq("compact.parquet")) == 3)
+    assert(Partitioned.manifestFiles(spark, log2, 3).toSet ==
+      Set("compact.parquet", "batch.parquet"),
+      "rewrite losing to an append must keep the append's batch")
+    graft.FsUtil.deleteRecursively(r2)
+  }
+
+  test("rewrite commit: a rewrite whose inputs were retired by a concurrent rewrite aborts loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_rwc_")
+    val log = s"$root/_graft_log"
+    assert(Partitioned.commitAppend(spark, log, Seq("f1.parquet", "f2.parquet")) == 1)
+    // rewrite A wins and retires both inputs
+    assert(Partitioned.commitRewrite(spark, log,
+      retired = Seq("f1.parquet", "f2.parquet"), produced = Seq("a.parquet")) == 2)
+    // rewrite B planned against v1 over the SAME inputs: committing it
+    // would resurrect data A deleted — must throw, never rebase
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Partitioned.commitRewrite(spark, log,
+        retired = Seq("f1.parquet", "f2.parquet"), produced = Seq("b.parquet"))
+    }
+    assert(e.getMessage.contains("f1.parquet"))
+    assert(Partitioned.headVersion(spark, log) == 2, "the aborted rewrite must not commit")
+    assert(Partitioned.manifestFiles(spark, log, 2).toSet == Set("a.parquet"))
+    graft.FsUtil.deleteRecursively(root)
+  }
+
+  test("append vs compaction under a real latch race: linear history, converged head, no resurrection") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_rwrace_")
+    val log = s"$root/_graft_log"
+    assert(Partitioned.commitAppend(spark, log, Seq("f1.parquet", "f2.parquet")) == 1)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try { start.await(); Partitioned.commitAppend(spark, log, Seq("batch.parquet")) }
+      catch { case t: Throwable => failures.add(t) }
+    }, "cc-rw-append")
+    val compactor = new Thread(() => {
+      try {
+        start.await()
+        Partitioned.commitRewrite(spark, log,
+          retired = Seq("f1.parquet", "f2.parquet"), produced = Seq("compact.parquet"))
+      } catch { case t: Throwable => failures.add(t) }
+    }, "cc-rw-compact")
+    Seq(appender, compactor).foreach(_.start())
+    start.countDown()
+    Seq(appender, compactor).foreach(_.join())
+    // appends never conflict and the compactor's inputs can only be
+    // taken by another REWRITE (there is none) — both must commit
+    assert(failures.isEmpty, s"racer failed: ${Option(failures.peek())}")
+    assert(Partitioned.headVersion(spark, log) == 3)
+    assert(Partitioned.manifestFiles(spark, log, 3).toSet ==
+      Set("compact.parquet", "batch.parquet"),
+      "either race order must converge to compact+batch with nothing resurrected")
+    graft.FsUtil.deleteRecursively(root)
+  }
 }
