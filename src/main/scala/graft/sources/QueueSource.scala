@@ -270,9 +270,20 @@ object QueueBroker {
     */
   def stageShards(name: String, df: DataFrame, rowsPerBatch: Int,
       dir: java.nio.file.Path, holdLastUntilDrained: Boolean = false): Unit = {
+    val nShards = writeShardLogs(df, dir.toString)
+    registerStaged(name, df.schema, dir.toString, nShards, rowsPerBatch,
+      holdLastUntilDrained)
+  }
+
+  /** The staging WRITE half of [[stageShards]]: one log file per input
+    * partition, written by the partition's own task. Returns the shard
+    * count. Split out so a caller can stage ONCE into a content-keyed
+    * cache and [[registerStaged]] over (hard-linked copies of) the
+    * logs on every replay — the ack-drop contract deletes served logs,
+    * so the broker must never consume the cached inodes' names.
+    */
+  def writeShardLogs(df: DataFrame, dirStr: String): Int = {
     val schema = df.schema
-    val nFields = schema.length
-    val dirStr = dir.toString
     val rdd = df.queryExecution.toRdd
     rdd.foreachPartition { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -295,7 +306,16 @@ object QueueBroker {
         java.nio.file.Paths.get(dirStr, f"shard-$pid%05d.count"),
         n.toString.getBytes("UTF-8"))
     }
-    val nShards = rdd.getNumPartitions
+    rdd.getNumPartitions
+  }
+
+  /** The REGISTRATION half of [[stageShards]]: build the per-shard
+    * offset state over already-staged logs and publish the queue.
+    * Registration reads N sidecars, never data.
+    */
+  def registerStaged(name: String, schema: StructType, dirStr: String,
+      nShards: Int, rowsPerBatch: Int, holdLastUntilDrained: Boolean): Unit = {
+    val nFields = schema.length
     val shards = (0 until nShards).map { i =>
       val log = java.nio.file.Paths.get(dirStr, f"shard-$i%05d.log")
       val cnt = new String(java.nio.file.Files.readAllBytes(

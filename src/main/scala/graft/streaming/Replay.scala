@@ -629,6 +629,51 @@ object Replay {
       .drop("rr", "skey")
   }
 
+  /** CONTENT-KEYED staged-shard cache (r13 VERDICT): the ts-round-robin
+    * staging re-sorted and re-wrote the corpus on EVERY replay (3 bench
+    * passes × each queue query × scales). The shard logs are a pure
+    * function of (source file, query feed: column set + sentinel shape
+    * + shard count), so they publish ONCE under the content-keyed
+    * layout idiom ([[graft.ops.Partitioned.sourceKey]] +
+    * `buildAtomically`) and every replay HARD-LINKS them into its
+    * private live dir — the broker's ack = physical drop deletes the
+    * LINKS, never the cached inodes, so the live queue keeps its
+    * cannot-relist-history contract while warm replays skip the
+    * staging job entirely (`df` is by-name: on a warm hit no Spark job
+    * runs at all, not even the sharding plan's offset collect). Falls
+    * back to a per-file copy where the tmp filesystem refuses links.
+    */
+  private def stageShardsCached(s: SparkSession, name: String, df: => DataFrame,
+      schema: StructType, srcPath: String, tag: String, nShards: Int,
+      liveDir: java.nio.file.Path, rowsPerBatch: Int, hold: Boolean): Unit = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_queue_stage_" +
+      graft.ops.Partitioned.sourceKey(Seq(srcPath)) + s"_${tag}_n$nShards"
+    def complete() = graft.ops.Partitioned.successExists(s, root)
+    if (!complete()) {
+      graft.ops.Partitioned.buildAtomically(s, root, () => complete()) { tmp =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        val n = graft.sources.QueueBroker.writeShardLogs(df, tmp)
+        require(n == nShards, s"staged $n shards, expected $nShards")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "_SUCCESS"), Array.emptyByteArray)
+      }
+    }
+    val rootP = java.nio.file.Paths.get(root)
+    (0 until nShards).foreach { i =>
+      Seq(f"shard-$i%05d.log", f"shard-$i%05d.count").foreach { fn =>
+        val src = rootP.resolve(fn)
+        val dst = liveDir.resolve(fn)
+        try java.nio.file.Files.createLink(dst, src)
+        catch {
+          case _: UnsupportedOperationException =>
+            java.nio.file.Files.copy(src, dst)
+        }
+      }
+    }
+    graft.sources.QueueBroker.registerStaged(
+      name, schema, liveDir.toString, nShards, rowsPerBatch, hold)
+  }
+
   /** [[dedupStream]] — the IDENTICAL operator — fed through the
     * [[graft.sources.QueueSource]] micro-batch source instead of the
     * file source: the broker reveals ≤ rowsPerBatch rows per trigger
@@ -661,12 +706,14 @@ object Replay {
     // driver-side toLocalIterator (~39 k rows/s, 257 s at sf10 — the
     // round's scale-killer); stageShards writes and serves every shard
     // executor-side, the driver handles offsets only.
-    val sharded = tsRoundRobinShards(s, evts, nShards)
     val stageDir = java.nio.file.Files.createTempDirectory("queue-log-")
     val name = "events-" + java.util.UUID.randomUUID()
     // rowsPerBatch ≤ 0: the broker derives the rate limit from its own
-    // staged totals — no separate corpus count() (r13 late fix)
-    graft.sources.QueueBroker.stageShards(name, sharded, rowsPerBatch, stageDir)
+    // staged totals — no separate corpus count() (r13 late fix).
+    // Staging rides the content-keyed cache: warm replays link the
+    // shard logs instead of re-sorting the corpus (r14).
+    stageShardsCached(s, name, tsRoundRobinShards(s, evts, nShards), evts.schema,
+      s"$d/events.parquet", "dedup", nShards, stageDir, rowsPerBatch, hold = false)
     try {
       val stream = s.readStream
         .format(graft.sources.QueueSource.Name)
@@ -731,7 +778,6 @@ object Replay {
       to_timestamp(lit("2100-01-01 00:00:00")).as("ts"),
       lit("sentinel").as("event_type"),
       lit(0.0).as("value"))
-    val sharded = tsRoundRobinShards(s, evts, nShards, Some(sentinels))
     val stageDir = java.nio.file.Files.createTempDirectory("queue-log-w-")
     val name = "events-w-" + java.util.UUID.randomUUID()
     // holdLastUntilDrained: each shard's sentinel is its LAST row, and
@@ -739,8 +785,9 @@ object Replay {
     // shards' real rows are admitted — Spark's watermark is the global
     // MAX event time, so one early sentinel would drop every other
     // shard's tail as late (see the LogQueue scaladoc; measured)
-    graft.sources.QueueBroker.stageShards(name, sharded, rowsPerBatch, stageDir,
-      holdLastUntilDrained = true)
+    stageShardsCached(s, name,
+      tsRoundRobinShards(s, evts, nShards, Some(sentinels)), evts.schema,
+      s"$d/events.parquet", "window", nShards, stageDir, rowsPerBatch, hold = true)
     try {
       val stream = s.readStream
         .format(graft.sources.QueueSource.Name)
@@ -968,11 +1015,11 @@ object Replay {
       lit(-1L).as("event_id"),
       to_timestamp(lit("2100-01-01 00:00:00")).as("ts"),
       lit(-1L).as("user_id"))
-    val sharded = tsRoundRobinShards(s, evts, nShards, Some(sentinels))
     val stageDir = java.nio.file.Files.createTempDirectory("queue-log-s-")
     val name = "events-s-" + java.util.UUID.randomUUID()
-    graft.sources.QueueBroker.stageShards(name, sharded, rowsPerBatch, stageDir,
-      holdLastUntilDrained = true)
+    stageShardsCached(s, name,
+      tsRoundRobinShards(s, evts, nShards, Some(sentinels)), evts.schema,
+      s"$d/events.parquet", "sessions", nShards, stageDir, rowsPerBatch, hold = true)
     try {
       val stream = s.readStream
         .format(graft.sources.QueueSource.Name)
