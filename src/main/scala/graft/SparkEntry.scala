@@ -24,6 +24,7 @@ object SparkEntry {
         graft.streaming.Replay.qStreamDedupQueue,
         graft.streaming.Replay.qStreamWindowQueue,
         graft.streaming.Replay.qStreamSessionsQueue,
+        graft.streaming.Replay.qStreamJoinQueue,
         graft.streaming.Replay.qSessions,
         graft.streaming.Replay.qStreamSessions,
         graft.streaming.Replay.qStreamQuality,

@@ -1051,6 +1051,86 @@ object Replay {
     qSessions.oracle
   )
 
+  /** Queue-fed STREAM-STREAM JOIN — the FOURTH stateful class through
+    * the non-file source (r13 VERDICT: dedup, windowed-agg, and
+    * flatMapGroupsWithState state were queue-proven; the symmetric
+    * hash-join state of q_stream_join still rode the file source
+    * only). The two topics of a production stream join are literally
+    * TWO broker queues here — carrying the SAME staged shard logs
+    * (one content-keyed staging job, hard-linked into each queue's
+    * private live dir; consumption is independent because acks drop
+    * links, not cached inodes). Each side admits ts-round-robin
+    * aligned micro-batches at the same per-trigger rate, so the
+    * global watermark — Spark takes the MIN across sources — advances
+    * between triggers and each side's join state evicts down to the
+    * watermark horizon exactly as in [[rangeJoinStream]]; a lagging
+    * side can only hold the watermark back, never lose rows. Per-shard
+    * far-future sentinels under the drain barrier advance the final
+    * watermark past every pending row's eviction horizon; they are
+    * filtered on the watermark columns themselves and their user (−1)
+    * could never match anyway. INNER-join emission is
+    * trigger-invariant (see [[rangeJoinStream]]), which is why the
+    * replay carries q_range_join's batch oracle verbatim.
+    */
+  def replayRangeJoinQueue(s: SparkSession, d: String, rowsPerBatch: Int = 0,
+      nShards: Int = 8): DataFrame = {
+    val evts = graft.ops.Tables.events(s, d)
+      .select("event_id", "ts", "user_id")
+    val sentinels = s.range(nShards).select(
+      col("id").cast("int").as("rr"),
+      lit(-1L).as("event_id"),
+      to_timestamp(lit("2100-01-01 00:00:00")).as("ts"),
+      lit(-1L).as("user_id"))
+    val liveA = java.nio.file.Files.createTempDirectory("queue-log-ja-")
+    val liveB = java.nio.file.Files.createTempDirectory("queue-log-jb-")
+    val nameA = "events-ja-" + java.util.UUID.randomUUID()
+    val nameB = "events-jb-" + java.util.UUID.randomUUID()
+    def stage(name: String, live: java.nio.file.Path): Unit =
+      stageShardsCached(s, name,
+        tsRoundRobinShards(s, evts, nShards, Some(sentinels)), evts.schema,
+        s"$d/events.parquet", "join", nShards, live, rowsPerBatch, hold = true)
+    stage(nameA, liveA)
+    stage(nameB, liveB) // warm by construction: links the logs A staged
+    try {
+      val horizon = to_timestamp(lit("2099-01-01 00:00:00"))
+      def topic(name: String) = s.readStream
+        .format(graft.sources.QueueSource.Name)
+        .option("queue", name)
+        .load()
+      val a = topic(nameA)
+        .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+        .withWatermark("a_ts", "1 hour")
+        .where(col("a_ts") < horizon)
+      val b = topic(nameB)
+        .select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+          col("ts").as("b_ts"))
+        .withWatermark("b_ts", "1 hour")
+        .where(col("b_ts") < horizon)
+      replayQueueToParquet(
+        graft.ops.Relational.bucketedRangeJoin(a, b),
+        graft.FsUtil.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("replay-qjoin-out-")).toString)
+    } finally {
+      graft.sources.QueueBroker.remove(nameA)
+      graft.sources.QueueBroker.remove(nameB)
+      graft.FsUtil.deleteRecursively(liveA)
+      graft.FsUtil.deleteRecursively(liveB)
+    }
+  }
+
+  /** Declared query — q_stream_join THROUGH TWO QUEUE SOURCES, carrying
+    * the same q_range_join batch oracle verbatim: the t2 hash proves
+    * symmetric stream-stream join state survives a source that cannot
+    * re-list history, on both sides, across queue batch boundaries.
+    */
+  val qStreamJoinQueue: graft.ops.Q = graft.ops.Q(
+    "q_stream_join_queue",
+    (s, d) =>
+      replayRangeJoinQueue(s, d)
+        .orderBy("user_id", "a_id", "b_id"),
+    qStreamJoin.oracle
+  )
+
 
   /** Physical schema of documents.parquet (declared up front — a
     * streaming source cannot infer). */

@@ -423,6 +423,28 @@ class ReplaySpec extends SparkSpec {
     assert(got.nonEmpty && !got.exists(_._1 == -1L))
   }
 
+  test("queue-fed stream-stream join: symmetric join state survives two queues' batch boundaries — result == batch range join") {
+    // small batches force many triggers on BOTH topics: matches must be
+    // found across batch boundaries from each side's retained state,
+    // and the min-across-sources watermark must never drop a pending
+    // match
+    val got = Replay.replayRangeJoinQueue(spark, sf0001, rowsPerBatch = 700)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val ev = graft.ops.Tables.events(spark, sf0001)
+    val a = ev.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = ev.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+      col("ts").as("b_ts"))
+    val want = graft.ops.Relational.bucketedRangeJoin(a, b)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want, "queue-fed stream-stream join drifted from the batch range join")
+    assert(got.nonEmpty && !got.exists(_._1 == -1L),
+      "drain sentinels must close state, never join")
+  }
+
   test("queue broker contract: rate-limited admission, ack drops history, replay of acked offsets refused") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("x", LongType)))
