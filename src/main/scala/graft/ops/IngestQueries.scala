@@ -220,7 +220,46 @@ object IngestQueries {
             WHERE event_type = 'click' ORDER BY event_id""")
   )
 
+  /** Content-keyed location for the Avro copy (same layout-reuse
+    * pattern as [[jsonlDir]]/[[orcDir]]). */
+  private def avroDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_events_avro_" +
+      Partitioned.sourceKey(Seq(s"$d/events.parquet"))
+
+  /** E9 — AVRO source+sink round-trip, the ROW-MAJOR interchange twin
+    * of [[qOrcRoundtrip]]: `events` written as deflate Avro container
+    * files and read back through the engine's own DSv2 source
+    * ([[graft.sources.AvroSource]] — the platform ships avro-1.12.1
+    * but not the spark-avro DataSource module, so the engine speaks
+    * the format through its own TableProvider, the UrlCsvSource
+    * precedent). Avro is what streaming ecosystems hand a lake ingest
+    * (Kafka topic archives, CDC dumps); timestamps ride the
+    * timestamp-micros logical type — Spark's own internal encoding —
+    * so the oracle's hash equality proves the round trip bit-exact.
+    * Write fan-out is one container per partition task; the scan plans
+    * one partition per container and prunes columns at the reader
+    * (row-major decode still touches every byte — the saving is slot
+    * materialization, the UrlCsvSource argument).
+    */
+  val qAvroRoundtrip = Q(
+    "q_avro_roundtrip",
+    (s, d) => {
+      val out = avroDir(d)
+      if (!Partitioned.successExists(s, out))
+        graft.sources.AvroIo.write(Tables.events(s, d), out)
+      s.read
+        .format(graft.sources.AvroSource.Name)
+        .option("path", out)
+        .load()
+        .where(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, ts, user_id, value FROM events
+            WHERE event_type = 'purchase' ORDER BY event_id""")
+  )
+
   val all: Seq[Q] =
     Seq(qIngestPp, qIngestAutoDate, qUrlSource, qUrlSourceUnquoted, qIngestQuarantine,
-      qJsonlRoundtrip, qOrcRoundtrip)
+      qJsonlRoundtrip, qOrcRoundtrip, qAvroRoundtrip)
 }
