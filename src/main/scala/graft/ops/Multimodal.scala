@@ -839,5 +839,5 @@ object Multimodal {
   )
 
   val all: Seq[Q] = Seq(qMmDecode, qMmFrames, qMmResize, qMmDecodePpm, qMmAudio,
-    qMmPhash, qMmPng)
+    qMmPhash, qMmPng, Jpeg.qMmJpeg)
 }

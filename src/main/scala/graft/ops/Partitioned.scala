@@ -984,8 +984,32 @@ object Partitioned {
     */
   private val OpHeader = "#op="
 
-  private def versionBody(s: SparkSession, logDir: String, v: Int): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(versionFile(logDir, v))
+  /** Body-format header distinguishing r14 INCREMENTAL commits from the
+    * legacy full-snapshot bodies. A delta body lists ACTIONS (`+file` /
+    * `-file`), so a commit writes O(batch) bytes instead of re-listing
+    * the whole table — the difference between an append costing its
+    * batch and costing a million-line manifest rewrite at 100 TB
+    * (Delta's add/remove action log). Legacy bodies (no `#fmt` header)
+    * read as self-contained snapshots, so pre-r14 logs and the
+    * [[tryCommit]] CAS-law fixtures stay readable unchanged.
+    */
+  private val FmtHeader = "#fmt="
+  private val FmtDelta = s"${FmtHeader}delta"
+
+  /** Snapshot cadence: every [[CheckpointInterval]]-th commit also
+    * publishes `vNNNNN.ckpt` — the full file list at that version — so
+    * snapshot reconstruction replays at most [[CheckpointInterval]]
+    * delta bodies no matter how long the history grows, and everything
+    * strictly below the checkpoint becomes safe to truncate
+    * (Delta's 10-commit parquet checkpoint, in this log's text form).
+    */
+  private[ops] val CheckpointInterval = 10
+
+  private def checkpointFile(logDir: String, v: Int): String =
+    f"$logDir/v$v%05d.ckpt"
+
+  private def readLines(s: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val body = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
     val in = fs.open(p)
@@ -993,14 +1017,46 @@ object Partitioned {
     new String(body, "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
   }
 
-  /** The file list visible at `v` — the full-snapshot manifest shape
-    * ([[buildVersioned]]'s Iceberg idiom: rewrites retire files without
-    * tombstone algebra). Header lines (`#...`) carry commit metadata,
-    * not files.
+  private[ops] def versionBody(s: SparkSession, logDir: String, v: Int): Seq[String] =
+    readLines(s, versionFile(logDir, v))
+
+  /** The file list visible at `v`, reconstructed Delta-style: walk DOWN
+    * from `v` collecting delta bodies until a SNAPSHOT BASE — a
+    * `vNNNNN.ckpt` checkpoint or a legacy full-snapshot body — then
+    * apply the collected add/remove actions upward. Cost is bounded by
+    * [[CheckpointInterval]] small reads regardless of history length.
+    * A missing version file below a live head fails loudly with the
+    * truncation diagnosis (never a silently-shorter table).
     */
-  private[ops] def manifestFiles(s: SparkSession, logDir: String, v: Int): Seq[String] =
-    if (v == 0) Seq.empty
-    else versionBody(s, logDir, v).filterNot(_.startsWith("#"))
+  private[ops] def manifestFiles(s: SparkSession, logDir: String, v: Int): Seq[String] = {
+    if (v == 0) return Seq.empty
+    val fs = new org.apache.hadoop.fs.Path(logDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val deltas = collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var w = v
+    var base: Set[String] = null
+    while (base == null) {
+      if (w == 0) base = Set.empty
+      else if (fs.exists(new org.apache.hadoop.fs.Path(checkpointFile(logDir, w))))
+        base = readLines(s, checkpointFile(logDir, w)).filterNot(_.startsWith("#")).toSet
+      else {
+        require(fs.exists(new org.apache.hadoop.fs.Path(versionFile(logDir, w))),
+          s"commit log $logDir is truncated below v$v with no checkpoint at or above v$w — " +
+            "cannot reconstruct the snapshot")
+        val body = versionBody(s, logDir, w)
+        if (body.contains(FmtDelta)) {
+          deltas += body.filterNot(_.startsWith("#"))
+          w -= 1
+        } else base = body.filterNot(_.startsWith("#")).toSet // legacy full snapshot
+      }
+    }
+    val files = deltas.reverseIterator.foldLeft(base) { (acc, actions) =>
+      val adds = actions.collect { case a if a.startsWith("+") => a.drop(1) }
+      val removes = actions.collect { case a if a.startsWith("-") => a.drop(1) }.toSet
+      (acc -- removes) ++ adds
+    }
+    files.toSeq.sorted
+  }
 
   /** The operation type committed at `v` (headerless pre-r14 logs read
     * as `append` — the only op they could record).
@@ -1012,8 +1068,10 @@ object Partitioned {
       .getOrElse("append")
 
   /** One commit ATTEMPT at exactly version `v` with the full manifest
-    * `files` and its operation header. False = CAS failure (someone
-    * else owns `v` now) — the law the race test pins.
+    * `files` and its operation header — the LEGACY full-snapshot body,
+    * kept as the CAS-law fixture and the back-compat read case. False =
+    * CAS failure (someone else owns `v` now) — the law the race test
+    * pins.
     */
   private[ops] def tryCommitOp(s: SparkSession, logDir: String, v: Int,
       files: Seq[String], op: String): Boolean =
@@ -1027,17 +1085,72 @@ object Partitioned {
       prev: Seq[String], batch: Seq[String]): Boolean =
     tryCommitOp(s, logDir, v, prev ++ batch, "append")
 
+  /** One INCREMENTAL commit attempt: the body is the op header plus
+    * add/remove ACTIONS only — O(batch) bytes, the r14 write-side fix
+    * ([[FmtDelta]] scaladoc). The actions are sorted for bit-stable
+    * bodies, not because order matters to reconstruction.
+    */
+  private[ops] def tryCommitDelta(s: SparkSession, logDir: String, v: Int,
+      op: String, adds: Seq[String], removes: Seq[String]): Boolean =
+    casCreate(s, versionFile(logDir, v),
+      (Seq(s"$OpHeader$op", FmtDelta) ++
+        removes.sorted.map("-" + _) ++ adds.sorted.map("+" + _))
+        .mkString("\n").getBytes("UTF-8"))
+
+  /** Publish the checkpoint for `v` when the cadence hits. NOT a CAS:
+    * version `v` is already committed and immutable, so the checkpoint
+    * content is deterministic — concurrent writers double-writing it
+    * produce identical bytes, and readers treat a missing checkpoint
+    * as "replay further", never as corruption. Written via the same
+    * temp-then-atomic-publish discipline as [[casCreate]] so a reader
+    * can never observe a half-written snapshot.
+    */
+  private def maybeCheckpoint(s: SparkSession, logDir: String, v: Int): Unit =
+    if (v % CheckpointInterval == 0) {
+      val body = manifestFiles(s, logDir, v).mkString("\n").getBytes("UTF-8")
+      val p = new org.apache.hadoop.fs.Path(checkpointFile(logDir, v))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, s".ckpt-${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, true)
+      try { out.write(body); out.close() }
+      catch { case e: java.io.IOException => fs.delete(tmp, false); throw e }
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false) // lost a benign double-write race
+    }
+
+  /** Delete every version file strictly below the NEWEST checkpoint —
+    * safe because reconstruction at or above the checkpoint never
+    * walks past it, and the whole point of checkpointing (bounded log
+    * growth; Delta's log cleanup). Reads pinned below the checkpoint
+    * fail loudly afterwards ([[manifestFiles]]'s truncation require).
+    * Returns the number of files removed.
+    */
+  private[ops] def truncateLog(s: SparkSession, logDir: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(logDir)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ckpts = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".ckpt") =>
+        n.stripPrefix("v").stripSuffix(".ckpt").toInt }
+    ckpts.maxOption.fold(0) { c =>
+      val victims = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".txt") &&
+          n.stripPrefix("v").stripSuffix(".txt").toInt < c => n }
+      victims.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+      victims.size
+    }
+  }
+
   /** The optimistic-concurrency APPEND LOOP: re-read head, attempt
-    * head+1, retry on CAS failure — each retry rebases onto a head that
-    * now contains the winner's batch, so no commit is lost and none
-    * applies twice. The BLIND rebase is sound precisely because an
-    * append's batch is fresh uniquely-named files and its manifest is
-    * recomputed as `current head ∪ batch` on every attempt: losing to
-    * another append adds both batches, and losing to a REWRITE picks up
-    * the rewritten list (retired files are already gone from `prev`, so
-    * an append can never resurrect them — Delta: blind INSERTs conflict
-    * with nothing). The attempt cap turns livelock into a loud error
-    * (Delta's maxCommitAttempts); returns the committed version.
+    * head+1, retry on CAS failure — no commit is lost and none applies
+    * twice. With r14's INCREMENTAL bodies the rebase is implicit: the
+    * delta records only `+batch`, so a retry at a new version number
+    * composes with whatever won — losing to another append lands both
+    * batches, and losing to a REWRITE can never resurrect retired
+    * files because the rewrite's removes precede this delta in replay
+    * order (Delta: blind INSERTs conflict with nothing). The attempt
+    * cap turns livelock into a loud error (Delta's maxCommitAttempts);
+    * returns the committed version. Every [[CheckpointInterval]]-th
+    * winner also publishes the checkpoint snapshot.
     */
   private[ops] def commitAppend(s: SparkSession, logDir: String,
       batch: Seq[String], maxAttempts: Int = 50): Int = {
@@ -1045,8 +1158,10 @@ object Partitioned {
     while (attempt < maxAttempts) {
       attempt += 1
       val head = headVersion(s, logDir)
-      val prev = manifestFiles(s, logDir, head)
-      if (tryCommit(s, logDir, head + 1, prev, batch)) return head + 1
+      if (tryCommitDelta(s, logDir, head + 1, "append", batch, Seq.empty)) {
+        maybeCheckpoint(s, logDir, head + 1)
+        return head + 1
+      }
     }
     throw new java.io.IOException(
       s"commit of ${batch.size} files lost $maxAttempts CAS races in $logDir")
@@ -1080,8 +1195,10 @@ object Partitioned {
         throw new java.util.ConcurrentModificationException(
           s"rewrite conflict in $logDir at v$head: inputs ${missing.mkString(", ")} " +
             "were retired by a concurrent rewrite; re-plan from the new head")
-      val next = prev.filterNot(retired.toSet) ++ produced
-      if (tryCommitOp(s, logDir, head + 1, next, "rewrite")) return head + 1
+      if (tryCommitDelta(s, logDir, head + 1, "rewrite", produced, retired)) {
+        maybeCheckpoint(s, logDir, head + 1)
+        return head + 1
+      }
     }
     throw new java.io.IOException(
       s"rewrite of ${retired.size}→${produced.size} files lost $maxAttempts CAS races in $logDir")
@@ -1156,6 +1273,70 @@ object Partitioned {
     Tables.normalizeTs(s.read.parquet(files.map(f => s"$root/$f"): _*))
   }
 
+  private def ckptCommitDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_events_ckpt_commit_${sourceKey(Seq(s"$d/events.parquet"))}"
+
+  /** The checkpointed-log layout: ONE ranged write of the events table
+    * produces 14 files, committed as 14 sequential incremental appends
+    * (v1..v14) — so the log crosses the [[CheckpointInterval]] boundary
+    * and v10 publishes its checkpoint — then [[truncateLog]] deletes
+    * v1..v9. The declared read reconstructs the head from checkpoint +
+    * 4 delta replays over a log whose early history is GONE, which is
+    * the property that bounds both commit cost (O(batch) bodies) and
+    * reconstruction cost (≤ interval replays) on a 100 TB table with
+    * millions of commits. The full-table oracle is the exactly-once
+    * law: a file lost to truncation-gone-wrong or double-applied by
+    * replay breaks the hash.
+    */
+  private[ops] def checkpointCommitLayout(s: SparkSession, d: String): String = {
+    val root = ckptCommitDir(d)
+    def complete() = {
+      val p = new org.apache.hadoop.fs.Path(checkpointFile(commitLogDir(root), CheckpointInterval))
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (!complete()) {
+      buildAtomically(s, root, () => complete()) { tmp =>
+        val log = commitLogDir(tmp)
+        Tables.events(s, d)
+          .repartitionByRange(14, col("event_id"))
+          .write.mode("overwrite").parquet(s"$tmp/data")
+        val files = listParquet(s, s"$tmp/data")
+          .map(f => "data/" + f.substring(f.lastIndexOf('/') + 1)).sorted
+        require(files.size > CheckpointInterval,
+          s"need >$CheckpointInterval files to cross the checkpoint cadence, got ${files.size}")
+        files.foreach(f => commitAppend(s, log, Seq(f)))
+        require(headVersion(s, log) == files.size)
+        val dropped = truncateLog(s, log)
+        require(dropped == CheckpointInterval - 1,
+          s"truncation must remove v1..v${CheckpointInterval - 1}, removed $dropped")
+      }
+    }
+    root
+  }
+
+  val qCommitCheckpoint = Q(
+    "q_commit_checkpoint",
+    (s, d) => {
+      val root = checkpointCommitLayout(s, d)
+      commitHeadRead(s, root)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+            .cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    // the FULL table through checkpoint + post-truncation replay —
+    // exactly-once as a hash (see checkpointCommitLayout)
+    Some("""SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type""")
+  )
+
   val qConcurrentCommit = Q(
     "q_concurrent_commit",
     (s, d) => {
@@ -1180,5 +1361,5 @@ object Partitioned {
   val all: Seq[Q] =
     Seq(qPartitionPrune, qJoinBucketed, qCompact, qManifestSkip, qTimeTravel,
       qVacuum, qSchemaEvolution, qMergeUpsert, qChangeFeed, qDeletionVectors,
-      qDvCompact, qConcurrentCommit)
+      qDvCompact, qConcurrentCommit, qCommitCheckpoint)
 }

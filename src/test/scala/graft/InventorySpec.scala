@@ -142,7 +142,9 @@ class InventorySpec extends AnyFunSuite {
     "q_stream_window_queue" -> "r13: the IDENTICAL windowedCountsDrained operator as the sectioned q_stream_window, differing only in the sharded queue source + per-shard drain sentinels feeding it; ReplaySpec holds the batch parity and sentinel-exclusion laws",
     "q_stream_sessions_queue" -> "r13: the IDENTICAL sessionize flatMapGroupsWithState operator as q_stream_sessions, differing only in the sharded queue source + drain-barrier sentinels feeding it; ReplaySpec holds the batch lag-gap parity law",
     "q_stream_join_queue" -> "r14: the IDENTICAL bucketedRangeJoin operator as the sectioned q_stream_join, differing only in the TWO sharded queue sources + drain sentinels feeding its sides; ReplaySpec holds the file-twin/batch parity law",
-    "q_avro_roundtrip" -> "r14: DSv2 container scan + per-partition sink — shuffle-free like the pinned q_url_source scan shape; AvroSourceSpec pins pruning reaching the reader and the full type-map round trip")
+    "q_avro_roundtrip" -> "r14: DSv2 container scan + per-partition sink — shuffle-free like the pinned q_url_source scan shape; AvroSourceSpec pins pruning reaching the reader and the full type-map round trip",
+    "q_mm_jpeg" -> "r14: per-row encode/entropy-decode on the same MapPartitions seam as the sectioned q_mm_audio (q_mm_png class); JpegSpec drives the Huffman/DPCM/zigzag/stuffing pipeline against a no-entropy reference",
+    "q_commit_checkpoint" -> "r14: the declared surface is a checkpoint-reconstructed pruned read + the q_agg_hash aggregate shape (the q_concurrent_commit class); the delta-log/checkpoint/truncation protocol is driver-side file-count metadata, law-tested in PartitionedSpec")
 
   test("plan surface: every declared query is pinned, PLANS.md-audited, or exempt") {
     val covered = QueriesPlanSpec.pinned ++ plansMdAudited ++ planExempt.keySet
@@ -256,7 +258,9 @@ class InventorySpec extends AnyFunSuite {
     "q_concurrent_commit" -> "r13: commit-log state is FS-level (the q_time_travel class) — the racing writers' final head is order-invariant by construction and PartitionedSpec's latch race proves linear history; the read side is one order-free decimal aggregate",
     "q_mm_png" -> "r13: per-row batch decode, no shuffle (the q_mm_decode_ppm class)",
     "q_stream_join_queue" -> "r14: symmetric-hash range-join replay through two queue sources — INNER emission is trigger- and source-invariant (the q_stream_join argument); ReplaySpec holds the parity law",
-    "q_avro_roundtrip" -> "r14: format round trip + per-row filter/projection; the oracle hash is the bit-fidelity audit (the q_orc_roundtrip class)")
+    "q_avro_roundtrip" -> "r14: format round trip + per-row filter/projection; the oracle hash is the bit-fidelity audit (the q_orc_roundtrip class)",
+    "q_mm_jpeg" -> "r14: per-row batch encode/decode, no shuffle (the q_mm_png class); the DC plane is exact integer arithmetic so partitioning cannot move a bit",
+    "q_commit_checkpoint" -> "r14: commit-log state is FS-level (the q_concurrent_commit class) — sequential appends + deterministic truncation; the read side is one order-free decimal aggregate")
 
   test("invariance surface: every declared query is swept at 4-vs-32 partitions or exempt") {
     val swept = PartitionInvarianceSpec.shuffleSensitive.toSet

@@ -457,4 +457,69 @@ class PartitionedSpec extends SparkSpec {
       "either race order must converge to compact+batch with nothing resurrected")
     graft.FsUtil.deleteRecursively(root)
   }
+
+  test("incremental log: a commit's body is O(batch), not O(table)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_delta_")
+    val log = s"$root/_graft_log"
+    val wide = (0 until 500).map(i => f"wide_$i%03d.parquet")
+    assert(Partitioned.commitAppend(spark, log, wide) == 1)
+    assert(Partitioned.commitAppend(spark, log, Seq("one_more.parquet")) == 2)
+    // the v2 body must record the ACTION, not re-list the 501-file table
+    val body = Partitioned.versionBody(spark, log, 2)
+    assert(body.count(!_.startsWith("#")) == 1, s"delta body re-lists the table: $body")
+    assert(body.contains("+one_more.parquet"))
+    assert(Partitioned.manifestFiles(spark, log, 2).size == 501)
+    graft.FsUtil.deleteRecursively(root)
+  }
+
+  test("checkpoint at the cadence: reconstruction survives deleting every version below it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_")
+    val log = s"$root/_graft_log"
+    for (i <- 1 to 13) assert(Partitioned.commitAppend(spark, log, Seq(s"f$i.parquet")) == i)
+    // v10 published its snapshot; truncate v1..v9
+    assert(Partitioned.truncateLog(spark, log) == 9)
+    // head reconstructs from checkpoint + 3 delta replays
+    assert(Partitioned.manifestFiles(spark, log, 13).toSet ==
+      (1 to 13).map(i => s"f$i.parquet").toSet)
+    // a pinned read AT the checkpoint version still works...
+    assert(Partitioned.manifestFiles(spark, log, 10).size == 10)
+    // ...but below it the history is gone and must fail LOUDLY
+    val e = intercept[IllegalArgumentException](Partitioned.manifestFiles(spark, log, 5))
+    assert(e.getMessage.contains("truncated"))
+    graft.FsUtil.deleteRecursively(root)
+  }
+
+  test("checkpoint content includes rewrite removes; legacy full-snapshot bodies read as bases") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cc_mixed_")
+    val log = s"$root/_graft_log"
+    // legacy full-snapshot v1 (the pre-r14 body shape)
+    assert(Partitioned.tryCommit(spark, log, 1, Seq.empty, Seq("a.parquet", "b.parquet")))
+    // delta commits on top of the legacy base
+    assert(Partitioned.commitAppend(spark, log, Seq("c.parquet")) == 2)
+    assert(Partitioned.commitRewrite(spark, log,
+      retired = Seq("a.parquet", "b.parquet"), produced = Seq("ab.parquet")) == 3)
+    assert(Partitioned.manifestFiles(spark, log, 3).toSet == Set("ab.parquet", "c.parquet"))
+    // push to the checkpoint cadence; the snapshot must NOT resurrect a/b
+    for (i <- 4 to 10)
+      assert(Partitioned.commitAppend(spark, log, Seq(s"f$i.parquet")) == i)
+    assert(Partitioned.truncateLog(spark, log) == 9)
+    val head = Partitioned.manifestFiles(spark, log, 10).toSet
+    assert(head == Set("ab.parquet", "c.parquet") ++ (4 to 10).map(i => s"f$i.parquet"),
+      s"checkpoint through a rewrite must retire a/b for good, got $head")
+    graft.FsUtil.deleteRecursively(root)
+  }
+
+  test("q_commit_checkpoint layout: head == all 14 single-file appends exactly once, early log gone") {
+    val root = Partitioned.checkpointCommitLayout(spark, sf0001)
+    val log = s"$root/_graft_log"
+    val head = Partitioned.headVersion(spark, log)
+    assert(head > Partitioned.CheckpointInterval)
+    // truncation really happened: v1 is gone, the checkpoint remains
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$log/v00001.txt")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      f"$log/v${Partitioned.CheckpointInterval}%05d.ckpt")))
+    // exactly-once: the reconstructed read equals the raw table
+    val got = Partitioned.commitHeadRead(spark, root).count()
+    assert(got == Tables.events(spark, sf0001).count())
+  }
 }
