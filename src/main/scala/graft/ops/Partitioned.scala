@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partition pruning, exercised end-to-end (SURVEY §4 claims it among
@@ -390,6 +390,137 @@ object Partitioned {
             FROM events
             WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
               AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-12 00:00:00'
+            ORDER BY event_id""")
+  )
+
+  // ---------------------------------------------------------------------
+  // Bloom-filter FILE SKIPPING — the point-lookup complement to the
+  // min/max manifest: a hashed/bucketed layout spreads every key range
+  // across every file, so [min,max] stats prune NOTHING for
+  // `user_id = X`, while a per-file Bloom filter answers "definitely
+  // not in this file" probabilistically with no false negatives
+  // (Parquet bloom columns, Delta/Iceberg bloom file skipping). The
+  // fixture is the honest production case: BUCKET EVOLUTION. Batch 1
+  // was ingested bucketed 8 ways by user_id; the table grew and batch 2
+  // re-bucketed 16 ways. The hash-function shortcut (file =
+  // hash(user) % n) now needs per-epoch bookkeeping a reader doesn't
+  // have, while per-file Blooms keep answering uniformly — and keep
+  // working for layouts with no bucket discipline at all.
+  // ---------------------------------------------------------------------
+
+  private def eventsBloomDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_events_bloom_${sourceKey(Seq(s"$d/events.parquet"))}"
+
+  private val BloomK = 6 // double-hashed probes per key
+  private val BloomSeed1 = 0x9e3779b9L
+  private val BloomSeed2 = 0x85ebca6bL
+
+  /** The k bit positions of `key` in an m-bit Bloom filter — Kirsch &
+    * Mitzenmacher double hashing over Spark's codegen `xxhash64`, as a
+    * COLUMN so build (executor, millions of rows) and probe (driver,
+    * one row) evaluate the identical expression.
+    */
+  private def bloomPositions(key: Column, m: Long): Seq[Column] = {
+    // each hash reduced mod m BEFORE combining: the raw h1 + i*h2 form
+    // overflows Long under ANSI arithmetic; mod-first is the same
+    // residue class and keeps every intermediate under 6m
+    val h1 = pmod(xxhash64(key, lit(BloomSeed1)), lit(m))
+    val h2 = pmod(xxhash64(key, lit(BloomSeed2)), lit(m))
+    (0 until BloomK).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m)))
+  }
+
+  /** Two-epoch bucketed layout (8-way then 16-way by user_id over the
+    * event_id halves) plus its Bloom manifest: one row per (file, word)
+    * with the OR of the 64-bit word's set bits — built as one
+    * explode + groupBy over the written files themselves (never
+    * disagreeing with the data), file-count × m/64 rows of metadata.
+    * One GLOBAL m, sized to the largest file (next power of two of
+    * 8 bits/row, fpp ≈ 2% at k = 6), so probe word indexes are the
+    * same for every file and the probe reads k pushdown-filtered
+    * manifest rows per file instead of the whole manifest.
+    */
+  private[ops] def eventsBloomLayout(s: SparkSession, d: String): String = {
+    val out = eventsBloomDir(d)
+    if (!successExists(s, manifestDir(out))) {
+      val ev = Tables.events(s, d)
+      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+      ev.where(col("event_id") <= mid).repartition(8, col("user_id"))
+        .write.mode("overwrite").parquet(s"$out/epoch=1")
+      ev.where(col("event_id") > mid).repartition(16, col("user_id"))
+        .write.mode("overwrite").parquet(s"$out/epoch=2")
+      val data = s.read.parquet(out)
+      val maxRows = data.groupBy(input_file_name()).count()
+        .agg(max(col("count"))).head().getLong(0)
+      val m = java.lang.Long.highestOneBit(math.max(64L, 8L * maxRows) * 2 - 1)
+      data
+        .select(input_file_name().as("file"),
+          explode(array(bloomPositions(col("user_id"), m): _*)).as("pos"))
+        .groupBy(col("file"), (col("pos") / 64).cast("long").as("word"))
+        .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")).as("bits"))
+        .withColumn("bloom_m", lit(m))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(manifestDir(out))
+    }
+    out
+  }
+
+  /** Plan-time Bloom pruning for `user_id = user`: evaluate the SAME
+    * position expression the build used (driver-side, one-row plan),
+    * fetch only the probed words from the manifest (k × files rows
+    * through parquet pushdown on `word`), and keep a file iff ALL k
+    * bits are set — a missing word row is an all-zero word, i.e. a
+    * definite miss. No false negatives by construction; the residual
+    * predicate stays on the pruned scan, so a false positive costs one
+    * extra file read, never a wrong row. Returns (pruned scan,
+    * selected, total) like [[manifestSkipScan]].
+    */
+  private[ops] def bloomSkipScan(s: SparkSession, layout: String, user: Long)
+      : (DataFrame, Int, Int) = {
+    val manifest = manifestDir(layout)
+    val m = s.read.parquet(manifest).select("bloom_m").head().getLong(0)
+    val posRow = s.range(1)
+      .select(bloomPositions(lit(user), m).zipWithIndex
+        .map { case (c, i) => c.as(s"p$i") }: _*).head()
+    val positions = (0 until BloomK).map(posRow.getLong).distinct
+    val words = positions.map(_ / 64).distinct
+    val probed = s.read.parquet(manifest)
+      .where(col("word").isin(words: _*))
+      .collect()
+      .groupBy(_.getAs[String]("file"))
+      .view.mapValues(_.map(r => r.getAs[Long]("word") -> r.getAs[Long]("bits")).toMap)
+    // the file universe comes from the manifest (its keys are the
+    // input_file_name URIs the build recorded — the readable truth),
+    // one pushdown-pruned column read, file-count-sized after distinct
+    val total = s.read.parquet(manifest).select("file").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val selected = total.filter { f =>
+      probed.get(f).exists(ws =>
+        positions.forall(p => (ws.getOrElse(p / 64, 0L) & (1L << (p % 64).toInt)) != 0L))
+    }
+    val base =
+      if (selected.isEmpty) s.read.parquet(layout).limit(0)
+      else s.read.parquet(selected: _*)
+    (Tables.normalizeTs(base).where(col("user_id") === lit(user)),
+      selected.size, total.size)
+  }
+
+  /** Point lookup through Bloom skipping — same rows as the full-table
+    * filter (the oracle), reading ~2 of the 24 files (one bucket per
+    * epoch, plus rare false positives). PartitionedSpec asserts the
+    * skip ratio, the no-false-negative law over every user, and the
+    * false-positive rate on absent keys.
+    */
+  val qBloomSkip = Q(
+    "q_bloom_skip",
+    (s, d) => {
+      val layout = eventsBloomLayout(s, d)
+      val (scan, _, _) = bloomSkipScan(s, layout, 7L)
+      scan.select("event_id", "user_id", "event_type", "value", "ts")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+            WHERE user_id = 7
             ORDER BY event_id""")
   )
 
@@ -1361,5 +1492,5 @@ object Partitioned {
   val all: Seq[Q] =
     Seq(qPartitionPrune, qJoinBucketed, qCompact, qManifestSkip, qTimeTravel,
       qVacuum, qSchemaEvolution, qMergeUpsert, qChangeFeed, qDeletionVectors,
-      qDvCompact, qConcurrentCommit, qCommitCheckpoint)
+      qDvCompact, qConcurrentCommit, qCommitCheckpoint, qBloomSkip)
 }

@@ -144,7 +144,8 @@ class InventorySpec extends AnyFunSuite {
     "q_stream_join_queue" -> "r14: the IDENTICAL bucketedRangeJoin operator as the sectioned q_stream_join, differing only in the TWO sharded queue sources + drain sentinels feeding its sides; ReplaySpec holds the file-twin/batch parity law",
     "q_avro_roundtrip" -> "r14: DSv2 container scan + per-partition sink — shuffle-free like the pinned q_url_source scan shape; AvroSourceSpec pins pruning reaching the reader and the full type-map round trip",
     "q_mm_jpeg" -> "r14: per-row encode/entropy-decode on the same MapPartitions seam as the sectioned q_mm_audio (q_mm_png class); JpegSpec drives the Huffman/DPCM/zigzag/stuffing pipeline against a no-entropy reference",
-    "q_commit_checkpoint" -> "r14: the declared surface is a checkpoint-reconstructed pruned read + the q_agg_hash aggregate shape (the q_concurrent_commit class); the delta-log/checkpoint/truncation protocol is driver-side file-count metadata, law-tested in PartitionedSpec")
+    "q_commit_checkpoint" -> "r14: the declared surface is a checkpoint-reconstructed pruned read + the q_agg_hash aggregate shape (the q_concurrent_commit class); the delta-log/checkpoint/truncation protocol is driver-side file-count metadata, law-tested in PartitionedSpec",
+    "q_bloom_skip" -> "r14: plan-time metadata pruning + a per-row filter on the selected files (the q_manifest_skip class); the skip ratio and no-false-negative laws live in PartitionedSpec, which the lazy-plan pin surfaces cannot see")
 
   test("plan surface: every declared query is pinned, PLANS.md-audited, or exempt") {
     val covered = QueriesPlanSpec.pinned ++ plansMdAudited ++ planExempt.keySet
@@ -260,7 +261,8 @@ class InventorySpec extends AnyFunSuite {
     "q_stream_join_queue" -> "r14: symmetric-hash range-join replay through two queue sources — INNER emission is trigger- and source-invariant (the q_stream_join argument); ReplaySpec holds the parity law",
     "q_avro_roundtrip" -> "r14: format round trip + per-row filter/projection; the oracle hash is the bit-fidelity audit (the q_orc_roundtrip class)",
     "q_mm_jpeg" -> "r14: per-row batch encode/decode, no shuffle (the q_mm_png class); the DC plane is exact integer arithmetic so partitioning cannot move a bit",
-    "q_commit_checkpoint" -> "r14: commit-log state is FS-level (the q_concurrent_commit class) — sequential appends + deterministic truncation; the read side is one order-free decimal aggregate")
+    "q_commit_checkpoint" -> "r14: commit-log state is FS-level (the q_concurrent_commit class) — sequential appends + deterministic truncation; the read side is one order-free decimal aggregate",
+    "q_bloom_skip" -> "r14: the bloom manifest is layout-level FS state (the q_manifest_skip class) and the probe is a deterministic hash; the declared read ends in a total-order sort over one user's rows")
 
   test("invariance surface: every declared query is swept at 4-vs-32 partitions or exempt") {
     val swept = PartitionInvarianceSpec.shuffleSensitive.toSet

@@ -509,6 +509,39 @@ class PartitionedSpec extends SparkSpec {
     graft.FsUtil.deleteRecursively(root)
   }
 
+  test("bloom skip: dramatic pruning on the bucket-evolved layout, no false negative for ANY user") {
+    val layout = Partitioned.eventsBloomLayout(spark, sf0001)
+    // the probe user lives in exactly one bucket per epoch: ≤ 2 true
+    // files of 24, plus at most a couple of false positives
+    val (scan, selected, total) = Partitioned.bloomSkipScan(spark, layout, 7L)
+    // 8 + 16 buckets, minus epoch-2 buckets empty at this sf (15 users)
+    assert(total >= 10 && total <= 24, s"bucket-evolved layout shape off: $total files")
+    assert(selected <= 4, s"bloom selected $selected of $total files — not skipping")
+    val expected = Tables.events(spark, sf0001).where(col("user_id") === 7).count()
+    assert(scan.count() == expected)
+    // no false negatives: every user's rows survive the pruned scan
+    val users = Tables.events(spark, sf0001).select("user_id").distinct()
+      .collect().map(_.getLong(0))
+    val counts = Tables.events(spark, sf0001).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    users.foreach { u =>
+      val (s2, _, _) = Partitioned.bloomSkipScan(spark, layout, u)
+      assert(s2.count() == counts(u), s"bloom lost rows for user $u")
+    }
+  }
+
+  test("bloom skip: absent keys mostly prune to zero files (fpp sanity)") {
+    val layout = Partitioned.eventsBloomLayout(spark, sf0001)
+    val picks = (0 until 40).map { i =>
+      val (s2, selected, total) = Partitioned.bloomSkipScan(spark, layout, 1000000L + i)
+      assert(s2.count() == 0, "absent key returned rows")
+      selected.toDouble / total
+    }
+    // k=6, 8 bits/row sizing → per-file fpp ≈ 2%; allow generous slack
+    assert(picks.sum / picks.size < 0.15,
+      f"mean selected-file fraction ${picks.sum / picks.size}%.3f too high for the bloom sizing")
+  }
+
   test("q_commit_checkpoint layout: head == all 14 single-file appends exactly once, early log gone") {
     val root = Partitioned.checkpointCommitLayout(spark, sf0001)
     val log = s"$root/_graft_log"
