@@ -714,6 +714,251 @@ object Vocab {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // WORDPIECE (r14) — the THIRD production tokenizer family (Schuster &
+  // Nakajima 2012; BERT's tokenizer): trains like BPE but picks each
+  // merge by the LIKELIHOOD criterion score = freq(ab)/(freq(a)·freq(b))
+  // instead of raw pair frequency (merging what co-occurs more than its
+  // parts predict), and ENCODES by greedy longest-prefix maximum munch
+  // over the frozen vocabulary instead of replaying merges.
+  //
+  // Shape discipline (the SentencePiece word-and-count idiom, shared
+  // with the unigram trainer): both training and encode run on the
+  // DISTINCT-WORD relation with frequencies — one corpus-scale word
+  // count, then everything is vocab-bounded. Pair/symbol counts are
+  // wfreq-WEIGHTED aggregations; per-word sequences never cross word
+  // boundaries (WordPiece pre-tokenizes on whitespace), which is what
+  // distinguishes this trainer from q_bpe_train_char's corpus-level
+  // char stream where space is a symbol.
+  //
+  // Exactness: the score is fractional, so the cross-engine total
+  // order quantizes it to integer arithmetic — score =
+  // (freq · 2^20) div (fa · fb) in BIGINT (ties broken (pa, pb) ASC).
+  // Both engines compute the identical quotient, so round count and
+  // selections cannot drift; 2^-20 granularity is the documented
+  // selection semantics, not an approximation of it.
+  // -------------------------------------------------------------------
+
+  private val WP_MERGES = 6
+  private val WP_SCALE = 1L << 20
+
+  /** Per-word double-separator char sequences, carrying wfreq. */
+  private def wpSeq0(words: DataFrame): DataFrame = {
+    val sep2 = US.toChar.toString * 2
+    words.select(col("word"), col("wfreq"),
+      concat(lit(sep2),
+        array_join(expr("filter(split(word, ''), x -> x != '')"), sep2),
+        lit(sep2)).as("seq"))
+  }
+
+  /** wfreq-weighted adjacent-pair counts (the [[pairCounts]] shape). */
+  private def wpPairCounts(seqDf: DataFrame): DataFrame =
+    seqDf
+      .select(col("wfreq"), expr("filter(split(seq, chr(31)), x -> x != '')").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("wfreq"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS pa, t[i+1] AS pb))")).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(sum(col("wfreq")).as("freq"))
+
+  /** wfreq-weighted symbol (unigram) counts — the score's denominator. */
+  private def wpSymCounts(seqDf: DataFrame): DataFrame =
+    seqDf
+      .select(col("wfreq"),
+        explode(expr("filter(split(seq, chr(31)), x -> x != '')")).as("sym"))
+      .groupBy("sym")
+      .agg(sum(col("wfreq")).as("sfreq"))
+
+  /** The per-round likelihood argmax: join pair counts with both
+    * symbols' counts (vocab-sized, broadcast), quantized-integer score,
+    * total tiebreak. Same TakeOrdered 1-row funnel as [[bestPair]].
+    */
+  private def wpBestPair(seqDf: DataFrame): DataFrame = {
+    val syms = Materialize(wpSymCounts(seqDf))
+    wpPairCounts(seqDf)
+      .join(broadcast(syms.select(col("sym").as("pa"), col("sfreq").as("fa"))), Seq("pa"))
+      .join(broadcast(syms.select(col("sym").as("pb"), col("sfreq").as("fb"))), Seq("pb"))
+      .select(col("pa"), col("pb"), col("freq"),
+        expr(s"(freq * $WP_SCALE) div (fa * fb)").as("score"))
+      .orderBy(col("score").desc, col("pa").asc, col("pb").asc)
+      .limit(1)
+  }
+
+  /** Greedy-leftmost rewrite of the 1-row rule ([[mergeRewriteExpr]]),
+    * wfreq carried through.
+    */
+  private def wpApplyMerge(seqDf: DataFrame, best: DataFrame): DataFrame =
+    seqDf
+      .crossJoin(broadcast(best.select(col("pa").as("bpa"), col("pb").as("bpb"))))
+      .select(col("word"), col("wfreq"), expr(mergeRewriteExpr).as("seq"))
+
+  /** The [[WP_MERGES]]-round training loop: returns the word relation
+    * and the per-round 1-row winners (checkpointed — train and apply
+    * share them).
+    */
+  private def wpTrainLoop(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val words = Materialize(ulmWords(s, d))
+    var seq = Materialize(wpSeq0(words))
+    val bests = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to WP_MERGES) {
+      val best = Materialize(wpBestPair(seq))
+      bests += best
+      seq = Materialize(wpApplyMerge(seq, best))
+    }
+    (words, bests.result())
+  }
+
+  val qWordpieceTrain = Q(
+    "q_wordpiece_train",
+    (s, d) => {
+      val (_, bests) = wpTrainLoop(s, d)
+      bests.zipWithIndex.map { case (b, i) =>
+        b.select(lit(i + 1).as("merge_rank"),
+          expr("replace(pa, chr(30), ' ')").as("lhs"),
+          expr("replace(pb, chr(30), ' ')").as("rhs"),
+          col("freq"), col("score"))
+      }.reduce(_ unionByName _).orderBy("merge_rank")
+    },
+    Some(wpOracle)
+  )
+
+  /** Every (j, i, piece) substring slot up to the FULL remaining word —
+    * unlike [[ulmSubs]]' ULM_PLEN cap, a WordPiece merged token can be
+    * any length, so maximum munch must see every prefix.
+    */
+  private def wpSubs(words: DataFrame): DataFrame =
+    words
+      .select(col("word"), explode(expr("sequence(0, length(word) - 1)")).as("j"))
+      .select(col("word"), col("j"),
+        explode(expr("sequence(1, length(word) - j)")).as("l"))
+      .select(col("word"), col("j"), (col("j") + col("l")).as("i"),
+        expr("substring(word, j + 1, l)").as("piece"))
+
+  /** BERT's encode: greedy LONGEST-PREFIX segmentation under the frozen
+    * vocabulary (single chars ∪ merge products), unrolled over at most
+    * [[ULM_LMAX]] pieces on the distinct-word relation; per-doc token
+    * counts through the shared [[ulmApplyTail]] (words over the length
+    * cap fall back per-char — the same coverage guarantee as unigram).
+    * Termination is structural: every single char of every word is in
+    * the vocabulary, so each step always advances.
+    */
+  val qWordpieceApply = Q(
+    "q_wordpiece_apply",
+    (s, d) => {
+      val (words, bests) = wpTrainLoop(s, d)
+      val singles = words.select(
+        explode(expr("filter(split(word, ''), x -> x != '')")).as("piece"))
+      val merged = bests.map(_.select(
+        expr("replace(concat(pa, pb), chr(30), '')").as("piece")))
+        .reduce(_ unionByName _)
+      val vocab = Materialize(singles.unionByName(merged).distinct())
+      val edges = Materialize(
+        wpSubs(words).join(broadcast(vocab), Seq("piece"))
+          .select(col("word"), col("j"), col("i")))
+      var st = Materialize(words.select(col("word"), lit(0).as("pos"), lit(0L).as("n")))
+      val byWord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("word")).orderBy(col("i").desc)
+      for (_ <- 1 to ULM_LMAX) {
+        val done = st.where(col("pos") >= length(col("word")))
+        val adv = st.where(col("pos") < length(col("word")))
+          .join(edges.withColumnRenamed("j", "pos"), Seq("word", "pos"))
+          .withColumn("rn", row_number().over(byWord))
+          .where(col("rn") === 1)
+          .select(col("word"), col("i").as("pos"), (col("n") + 1).as("n"))
+        st = Materialize(done.unionByName(adv))
+      }
+      ulmApplyTail(s, d, st.select(col("word"), col("n").as("n_pieces")))
+    },
+    Some(wpApplyOracle)
+  )
+
+  /** The WordPiece CTE chain — the [[bpeCtes]] one-generator discipline:
+    * w0 word counts, t0 per-word char sequences, then per round the
+    * weighted symbol counts y, weighted pair counts p, quantized-score
+    * argmax c, and rewrite t.
+    */
+  private def wpCtes: String = {
+    val rounds = (1 to WP_MERGES).map { k =>
+      s"""y$k AS (SELECT sym, CAST(sum(wfreq) AS BIGINT) AS sfreq
+         |        FROM (SELECT unnest(t) AS sym, wfreq
+         |              FROM (SELECT wfreq, list_filter(string_split(seq, chr($US)), x -> x <> '') AS t
+         |                    FROM t${k - 1}))
+         |        GROUP BY 1),
+         |p$k AS (SELECT u.pa AS pa, u.pb AS pb, CAST(sum(wfreq) AS BIGINT) AS freq
+         |        FROM (SELECT unnest([{'pa': t[i], 'pb': t[i+1]}
+         |                             for i in range(1, len(t))]) AS u, wfreq
+         |              FROM (SELECT wfreq, list_filter(string_split(seq, chr($US)), x -> x <> '') AS t
+         |                    FROM t${k - 1})
+         |              WHERE len(t) >= 2)
+         |        GROUP BY 1, 2),
+         |c$k AS (SELECT p.pa, p.pb, p.freq,
+         |               (p.freq * $WP_SCALE) // (ya.sfreq * yb.sfreq) AS score
+         |        FROM p$k p JOIN y$k ya ON ya.sym = p.pa JOIN y$k yb ON yb.sym = p.pb
+         |        ORDER BY score DESC, p.pa ASC, p.pb ASC LIMIT 1),
+         |t$k AS (SELECT word, wfreq,
+         |               replace(seq,
+         |                       chr($US) || c.pa || chr($US) || chr($US) || c.pb || chr($US),
+         |                       chr($US) || c.pa || chr($RS) || c.pb || chr($US)) AS seq
+         |        FROM t${k - 1} CROSS JOIN c$k c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS wfreq
+       |            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |            WHERE word <> '' AND length(word) <= $ULM_LMAX
+       |            GROUP BY 1),
+       |t0 AS (SELECT word, wfreq,
+       |              repeat(chr($US), 2)
+       |                || array_to_string(list_filter(string_split(word, ''), x -> x <> ''),
+       |                                   repeat(chr($US), 2))
+       |                || repeat(chr($US), 2) AS seq
+       |       FROM w0),
+       |""".stripMargin + rounds
+  }
+
+  private def wpOracle: String =
+    wpCtes + "\n" + (1 to WP_MERGES).map(k =>
+      s"""SELECT $k AS merge_rank, replace(pa, chr($RS), ' ') AS lhs,
+         |       replace(pb, chr($RS), ' ') AS rhs, freq, score FROM c$k""".stripMargin)
+      .mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"
+
+  private def wpApplyOracle: String = {
+    val steps = (1 to ULM_LMAX).map { k =>
+      s"""g$k AS (
+         |  SELECT word, pos, n FROM g${k - 1} WHERE pos >= length(word)
+         |  UNION ALL
+         |  SELECT word, CAST(pos + l AS INTEGER) AS pos, n + 1 AS n
+         |  FROM (SELECT g.word, g.pos, g.n, r.l,
+         |               row_number() OVER (PARTITION BY g.word ORDER BY r.l DESC) AS rn
+         |        FROM g${k - 1} g, unnest(range(1, ${ULM_LMAX + 1})) AS r(l)
+         |        WHERE g.pos < length(g.word)
+         |          AND l <= length(g.word) - g.pos
+         |          AND substr(g.word, g.pos + 1, CAST(l AS INTEGER)) IN (SELECT piece FROM v))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val merged = (1 to WP_MERGES).map(k =>
+      s"SELECT replace(pa || pb, chr($RS), '') AS piece FROM c$k")
+      .mkString("\n        UNION ALL ")
+    wpCtes + s""",
+      |v AS MATERIALIZED (SELECT DISTINCT piece FROM (
+      |        SELECT unnest(list_filter(string_split(word, ''), x -> x <> '')) AS piece FROM w0
+      |        UNION ALL $merged)),
+      |g0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS n FROM w0),
+      |""".stripMargin + steps + s""",
+      |wp AS MATERIALIZED (SELECT word, n AS n_pieces FROM g$ULM_LMAX),
+      |dw AS MATERIALIZED (SELECT doc_id, t AS word
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |      WHERE t <> ''),
+      |pd AS MATERIALIZED (SELECT dw.doc_id,
+      |             CAST(count(*) AS BIGINT) AS n_words,
+      |             CAST(sum(coalesce(wp.n_pieces, length(dw.word))) AS BIGINT) AS n_tokens
+      |      FROM dw LEFT JOIN wp USING (word)
+      |      GROUP BY dw.doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(pd.n_words, 0) AS n_words,
+      |       coalesce(pd.n_tokens, 0) AS n_tokens
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(qBpeTrain, qBpeTrainChar, qBpeApply, qBpeVocab, qUnigramLm,
-    qUnigramApply)
+    qUnigramApply, qWordpieceTrain, qWordpieceApply)
 }

@@ -145,7 +145,9 @@ class InventorySpec extends AnyFunSuite {
     "q_avro_roundtrip" -> "r14: DSv2 container scan + per-partition sink — shuffle-free like the pinned q_url_source scan shape; AvroSourceSpec pins pruning reaching the reader and the full type-map round trip",
     "q_mm_jpeg" -> "r14: per-row encode/entropy-decode on the same MapPartitions seam as the sectioned q_mm_audio (q_mm_png class); JpegSpec drives the Huffman/DPCM/zigzag/stuffing pipeline against a no-entropy reference",
     "q_commit_checkpoint" -> "r14: the declared surface is a checkpoint-reconstructed pruned read + the q_agg_hash aggregate shape (the q_concurrent_commit class); the delta-log/checkpoint/truncation protocol is driver-side file-count metadata, law-tested in PartitionedSpec",
-    "q_bloom_skip" -> "r14: plan-time metadata pruning + a per-row filter on the selected files (the q_manifest_skip class); the skip ratio and no-false-negative laws live in PartitionedSpec, which the lazy-plan pin surfaces cannot see")
+    "q_bloom_skip" -> "r14: plan-time metadata pruning + a per-row filter on the selected files (the q_manifest_skip class); the skip ratio and no-false-negative laws live in PartitionedSpec, which the lazy-plan pin surfaces cannot see",
+    "q_wordpiece_train" -> "r14: the q_bpe_round loop class with the likelihood argmax swapped in — per-round weighted counts + broadcast joins + TakeOrdered over the distinct-word relation behind Materialize; WordpieceSpec re-derives every round driver-side",
+    "q_wordpiece_apply" -> "r14: the training loop above plus a vocab-bounded greedy unroll and the q_unigram_apply lookup-join tail; WordpieceSpec re-derives every doc's maximum-munch count driver-side")
 
   test("plan surface: every declared query is pinned, PLANS.md-audited, or exempt") {
     val covered = QueriesPlanSpec.pinned ++ plansMdAudited ++ planExempt.keySet
@@ -262,7 +264,9 @@ class InventorySpec extends AnyFunSuite {
     "q_avro_roundtrip" -> "r14: format round trip + per-row filter/projection; the oracle hash is the bit-fidelity audit (the q_orc_roundtrip class)",
     "q_mm_jpeg" -> "r14: per-row batch encode/decode, no shuffle (the q_mm_png class); the DC plane is exact integer arithmetic so partitioning cannot move a bit",
     "q_commit_checkpoint" -> "r14: commit-log state is FS-level (the q_concurrent_commit class) — sequential appends + deterministic truncation; the read side is one order-free decimal aggregate",
-    "q_bloom_skip" -> "r14: the bloom manifest is layout-level FS state (the q_manifest_skip class) and the probe is a deterministic hash; the declared read ends in a total-order sort over one user's rows")
+    "q_bloom_skip" -> "r14: the bloom manifest is layout-level FS state (the q_manifest_skip class) and the probe is a deterministic hash; the declared read ends in a total-order sort over one user's rows",
+    "q_wordpiece_train" -> "r14: exact integer quantized-score argmax with total (pa, pb) tiebreaks over order-free weighted sums (the q_bpe_train class); partitioning cannot move a bit",
+    "q_wordpiece_apply" -> "r14: greedy maximum munch is a pure per-word function of the frozen vocab plus an order-free per-doc BIGINT sum (the q_unigram_apply class)")
 
   test("invariance surface: every declared query is swept at 4-vs-32 partitions or exempt") {
     val swept = PartitionInvarianceSpec.shuffleSensitive.toSet
