@@ -110,8 +110,18 @@ object Jpeg {
     out.result()
   }
 
-  private val DcEncode = canonicalCodes(DcBits, DcVals)
-  private val AcEncode = canonicalCodes(AcBits, AcVals)
+  /** Encode tables as flat (code << 5 | len) arrays indexed by symbol —
+    * no tuple boxing on the per-coefficient hot path (codes ≤ 16 bits,
+    * lengths ≤ 16, so the packing is lossless).
+    */
+  private def packedCodes(bits: Array[Int], vals: Array[Int]): Array[Int] = {
+    val m = canonicalCodes(bits, vals)
+    val out = Array.fill(256)(-1)
+    m.foreach { case (sym, (code, len)) => out(sym) = (code << 5) | len }
+    out
+  }
+  private val DcEncode = packedCodes(DcBits, DcVals)
+  private val AcEncode = packedCodes(AcBits, AcVals)
 
   // ------------------------------------------------------------ bit streams
 
@@ -194,11 +204,13 @@ object Jpeg {
   private def cNorm(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
 
   /** Forward 2-D DCT-II of one level-shifted 8×8 block (row-major),
-    * quantized per [[QuantTable]]. The AC path is the plain float
-    * transform with round-half-up quantization; the DC path is EXACT
-    * integer arithmetic — F(0,0) = Σx/8 algebraically, so with
-    * Q_DC = 1 the quantized DC is floorDiv(Σx + 4, 8), which is the
-    * identity the cross-engine oracle re-derives (object scaladoc).
+    * quantized per [[QuantTable]], computed SEPARABLY (rows then
+    * columns — 2·8·64 multiplies per block instead of the direct
+    * form's 64·64; same transform, float regrouping only). The AC path
+    * is the plain float transform with round-half-up quantization; the
+    * DC path is EXACT integer arithmetic — F(0,0) = Σx/8 algebraically,
+    * so with Q_DC = 1 the quantized DC is floorDiv(Σx + 4, 8), which is
+    * the identity the cross-engine oracle re-derives (object scaladoc).
     */
   private[ops] def fdctQuant(shifted: Array[Int]): Array[Int] = {
     val out = new Array[Int](64)
@@ -206,27 +218,70 @@ object Jpeg {
     var i = 0
     while (i < 64) { sum += shifted(i); i += 1 }
     out(0) = Math.floorDiv(sum + 4, 8).toInt
-    for (u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0) {
-      var acc = 0.0
-      for (x <- 0 until 8; y <- 0 until 8)
-        acc += shifted(x * 8 + y) * cosAt(x, u) * cosAt(y, v)
-      val f = 0.25 * cNorm(u) * cNorm(v) * acc
-      out(u * 8 + v) = Math.round(f / QuantTable(u * 8 + v)).toInt
+    // tmp(u, y) = Σ_x s(x, y)·cos(x, u)
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0.0
+        var x = 0
+        while (x < 8) { acc += shifted(x * 8 + y) * cosAt(x, u); x += 1 }
+        tmp(u * 8 + y) = acc
+        y += 1
+      }
+      u += 1
+    }
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var acc = 0.0
+          var y = 0
+          while (y < 8) { acc += tmp(u * 8 + y) * cosAt(y, v); y += 1 }
+          val f = 0.25 * cNorm(u) * cNorm(v) * acc
+          out(u * 8 + v) = Math.round(f / QuantTable(u * 8 + v)).toInt
+        }
+        v += 1
+      }
+      u += 1
     }
     out
   }
 
-  /** Inverse: dequantize + 2-D IDCT + level unshift + clamp to [0,255]. */
+  /** Inverse: dequantize + separable 2-D IDCT + level unshift + clamp. */
   private[ops] def dequantIdct(coef: Array[Int]): Array[Int] = {
-    val out = new Array[Int](64)
-    for (x <- 0 until 8; y <- 0 until 8) {
-      var acc = 0.0
-      for (u <- 0 until 8; v <- 0 until 8) {
-        val f = coef(u * 8 + v).toDouble * QuantTable(u * 8 + v)
-        acc += cNorm(u) * cNorm(v) * f * cosAt(x, u) * cosAt(y, v)
+    // tmp(x, v) = Σ_u c(u)·F'(u, v)·cos(x, u)
+    val tmp = new Array[Double](64)
+    var x = 0
+    while (x < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          acc += cNorm(u) * (coef(u * 8 + v).toDouble * QuantTable(u * 8 + v)) * cosAt(x, u)
+          u += 1
+        }
+        tmp(x * 8 + v) = acc
+        v += 1
       }
-      val p = Math.round(0.25 * acc).toInt + 128
-      out(x * 8 + y) = math.max(0, math.min(255, p))
+      x += 1
+    }
+    val out = new Array[Int](64)
+    x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) { acc += cNorm(v) * tmp(x * 8 + v) * cosAt(y, v); v += 1 }
+        val p = Math.round(0.25 * acc).toInt + 128
+        out(x * 8 + y) = math.max(0, math.min(255, p))
+        y += 1
+      }
+      x += 1
     }
     out
   }
@@ -289,8 +344,8 @@ object Jpeg {
       val diff = q(0) - prevDc
       prevDc = q(0)
       val s = category(diff)
-      val (dcCode, dcLen) = DcEncode(s)
-      bw.put(dcCode, dcLen)
+      val dcP = DcEncode(s)
+      bw.put(dcP >>> 5, dcP & 0x1f)
       if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
       // AC: zigzag run-length with ZRL/EOB (§F.1.2.2)
       var run = 0
@@ -302,16 +357,16 @@ object Jpeg {
         val v = q(Zigzag(k))
         if (v == 0) run += 1
         else {
-          while (run > 15) { val (c0, l0) = AcEncode(0xf0); bw.put(c0, l0); run -= 16 }
+          while (run > 15) { val p0 = AcEncode(0xf0); bw.put(p0 >>> 5, p0 & 0x1f); run -= 16 }
           val sz = category(v)
-          val (c1, l1) = AcEncode((run << 4) | sz)
-          bw.put(c1, l1)
+          val p1 = AcEncode((run << 4) | sz)
+          bw.put(p1 >>> 5, p1 & 0x1f)
           bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
           run = 0
         }
         k += 1
       }
-      if (lastNz < 63) { val (c2, l2) = AcEncode(0x00); bw.put(c2, l2) } // EOB
+      if (lastNz < 63) { val p2 = AcEncode(0x00); bw.put(p2 >>> 5, p2 & 0x1f) } // EOB
     }
     bw.flush()
     marker(out, 0xd9) // EOI
@@ -320,16 +375,50 @@ object Jpeg {
 
   // ---------------------------------------------------------------- decoder
 
+  /** Canonical Huffman decoder per T.81 §F.2.2.3 — the
+    * MINCODE/MAXCODE/VALPTR array walk, one compare per code length,
+    * no per-bit allocation (the hot path of every scan byte).
+    */
+  private final class HuffDecodeTable(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var len = 1
+      while (len <= 16) {
+        if (bits(len - 1) > 0) {
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len - 1)
+          k += bits(len - 1)
+          maxCode(len) = code - 1
+        }
+        code <<= 1
+        len += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var len = 1
+      var code = br.bit()
+      while (len <= 16) {
+        if (maxCode(len) >= 0 && code <= maxCode(len))
+          return vals(valPtr(len) + code - minCode(len))
+        code = (code << 1) | br.bit()
+        len += 1
+      }
+      throw new IllegalArgumentException("invalid JPEG Huffman code (corrupt scan)")
+    }
+  }
+
   /** Parsed scan state: dims + tables + entropy-data offset. */
   private final case class ScanHeader(
       w: Int, h: Int,
       quant: Array[Int], // natural order
-      dcDecode: Map[(Int, Int), Int], // (len, code) -> value
-      acDecode: Map[(Int, Int), Int],
+      dcDecode: HuffDecodeTable,
+      acDecode: HuffDecodeTable,
       scanStart: Int)
-
-  private def decodeTable(bits: Array[Int], vals: Array[Int]): Map[(Int, Int), Int] =
-    canonicalCodes(bits, vals).map { case (v, (code, len)) => (len, code) -> v }
 
   /** Walk the marker segments to the scan (§B.2): verifies SOI, reads
     * DQT/DHT/SOF0/SOS, skips APPn/COM, fails loudly on anything a
@@ -341,8 +430,8 @@ object Jpeg {
     var off = 2
     var w = -1; var h = -1
     var quant: Array[Int] = null
-    var dc: Map[(Int, Int), Int] = null
-    var ac: Map[(Int, Int), Int] = null
+    var dc: HuffDecodeTable = null
+    var ac: HuffDecodeTable = null
     while (true) {
       require(off + 4 <= p.length, "truncated JPEG: marker cut")
       require((p(off) & 0xff) == 0xff, s"JPEG marker expected at $off")
@@ -362,8 +451,8 @@ object Jpeg {
             val bits = Array.tabulate(16)(i => p(o + 1 + i) & 0xff)
             val n = bits.sum
             val vals = Array.tabulate(n)(i => p(o + 17 + i) & 0xff)
-            if ((tcTh >> 4) == 0) dc = decodeTable(bits, vals)
-            else ac = decodeTable(bits, vals)
+            if ((tcTh >> 4) == 0) dc = new HuffDecodeTable(bits, vals)
+            else ac = new HuffDecodeTable(bits, vals)
             o += 17 + n
           }
         case 0xc0 =>
@@ -386,20 +475,6 @@ object Jpeg {
     sys.error("unreachable")
   }
 
-  private def huffDecode(br: BitReader, table: Map[(Int, Int), Int]): Int = {
-    var code = 0
-    var len = 0
-    while (len < 16) {
-      code = (code << 1) | br.bit()
-      len += 1
-      table.get((len, code)) match {
-        case Some(v) => return v
-        case None => ()
-      }
-    }
-    throw new IllegalArgumentException("invalid JPEG Huffman code (corrupt scan)")
-  }
-
   /** Entropy-decode every block's QUANTIZED coefficients (natural
     * order) — the shared lossless core of [[JpegCodec.decode]] and
     * [[dcStats]]. Verifies the trailing EOI.
@@ -414,13 +489,13 @@ object Jpeg {
     var b = 0
     while (b < blocks.length) {
       val q = new Array[Int](64)
-      val s = huffDecode(br, hdr.dcDecode)
+      val s = hdr.dcDecode.decode(br)
       prevDc += extend(br.receive(s), s)
       q(0) = prevDc
       var k = 1
       var eob = false
       while (k < 64 && !eob) {
-        val rs = huffDecode(br, hdr.acDecode)
+        val rs = hdr.acDecode.decode(br)
         if (rs == 0x00) eob = true
         else if (rs == 0xf0) k += 16
         else {
