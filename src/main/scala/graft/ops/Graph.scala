@@ -58,8 +58,17 @@ object Graph {
     * per basket first — the Skew.dropHotKeys idiom). shuffle_hash pin:
     * a fact-fact self-join must never become a broadcast build side.
     */
-  private def cooccurPairs(s: SparkSession, d: String): DataFrame = {
-    val items = orderItems(s, d)
+  private def cooccurPairs(s: SparkSession, d: String): DataFrame =
+    cooccurPairsOf(orderItems(s, d))
+
+  /** [[cooccurPairs]] over a caller-supplied basket relation — the r14
+    * optimization seam: Catalyst does not dedupe common subtrees, so a
+    * self-join over the LAZY `orderItems` scans and distincts lineitem
+    * once PER SIDE. Declared queries pass a [[Materialize]]d items
+    * frame so the basket relation is computed exactly once; the lazy
+    * plan-audit hooks keep the inline form.
+    */
+  private def cooccurPairsOf(items: DataFrame): DataFrame = {
     val a = items.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
     val b = items.select(col("l_orderkey").as("k2"), col("l_partkey").as("pb"))
     a.join(b.hint("shuffle_hash"), col("k") === col("k2") && col("pa") < col("pb"))
@@ -76,7 +85,9 @@ object Graph {
   val qCooccur = Q(
     "q_cooccur",
     (s, d) =>
-      cooccurPairs(s, d)
+      // items staged once (r14): the self-join otherwise scans+distincts
+      // lineitem once per side — Catalyst does not dedupe common subtrees
+      cooccurPairsOf(Materialize(orderItems(s, d)))
         .orderBy(col("support").desc, col("pa").asc, col("pb").asc)
         .limit(25),
     Some("""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -106,8 +117,10 @@ object Graph {
   val qPmi = Q(
     "q_pmi",
     (s, d) => {
-      val items = orderItems(s, d)
-      val pairs = cooccurPairs(s, d).where(col("support") >= 3)
+      // staged once (r14): the inline form computed the basket relation
+      // FOUR times (pair join a-side, b-side, marginals, basket count)
+      val items = Materialize(orderItems(s, d))
+      val pairs = cooccurPairsOf(items).where(col("support") >= 3)
       val marg = items.groupBy(col("l_partkey").as("p")).agg(count(lit(1)).as("cnt"))
       val nb = items.agg(countDistinct(col("l_orderkey")).as("nb"))
       pairs
@@ -156,8 +169,10 @@ object Graph {
   val qTriangles = Q(
     "q_triangles",
     (s, d) => {
+      // items staged once (r14): the pair self-join consumed it twice
       val e = Materialize(
-        cooccurPairs(s, d).where(col("support") >= 2).select("pa", "pb"))
+        cooccurPairsOf(Materialize(orderItems(s, d)))
+          .where(col("support") >= 2).select("pa", "pb"))
       val wedges = e.select(col("pa").as("a"), col("pb").as("b"))
         .join(
           e.select(col("pa").as("b2"), col("pb").as("c")).hint("shuffle_hash"),
@@ -227,11 +242,13 @@ object Graph {
       // OOM'd the earlier shuffle_hash pin building 60M lineitem rows
       // into per-task hash maps; the per-round STATE joins below keep
       // shuffle_hash — their build sides are node-scale)
-      val base = orders(s, d)
+      // base staged once (r14): the two-direction edge union otherwise
+      // ran the orders⋈lineitem SMJ + distinct once PER DIRECTION
+      val base = Materialize(orders(s, d)
         .join(lineitem(s, d).hint("merge"),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
-        .distinct()
+        .distinct())
       val edges = base.select(col("c").as("src"), col("sp").as("dst"))
         .union(base.select(col("sp").as("src"), col("c").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -354,9 +371,14 @@ object Graph {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val und = Materialize {
-        val e = cooccurPairs(s, d).where(col("support") >= 2).select("pa", "pb")
-        e.select(col("pa").as("src"), col("pb").as("dst"))
-          .union(e.select(col("pb").as("src"), col("pa").as("dst")))
+        // items staged once (r14): the un-staged union otherwise built
+        // the FULL pair pipeline (incl. the basket self-join) twice,
+        // once per direction
+        val e = cooccurPairsOf(Materialize(orderItems(s, d)))
+          .where(col("support") >= 2).select("pa", "pb")
+        val eM = Materialize(e)
+        eM.select(col("pa").as("src"), col("pb").as("dst"))
+          .union(eM.select(col("pb").as("src"), col("pa").as("dst")))
       }
       val nodes = Materialize(und.select(col("src").as("node")).distinct())
       var labels = Materialize(nodes.select(col("node"), col("node").as("label")))
@@ -448,11 +470,13 @@ object Graph {
   val qKhop = Q(
     "q_khop",
     (s, d) => {
-      val base = orders(s, d)
+      // base staged once (r14): the two-direction edge union otherwise
+      // ran the orders⋈lineitem SMJ + distinct once PER DIRECTION
+      val base = Materialize(orders(s, d)
         .join(lineitem(s, d).hint("merge"),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
-        .distinct()
+        .distinct())
       val edges = Materialize(
         base.select(col("c").as("src"), col("sp").as("dst"))
           .union(base.select(col("sp").as("src"), col("c").as("dst"))))
@@ -580,7 +604,12 @@ object Graph {
   val qJaccard = Q(
     "q_jaccard",
     (s, d) => {
-      val e = cooccurPairs(s, d).where(col("support") >= 2).select("pa", "pb")
+      // e staged once (r14): the inline form rebuilt the whole pair
+      // pipeline THREE times — und's two directions and the
+      // existing-edge anti join below
+      val e = Materialize(
+        cooccurPairsOf(Materialize(orderItems(s, d)))
+          .where(col("support") >= 2).select("pa", "pb"))
       val und = Materialize(
         e.select(col("pa").as("src"), col("pb").as("dst"))
           .union(e.select(col("pb").as("src"), col("pa").as("dst"))))
@@ -663,11 +692,13 @@ object Graph {
     "q_graph_sample",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val base = orders(s, d)
+      // base staged once (r14): the two-direction edge union otherwise
+      // ran the orders⋈lineitem SMJ + distinct once PER DIRECTION
+      val base = Materialize(orders(s, d)
         .join(lineitem(s, d).hint("merge"),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
-        .distinct()
+        .distinct())
       val edges = Materialize(
         base.select(col("c").as("src"), col("sp").as("dst"))
           .union(base.select(col("sp").as("src"), col("c").as("dst"))))
@@ -750,11 +781,13 @@ object Graph {
   val qRandomWalk = Q(
     "q_random_walk",
     (s, d) => {
-      val base = orders(s, d)
+      // base staged once (r14): the two-direction edge union otherwise
+      // ran the orders⋈lineitem SMJ + distinct once PER DIRECTION
+      val base = Materialize(orders(s, d)
         .join(lineitem(s, d).hint("merge"),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sp"))
-        .distinct()
+        .distinct())
       val edges = base.select(col("c").as("src"), col("sp").as("dst"))
         .union(base.select(col("sp").as("src"), col("c").as("dst")))
       val ranked = Materialize(edges
