@@ -371,6 +371,15 @@ object Dedup {
       // pointer jump: label := label(label). Every label is a node id of
       // the same component (invariant of both steps), so the lookup
       // frame is `propagated` itself.
+      //
+      // r14 optimization: the convergence test rides the SAME action as
+      // the round checkpoint via observe() — the former separate
+      // `.where(newl < label).count()` was one extra job per round (a
+      // third of the loop's fixed cost; the wall here is job count, not
+      // data). Observation.get blocks until the checkpoint action
+      // completes and the metric is exact (CollectMetrics runs inside
+      // the executed plan), so the loop sees the identical `moved`.
+      val obs = new org.apache.spark.sql.Observation()
       val jumped = Materialize(
         propagated
           .as("a")
@@ -380,8 +389,11 @@ object Dedup {
           )
           .select(col("a.node").as("node"), col("a.label").as("label"),
             least(col("a.pl"), col("b.jl")).as("newl"))
+          .observe(obs,
+            sum(when(col("newl") < col("label"), 1L).otherwise(0L)).as("moved"))
       )
-      moved = jumped.where(col("newl") < col("label")).count()
+      // sum over an empty frame is SQL NULL — treat as converged
+      moved = Option(obs.get.apply("moved")).map(_.asInstanceOf[Long]).getOrElse(0L)
       labels = jumped.select(col("node"), col("newl").as("label"))
       rounds += 1
     }
