@@ -47,6 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_lcs", 2)(cs => LcsLength(cs(0), cs(1)))
     register("graft_gram_stats", 2)(cs => WordGramStats(cs(0), intLit(cs(1), "gram width")))
     register("graft_ulm_segment", 2)(cs => UlmSegment(cs(0), cs(1)))
+    register("graft_wp_munch", 2)(cs => WpMunch(cs(0), cs(1)))
     // the UDTF surface: a native Generator usable in LATERAL VIEW
     register("graft_explode_shingles", 2)(cs =>
       ExplodeWordShingles(cs(0), intLit(cs(1), "shingle width")))

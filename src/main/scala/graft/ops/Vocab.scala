@@ -774,7 +774,10 @@ object Vocab {
     * total tiebreak. Same TakeOrdered 1-row funnel as [[bestPair]].
     */
   private def wpBestPair(seqDf: DataFrame): DataFrame = {
-    val syms = Materialize(wpSymCounts(seqDf))
+    // r14: lazy — both broadcast sides re-aggregate the (checkpointed,
+    // word-relation-scale) seq instead of paying an eager checkpoint
+    // job per round; the loop's wall is job count, not data
+    val syms = wpSymCounts(seqDf)
     wpPairCounts(seqDf)
       .join(broadcast(syms.select(col("sym").as("pa"), col("sfreq").as("fa"))), Seq("pa"))
       .join(broadcast(syms.select(col("sym").as("pb"), col("sfreq").as("fb"))), Seq("pb"))
@@ -846,28 +849,25 @@ object Vocab {
     "q_wordpiece_apply",
     (s, d) => {
       val (words, bests) = wpTrainLoop(s, d)
-      val singles = words.select(
-        explode(expr("filter(split(word, ''), x -> x != '')")).as("piece"))
-      val merged = bests.map(_.select(
-        expr("replace(concat(pa, pb), chr(30), '')").as("piece")))
-        .reduce(_ unionByName _)
-      val vocab = Materialize(singles.unionByName(merged).distinct())
-      val edges = Materialize(
-        wpSubs(words).join(broadcast(vocab), Seq("piece"))
-          .select(col("word"), col("j"), col("i")))
-      var st = Materialize(words.select(col("word"), lit(0).as("pos"), lit(0L).as("n")))
-      val byWord = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("word")).orderBy(col("i").desc)
-      for (_ <- 1 to ULM_LMAX) {
-        val done = st.where(col("pos") >= length(col("word")))
-        val adv = st.where(col("pos") < length(col("word")))
-          .join(edges.withColumnRenamed("j", "pos"), Seq("word", "pos"))
-          .withColumn("rn", row_number().over(byWord))
-          .where(col("rn") === 1)
-          .select(col("word"), col("i").as("pos"), (col("n") + 1).as("n"))
-        st = Materialize(done.unionByName(adv))
-      }
-      ulmApplyTail(s, d, st.select(col("word"), col("n").as("n_pieces")))
+      // r14 optimization: the greedy unroll (ULM_LMAX join+window+
+      // checkpoint rounds over the distinct-word relation — the same
+      // job-count wall the unigram E-step paid before its fusion) is
+      // ONE native codegen projection, graft_wp_munch. The frozen
+      // vocabulary is driver-built — vocab-sized BY CONSTRUCTION
+      // (alphabet + WP_MERGES merge products; the ULM trainer's
+      // chars-collect precedent) — and rides the plan as a foldable
+      // array literal. WordpieceSpec's driver-side maximum-munch
+      // re-derivation and the enc-CTE oracle pin result equality.
+      val singles = words
+        .select(explode(expr("filter(split(word, ''), x -> x != '')")).as("piece"))
+        .distinct().collect().map(_.getString(0))
+      val merged = bests.flatMap(
+        _.select(expr("replace(concat(pa, pb), chr(30), '')").as("piece"))
+          .collect().map(_.getString(0)))
+      val vocab = (singles ++ merged).distinct.sorted.toSeq
+      val perWord = words.select(col("word"),
+        call_function("graft_wp_munch", col("word"), typedLit(vocab)).as("n_pieces"))
+      ulmApplyTail(s, d, perWord)
     },
     Some(wpApplyOracle)
   )
