@@ -876,12 +876,17 @@ object Dedup {
           explode(sequence(lit(0), col("n") - K)).as("i"))
         .select(col("doc_id"), col("i"),
           xxhash64(array_join(slice(col("w"), col("i") + 1, lit(K)), " ")).as("h"))
-      val firstOcc = wins
-        .groupBy("h")
-        .agg(min(struct(col("doc_id"), col("i"))).as("first"))
+      // r14 optimization: non-first occurrences via ONE h-keyed window
+      // (the oracle's own shape) instead of groupBy(min struct) + a
+      // self-join back — the join form computed the `wins` explode
+      // TWICE (the agg branch and the probe branch differ above their
+      // exchanges, so ReuseExchange cannot dedupe them) and shuffled
+      // the window relation twice; rn > 1 is the identical set (min
+      // struct = rn 1 under the same (doc_id, i) order)
       val marked = wins
-        .join(firstOcc.hint("shuffle_hash"), Seq("h")) // both sides corpus-sized
-        .where(struct(col("doc_id"), col("i")) =!= col("first"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("h").orderBy(col("doc_id"), col("i"))))
+        .where(col("rn") > 1)
       val covered = marked
         .select(col("doc_id"), explode(sequence(col("i"), col("i") + (K - 1))).as("pos"))
         .distinct()
